@@ -1,0 +1,218 @@
+"""HEALPix (NESTED scheme) cell math, numpy-vectorized + scalar helpers.
+
+Reproduces the reference math bit-for-bit:
+
+- ``hpx_id`` (sky2hpx): /root/reference/src/sptIndx.c:561-729 — equatorial
+  vs polar branch, C trunc-toward-zero int casts, boundary clamps.
+- bit interleave/compress via the u/c lookup tables:
+  src/sptIndx.c:528-548 (utab) and lib/src/sptQueryLib.c:2324-2332 (ctab).
+- ``pix2loc``: pixel -> (z, phi) ring/face math with jrll/jpll tables,
+  sptQueryLib.c:2207-2289.
+- ``max_pix_rad``: max center-to-corner distance of the most distorted
+  (transition) pixel per order, sptQueryLib.c:2093-2201.
+
+The HEALPix-library constants are kept verbatim (pi/halfpi literals) per
+sptIndx.c:592-596 so float64 results agree with the reference exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+PI = 3.141592653589793238462643383279502884197
+HALFPI = 1.570796326794896619231321691639751442099
+TWOTHIRD = 2.0 / 3.0
+
+# utab[m]: spread 8 bits -> 16 (even positions) (sptIndx.c:520-548)
+_M = np.arange(256)
+UTAB = (
+    (_M & 0x1)
+    | ((_M & 0x2) << 1)
+    | ((_M & 0x4) << 2)
+    | ((_M & 0x8) << 3)
+    | ((_M & 0x10) << 4)
+    | ((_M & 0x20) << 5)
+    | ((_M & 0x40) << 6)
+    | ((_M & 0x80) << 7)
+).astype(np.int64)
+
+# ctab[m]: inverse compress table (sptQueryLib.c:2295-2322 comment)
+CTAB = (
+    (_M & 0x1)
+    | ((_M & 0x2) << 7)
+    | ((_M & 0x4) >> 1)
+    | ((_M & 0x8) << 6)
+    | ((_M & 0x10) >> 2)
+    | ((_M & 0x20) << 5)
+    | ((_M & 0x40) >> 3)
+    | ((_M & 0x80) << 4)
+).astype(np.int64)
+
+JRLL = np.array([2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4], dtype=np.int64)
+JPLL = np.array([1, 3, 5, 7, 0, 2, 4, 6, 1, 3, 5, 7], dtype=np.int64)
+
+
+def spread_bits(v: np.ndarray) -> np.ndarray:
+    """spread_bits via utab (sptIndx.c:739-742), vectorized fancy-indexing."""
+    v = np.asarray(v, dtype=np.int64)
+    return (
+        UTAB[v & 0xFF]
+        | (UTAB[(v >> 8) & 0xFF] << 16)
+        | (UTAB[(v >> 16) & 0xFF] << 32)
+        | (UTAB[(v >> 24) & 0xFF] << 48)
+    )
+
+
+def compress_bits(v: np.ndarray) -> np.ndarray:
+    """hpxCompressBits (sptQueryLib.c:2324-2332), vectorized."""
+    v = np.asarray(v, dtype=np.int64)
+    raw = v & 0x5555555555555555
+    raw = raw | (raw >> 15)
+    return (
+        CTAB[raw & 0xFF]
+        | (CTAB[(raw >> 8) & 0xFF] << 4)
+        | (CTAB[(raw >> 32) & 0xFF] << 16)
+        | (CTAB[(raw >> 40) & 0xFF] << 20)
+    )
+
+
+def xyf2nest(order: int, ix: np.ndarray, iy: np.ndarray, face: np.ndarray) -> np.ndarray:
+    """(face, ix, iy) -> nested pixel id (sptIndx.c:732-735)."""
+    return (face << (2 * order)) + spread_bits(ix) + (spread_bits(iy) << 1)
+
+
+def nest2xyf(order: int, pix: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Inverse of xyf2nest."""
+    pix = np.asarray(pix, dtype=np.int64)
+    npface = np.int64(1) << (2 * order)
+    face = pix >> (2 * order)
+    p = pix & (npface - 1)
+    ix = compress_bits(p)
+    iy = compress_bits(p >> 1)
+    return ix, iy, face
+
+
+def hpx_id(order: int, ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
+    """Vectorized sky2hpx (sptIndx.c:561-729): NESTED pixel id at ``order``.
+
+    Both the equatorial and polar branches are evaluated for all rows and
+    np.where-selected; int casts replicate C trunc-toward-zero semantics.
+    """
+    ra = np.asarray(ra, dtype=np.float64)
+    dec = np.asarray(dec, dtype=np.float64)
+    nside = np.int64(1) << order
+    dtr = PI / 180.0
+
+    z = np.cos((90.0 - dec) * dtr)
+    phi = ra * dtr
+    zabs = np.abs(z)
+    tt = phi / HALFPI
+
+    # --- equatorial branch (|z| <= 2/3), sptIndx.c:610-676 ---
+    temp1 = nside * (0.5 + tt)
+    temp2 = nside * (z * 0.75)
+    jp = (temp1 - temp2).astype(np.int64)  # C (int64_t) cast: trunc toward 0
+    jm = (temp1 + temp2).astype(np.int64)
+    ifp = jp // nside
+    ifm = jm // nside
+    face_eq = np.where(
+        ifp == ifm,
+        np.where(ifp == 4, 4, ifp + 4),
+        np.where(ifp < ifm, ifp, ifm + 8),
+    )
+    ix_eq = jm & (nside - 1)
+    iy_eq = (nside - 1) - (jp & (nside - 1))
+
+    # --- polar branch (|z| > 2/3), sptIndx.c:684-716 ---
+    ntt = tt.astype(np.int64)
+    ntt = np.where(ntt >= 4, 3, ntt)
+    tp = tt - ntt
+    with np.errstate(invalid="ignore"):
+        tmp = nside * np.sqrt(3.0 * (1.0 - zabs))
+    jp_p = (tp * tmp).astype(np.int64)
+    jm_p = ((1.0 - tp) * tmp).astype(np.int64)
+    jp_p = np.where(jp_p >= nside, nside - 1, jp_p)  # boundary clamp
+    jm_p = np.where(jm_p >= nside, nside - 1, jm_p)
+    north = z >= 0
+    face_po = np.where(north, ntt, ntt + 8)
+    ix_po = np.where(north, (nside - 1) - jm_p, jp_p)
+    iy_po = np.where(north, (nside - 1) - jp_p, jm_p)
+
+    eq = zabs <= TWOTHIRD
+    face = np.where(eq, face_eq, face_po)
+    ix = np.where(eq, ix_eq, ix_po)
+    iy = np.where(eq, iy_eq, iy_po)
+    return xyf2nest(order, ix, iy, face)
+
+
+def pix2loc(order: int, pix) -> tuple:
+    """hpxPix2Loc (sptQueryLib.c:2207-2289): pixel center -> (z, phi).
+
+    Works on scalars or numpy arrays (used scalar in the covering DFS and
+    vectorized for kNN ring distances).
+    """
+    pix = np.asarray(pix, dtype=np.int64)
+    scalar = pix.ndim == 0
+    pix = np.atleast_1d(pix)
+    nside = np.int64(1) << order
+    npface = nside << order
+    npix = 12 * npface
+    fact2 = 4.0 / npix
+    fact1 = (nside << 1) * fact2
+
+    face = pix >> (2 * order)
+    p = pix & (npface - 1)
+    ix = compress_bits(p)
+    iy = compress_bits(p >> 1)
+
+    jr = (JRLL[face] << order) - ix - iy - 1
+
+    polar_n = jr < nside
+    polar_s = jr > 3 * nside
+    nr = np.where(polar_n, jr, np.where(polar_s, 4 * nside - jr, nside))
+    z = np.where(
+        polar_n,
+        1.0 - (nr * nr) * fact2,
+        np.where(polar_s, (nr * nr) * fact2 - 1.0, (2 * nside - jr) * fact1),
+    )
+    itmp = JPLL[face] * nr + ix - iy
+    itmp = np.where(itmp < 0, itmp + 8 * nr, itmp)
+    phi = np.where(
+        nr == nside,
+        0.75 * HALFPI * itmp * fact1,
+        (0.5 * HALFPI * itmp) / nr,
+    )
+    if scalar:
+        return float(z[0]), float(phi[0])
+    return z, phi
+
+
+def max_pix_rad(order: int) -> float:
+    """hpxMaxPixRad (sptQueryLib.c:2105-2201): scalar, exact op order."""
+    nside = 1 << order
+    z = 2.0 / 3.0
+    sintheta = math.sqrt((1.0 - z) * (1.0 + z))
+    phi = PI / (4.0 * nside)
+    cx = sintheta * math.cos(phi)
+    cy = sintheta * math.sin(phi)
+    cz = z
+    tmp = 1.0 - 1.0 / nside
+    tmp = tmp * tmp
+    z2 = 1.0 - tmp / 3.0
+    phi2 = 0.0
+    sintheta2 = math.sqrt((1.0 - z2) * (1.0 + z2))
+    kx = sintheta2 * math.cos(phi2)
+    ky = sintheta2 * math.sin(phi2)
+    kz = z2
+    dot = cx * kx + cy * ky + cz * kz
+    return math.acos(dot)
+
+
+def pix2vec(order: int, pix):
+    """Pixel center as unit vector(s); uses sqrt((1-z)(1+z)) for sintheta
+    (sptQueryLib.c:1436 numerical form)."""
+    z, phi = pix2loc(order, pix)
+    sintheta = np.sqrt((1.0 - z) * (1.0 + z))
+    return sintheta * np.cos(phi), sintheta * np.sin(phi), z

@@ -1,0 +1,109 @@
+"""Bit-exactness gate for the per-row cell kernels (SURVEY.md §5.2 item 1).
+
+Golden fixtures were generated from the compiled reference (`sptIndx L`) over
+100k seeded-uniform sphere points plus adversarial edge cases (poles,
+root-triangle boundaries, the HEALPix |z|=2/3 transition).
+"""
+
+import numpy as np
+import pytest
+
+from spatialindex_spark.functions.geometry import radec_to_xyz, xyz_to_radec
+from spatialindex_spark.functions.htm import (
+    htm_id,
+    htm_idtodec,
+    htm_level,
+    htm_tri_verts,
+)
+from spatialindex_spark.functions.healpix import (
+    compress_bits,
+    hpx_id,
+    pix2loc,
+    spread_bits,
+)
+
+LEVELS = (4, 7, 14, 20)
+
+
+def test_xyz_matches_reference(golden_cells):
+    x, y, z = radec_to_xyz(golden_cells.ra.values, golden_cells.dec.values)
+    # golden x/y/z went through %.17f fixed-point text (quantum 1e-17);
+    # cell IDs below prove the full-precision vectors agree bit-for-bit.
+    assert np.abs(x - golden_cells.x.values).max() < 1e-17
+    assert np.abs(y - golden_cells.y.values).max() < 1e-17
+    assert np.abs(z - golden_cells.z.values).max() < 1e-17
+
+
+@pytest.mark.parametrize("level", LEVELS)
+def test_htm_id_bit_exact(golden_cells, level):
+    x, y, z = radec_to_xyz(golden_cells.ra.values, golden_cells.dec.values)
+    ids = htm_id(x, y, z, level)
+    assert (ids == golden_cells[f"htm{level}"].values).all()
+
+
+@pytest.mark.parametrize("level", LEVELS)
+def test_hpx_id_bit_exact(golden_cells, level):
+    ids = hpx_id(level, golden_cells.ra.values, golden_cells.dec.values)
+    assert (ids == golden_cells[f"hpx{level}"].values).all()
+
+
+def test_htm_level_20_spot_check():
+    # htmCell 20 34.0 45.0 -> 17364413225069 (FIXTURES.md §4.1)
+    x, y, z = radec_to_xyz(np.array([34.0]), np.array([45.0]))
+    assert htm_id(x, y, z, 20)[0] == 17364413225069
+
+
+def test_htm_level_roundtrip(golden_cells):
+    for level in LEVELS:
+        ids = golden_cells[f"htm{level}"].values[:1000]
+        assert (htm_level(ids) == level).all()
+
+
+def test_htm_idtodec():
+    # spt_ind legacy encoding: digits in {0..3}, leading 1 (S) / 2 (N)
+    assert htm_idtodec(np.array([245105]))[0] == 223311301
+    # roots: leading digit 1 (S) / 2 (N), then the root's low-2-bits digit
+    for tid, expect in ((8, 10), (9, 11), (15, 23)):
+        assert int(htm_idtodec(np.array([tid]))[0]) == expect
+
+
+def test_hpx_bit_roundtrip():
+    rng = np.random.default_rng(0)
+    v = rng.integers(0, 1 << 20, 1000)
+    assert (compress_bits(spread_bits(v)) == v).all()
+
+
+def test_hpx_id_bounds(golden_cells):
+    for level in LEVELS:
+        ids = golden_cells[f"hpx{level}"].values
+        assert ids.min() >= 0
+        assert ids.max() < 12 * (1 << (2 * level))
+
+
+def test_pix2loc_inverse_of_hpx_id():
+    # pixel centers must map back to the same pixel
+    rng = np.random.default_rng(1)
+    pix = rng.integers(0, 12 * 4**7, 500)
+    z, phi = pix2loc(7, pix)
+    ra = np.degrees(phi)
+    dec = 90.0 - np.degrees(np.arccos(z))
+    assert (hpx_id(7, ra, dec) == pix).all()
+
+
+def test_xyz_radec_roundtrip():
+    rng = np.random.default_rng(2)
+    ra = rng.uniform(0, 360, 1000)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, 1000)))
+    x, y, z = radec_to_xyz(ra, dec)
+    ra2, dec2 = xyz_to_radec(x, y, z)
+    assert np.allclose(ra2, ra, atol=1e-9)
+    assert np.allclose(dec2, dec, atol=1e-9)
+
+
+def test_htm_tri_verts():
+    # vertices of a trixel must themselves lie in cells descending from it
+    verts = htm_tri_verts(245105)
+    assert len(verts) == 3
+    for v in verts:
+        n = np.sqrt(v.x**2 + v.y**2 + v.z**2)
+        assert abs(n - 1.0) < 1e-12
