@@ -1,0 +1,141 @@
+"""Arrow-vectorized pandas UDF registry (the engine's executor-side surface).
+
+Per the north rule's input hint, every per-row kernel is a vectorized
+pandas/Arrow UDF over numpy batches — no per-row Python anywhere. The
+reference analogue is the `sptIndx` augmentation pass
+(/root/reference/src/sptIndx.c:182-246) which assigns x,y,z + cell IDs
+row-at-a-time in C; here a whole Arrow batch is one numpy call.
+
+Use ``register_all(spark)`` once per session to expose the kernels to SQL,
+or the module-level UDF objects / ``with_spatial_columns`` directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from .geometry import angsep_deg, radec_to_xyz
+from .h3s2 import h3_id as _h3_id
+from .h3s2 import s2_id as _s2_id
+from .healpix import hpx_id as _hpx_id
+from .htm import htm_id as _htm_id, htm_idtodec as _htm_idtodec, htm_level as _htm_level
+
+
+# ---- coordinate kernels ----------------------------------------------------
+
+@pandas_udf("struct<x: double, y: double, z: double>")
+def xyz_udf(ra: pd.Series, dec: pd.Series) -> pd.DataFrame:
+    x, y, z = radec_to_xyz(ra.values, dec.values)
+    return pd.DataFrame({"x": x, "y": y, "z": z})
+
+
+def htm_udf(level: int):
+    """HTM cell id at a fixed level; (x,y,z) -> int64."""
+
+    @pandas_udf("long")
+    def _udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        return pd.Series(_htm_id(x.values, y.values, z.values, level))
+
+    return _udf
+
+
+def hpx_udf(level: int):
+    """HEALPix NESTED cell id at a fixed order; (ra,dec) -> int64."""
+
+    @pandas_udf("long")
+    def _udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        return pd.Series(_hpx_id(level, ra.values, dec.values))
+
+    return _udf
+
+
+def s2_udf(level: int):
+    @pandas_udf("long")
+    def _udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
+        return pd.Series(_s2_id(x.values, y.values, z.values, level))
+
+    return _udf
+
+
+def h3_udf(res: int):
+    @pandas_udf("long")
+    def _udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        return pd.Series(_h3_id(ra.values, dec.values, res))
+
+    return _udf
+
+
+@pandas_udf("long")
+def htm_idtodec_udf(ids: pd.Series) -> pd.Series:
+    return pd.Series(_htm_idtodec(ids.values))
+
+
+@pandas_udf("int")
+def htm_level_udf(ids: pd.Series) -> pd.Series:
+    return pd.Series(_htm_level(ids.values).astype(np.int32))
+
+
+@pandas_udf("double")
+def angsep_udf(x1: pd.Series, y1: pd.Series, z1: pd.Series,
+               x2: pd.Series, y2: pd.Series, z2: pd.Series) -> pd.Series:
+    return pd.Series(angsep_deg(x1.values, y1.values, z1.values,
+                                x2.values, y2.values, z2.values))
+
+
+# ---- DataFrame helpers -----------------------------------------------------
+
+def with_xyz(df, ra_col: str = "ra", dec_col: str = "dec"):
+    """Add unit-sphere x,y,z columns. Uses pure Column trig (JVM-side,
+    whole-stage-codegen) — bit-compatible with the reference because the
+    sin/cos/normalize order matches and both use IEEE float64."""
+    rad = F.radians
+    cos_dec = F.cos(rad(F.col(dec_col)))
+    x = F.cos(rad(F.col(ra_col))) * cos_dec
+    y = F.sin(rad(F.col(ra_col))) * cos_dec
+    z = F.sin(rad(F.col(dec_col)))
+    norm = F.sqrt(x * x + y * y + z * z)
+    return df.withColumns({"x": x / norm, "y": y / norm, "z": z / norm})
+
+
+def with_xyz_exact(df, ra_col: str = "ra", dec_col: str = "dec"):
+    """Bit-exact x,y,z via the numpy pandas UDF (dtr = atan(1)/45 exactly as
+    sptIndx.c:84). Use this when fixture-identical floats matter."""
+    s = xyz_udf(F.col(ra_col), F.col(dec_col))
+    return (df.withColumn("_v3", s)
+              .withColumns({"x": F.col("_v3.x"), "y": F.col("_v3.y"), "z": F.col("_v3.z")})
+              .drop("_v3"))
+
+
+def with_spatial_columns(df, level: int = 7, ra_col: str = "ra", dec_col: str = "dec",
+                         systems: tuple = ("htm", "hpx"), spt_ind: str | None = "htm"):
+    """The engine's ingest augmentation (sptIndx analogue): adds x,y,z plus
+    cell-ID columns ``htm<L>/hpx<L>/s2<L>/h3<L>`` and a canonical ``spt_ind``
+    clustering key."""
+    df = with_xyz_exact(df, ra_col, dec_col)
+    cols = {}
+    if "htm" in systems:
+        cols[f"htm{level}"] = htm_udf(level)("x", "y", "z")
+    if "hpx" in systems:
+        cols[f"hpx{level}"] = hpx_udf(level)(ra_col, dec_col)
+    if "s2" in systems:
+        cols[f"s2{level}"] = s2_udf(level)("x", "y", "z")
+    if "h3" in systems:
+        cols[f"h3{level}"] = h3_udf(level)(ra_col, dec_col)
+    df = df.withColumns(cols)
+    if spt_ind:
+        df = df.withColumn("spt_ind", F.col(f"{spt_ind}{level}"))
+    return df
+
+
+def register_all(spark, level: int = 7) -> None:
+    """Expose the kernels to Spark SQL as named functions."""
+    spark.udf.register(f"htm{level}", htm_udf(level))
+    spark.udf.register(f"hpx{level}", hpx_udf(level))
+    spark.udf.register(f"s2{level}", s2_udf(level))
+    spark.udf.register(f"h3{level}", h3_udf(level))
+    spark.udf.register("htm_idtodec", htm_idtodec_udf)
+    spark.udf.register("htm_level", htm_level_udf)
+    spark.udf.register("angsep", angsep_udf)

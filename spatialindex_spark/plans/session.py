@@ -1,0 +1,80 @@
+"""SparkSession construction + physical-layout discipline.
+
+Scale design notes (these defaults are what makes the 100 TB plan work):
+
+- **Ship the package to executors.** Local mode inherits PYTHONPATH; on a
+  real cluster the engine must go through ``spark-submit --py-files`` (north
+  rule) or ``spark.submit.pyFiles``. ``get_session`` wires PYTHONPATH for
+  local runs and documents the cluster path; without it, stage-1 pandas UDFs
+  die with ModuleNotFoundError (observed in this sandbox).
+- **AQE on** (runtime coalescing + skew-join splitting) — dense sky regions
+  produce hot cells; AQE splits oversized shuffle partitions without manual
+  tuning, and `operators.joins.salt_hot_cells` handles the extreme tail.
+- **Cell-ID clustering** (``cluster_by_cell``) is the engine's B-tree
+  analogue (reference README.md:13-23): range-partition by ``spt_ind`` and
+  sort within partitions so parquet row-group min/max statistics prune
+  coverings' BETWEEN ranges. At 100 TB this is what turns a cone search from
+  a full scan into touching O(covering) partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_session(app: str = "spatialindex-spark", cores: int | str = "*",
+                shuffle_partitions: int | None = None,
+                extra_conf: dict | None = None) -> SparkSession:
+    """local[N] session with the engine's scale-oriented defaults.
+
+    On a cluster, replace master with the real one and pass the repo zip via
+    ``spark-submit --py-files spatialindex_spark.zip``; everything else is
+    identical.
+    """
+    if shuffle_partitions is None:
+        shuffle_partitions = 32 if cores == "*" else max(int(cores) * 2, 8)
+    os.environ.setdefault("PYTHONPATH", REPO_ROOT)
+    if REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()
+
+
+def cluster_by_cell(df: DataFrame, cell_col: str = "spt_ind",
+                    num_partitions: int | None = None) -> DataFrame:
+    """Range-partition + sort by cell ID — the htm_v3p_idsort / Z-order
+    clustering analogue (htm.c:1036-1061; README.md:13-23). Written output
+    gets parquet row-group min/max stats aligned with the Z-order, so
+    covering BETWEEN predicates prune at both partition and row-group level."""
+    if num_partitions:
+        df = df.repartitionByRange(num_partitions, F.col(cell_col))
+    else:
+        df = df.repartitionByRange(F.col(cell_col))
+    return df.sortWithinPartitions(cell_col)
+
+
+def write_clustered(df: DataFrame, path: str, cell_col: str = "spt_ind",
+                    num_partitions: int | None = None, mode: str = "overwrite") -> None:
+    cluster_by_cell(df, cell_col, num_partitions).write.mode(mode).parquet(path)

@@ -1,0 +1,148 @@
+"""Numpy-only image codecs + perceptual hash for the image+caption table.
+
+No PIL/cv2 in this environment (SURVEY.md env facts), so the engine carries
+its own codecs. All functions operate on uint8 arrays of shape (h, w, 3):
+
+- ``fmt="raw"``: uncompressed C-order bytes.
+- ``fmt="z"``:   zlib-compressed raw bytes (lossless).
+- ``fmt="dct"``: lossy 8x8 block DCT with uniform quantization — a genuinely
+  lossy format tuned so decode PSNR >= 40 dB (north-rule invariant).
+
+``phash64``: 64-bit average-hash of the decoded image's 8x8 grayscale
+downsample (FIXTURES.md §1).
+
+Everything is vectorized numpy; batch entry points (encode_batch /
+decode_batch) are what the mapInPandas operators call.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_Q = 5.0  # DCT quantization step; keeps decode PSNR >= 40 dB (north rule)
+
+
+def _dct_mat(n: int = 8) -> np.ndarray:
+    k = np.arange(n)
+    mat = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    mat[0] = np.sqrt(1.0 / n)
+    return mat
+
+
+_D8 = _dct_mat(8)
+
+
+def _blockify(img: np.ndarray) -> np.ndarray:
+    """(h, w) -> (nb, 8, 8) with edge padding to multiples of 8."""
+    h, w = img.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    img = np.pad(img, ((0, ph), (0, pw)), mode="edge")
+    H, W = img.shape
+    return img.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8), H, W
+
+
+def _unblockify(blocks: np.ndarray, H: int, W: int, h: int, w: int) -> np.ndarray:
+    img = blocks.reshape(H // 8, W // 8, 8, 8).transpose(0, 2, 1, 3).reshape(H, W)
+    return img[:h, :w]
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    """uint8 (h, w, 3) -> payload bytes."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError("expected uint8 (h, w, 3)")
+    if fmt == "raw":
+        return img.tobytes()
+    if fmt == "z":
+        return zlib.compress(img.tobytes(), 6)
+    if fmt == "dct":
+        h, w, _ = img.shape
+        coeffs = []
+        for c in range(3):
+            blocks, H, W = _blockify(img[:, :, c].astype(np.float64) - 128.0)
+            f = _D8 @ blocks @ _D8.T
+            q = np.rint(f / _Q).astype(np.int16)
+            coeffs.append(q)
+        payload = np.concatenate([c.ravel() for c in coeffs]).astype("<i2").tobytes()
+        return zlib.compress(payload, 6)
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def decode(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    """payload bytes -> uint8 (h, w, 3)."""
+    if fmt == "raw":
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3).copy()
+    if fmt == "z":
+        return np.frombuffer(zlib.decompress(data), dtype=np.uint8).reshape(h, w, 3).copy()
+    if fmt == "dct":
+        H, W = h + ((-h) % 8), w + ((-w) % 8)
+        nb = (H // 8) * (W // 8)
+        q = np.frombuffer(zlib.decompress(data), dtype="<i2").astype(np.float64)
+        q = q.reshape(3, nb, 8, 8)
+        out = np.empty((h, w, 3), dtype=np.uint8)
+        for c in range(3):
+            f = q[c] * _Q
+            blocks = _D8.T @ f @ _D8
+            img = _unblockify(blocks, H, W, h, w) + 128.0
+            out[:, :, c] = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+        return out
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    return (0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2])
+
+
+def downsample8(gray: np.ndarray) -> np.ndarray:
+    """Mean-pool to 8x8 (works for any h, w >= 8)."""
+    h, w = gray.shape
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    out = np.empty((8, 8), dtype=np.float64)
+    for i in range(8):
+        for j in range(8):
+            out[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    return out
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit average hash: bit i set iff 8x8-downsampled gray[i] > mean.
+
+    Returned as a *signed* int64 (column type per the north-rule schema)."""
+    d = downsample8(grayscale(img)).ravel()
+    bits = d > d.mean()
+    val = 0
+    for i, b in enumerate(bits):
+        if b:
+            val |= 1 << i
+    # wrap to signed int64
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def hamming64(a: int, b: int) -> int:
+    return int(bin((a ^ b) & ((1 << 64) - 1)).count("1"))
+
+
+def synth_image(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic image for image_id index ``i``: smooth 2-D
+    sinusoid field + seeded noise (compresses like natural content, so the
+    DCT codec's PSNR numbers are honest)."""
+    rng = np.random.default_rng(42 + i)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    fx, fy, ph = rng.uniform(0.02, 0.2, 3)
+    base = 127.0 + 90.0 * np.sin(2 * np.pi * (fx * xx + fy * yy) + ph * 6.28)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    for c in range(3):
+        chan = base * rng.uniform(0.6, 1.0) + rng.normal(0, 6.0, (h, w))
+        img[:, :, c] = np.clip(chan, 0, 255).astype(np.uint8)
+    return img
