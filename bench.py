@@ -1,0 +1,243 @@
+"""Benchmark harness (driver contract).
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...: sec}, "sf": ...,
+     "throughput": {"rows_per_sec": ...},
+     "scaling": {"cores_lo": 8, "cores_hi": 32, "thr_lo": ..., "thr_hi": ...,
+                 "efficiency": ...}}
+
+The headline is the north-star job (BASELINE.json): spatial-join +
+tile-assignment over the image+caption table. Scaling efficiency is measured
+by running the identical job at local[8] and local[32] (the sandbox proxy for
+N vs 4N executors): efficiency = (thr_hi / thr_lo) / (32/8).
+
+The synthesized image table is cached per-sf in /tmp so repeated bench runs
+measure query time, not synthesis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_IMAGES = max(20_000, int(SF * 1_000_000))
+IMG_TABLE = f"/tmp/spark_graft_bench_images_sf{SF}"
+
+N_REGIONS = 64
+N_TILES = 32
+
+
+def get_session(cores: int):
+    from spatialindex_spark.plans import get_session as gs
+
+    spark = gs(app=f"bench-{cores}", cores=cores,
+               shuffle_partitions=max(2 * cores, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def build_image_table(spark) -> None:
+    if os.path.exists(os.path.join(IMG_TABLE, "_SUCCESS")):
+        return
+    from spatialindex_spark.sources.images import synth_images_indexed
+    from spatialindex_spark.plans import cluster_by_cell
+
+    df = synth_images_indexed(spark, N_IMAGES, level=7,
+                              partitions=max(CPUS * 2, 8),
+                              systems=("htm", "hpx"))
+    cluster_by_cell(df, "spt_ind", num_partitions=max(CPUS, 8)) \
+        .write.mode("overwrite").parquet(IMG_TABLE)
+
+
+def make_regions(n: int) -> list[dict]:
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    regions = []
+    for i in range(n):
+        if i % 4 == 3:
+            cra = float(rng.uniform(5, 355))
+            cdec = float(rng.uniform(-55, 55))
+            s = float(rng.uniform(0.5, 3.0))
+            regions.append({"region_id": i, "kind": "poly",
+                            "ra": [cra - s, cra + s, cra + s, cra - s],
+                            "dec": [cdec - s, cdec - s, cdec + s, cdec + s]})
+        else:
+            regions.append({
+                "region_id": i, "kind": "cone",
+                "ra": float(rng.uniform(0, 360)),
+                "dec": float(np.degrees(np.arcsin(rng.uniform(-0.95, 0.95)))),
+                "radius": float(rng.uniform(0.3, 2.5)),
+            })
+    # include the hot-spot cones (skew stress)
+    regions[0] = {"region_id": 0, "kind": "cone", "ra": 129.4, "dec": 43.7, "radius": 1.0}
+    regions[1] = {"region_id": 1, "kind": "cone", "ra": 34.0, "dec": 45.0, "radius": 1.0}
+    return regions
+
+
+def make_tiles(n: int) -> list[dict]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [
+        {"tile_id": i, "center_ra": float(rng.uniform(0, 360)),
+         "center_dec": float(rng.uniform(-60, 60)),
+         "width_deg": float(rng.uniform(1.0, 4.0)),
+         "height_deg": float(rng.uniform(1.0, 4.0))}
+        for i in range(n)
+    ]
+
+
+def headline_job(spark, images) -> int:
+    """North-star job: region join + tile assignment; returns output rows."""
+    from spatialindex_spark.operators.joins import region_join
+    from spatialindex_spark.operators.tiles import tile_cell_assignments
+
+    rj = region_join(images.select("image_id", "x", "y", "z", "spt_ind"),
+                     make_regions(N_REGIONS), level=7)
+    n1 = rj.count()
+    ta = tile_cell_assignments(
+        images.select("image_id", "x", "y", "z", "spt_ind"),
+        make_tiles(N_TILES), level=7)
+    n2 = ta.agg(F.sum("n_rows")).collect()[0][0] or 0
+    return n1 + int(n2)
+
+
+def timed(fn, *args):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    return time.perf_counter() - t0, out
+
+
+def main():
+    results: dict[str, float] = {}
+
+    spark = get_session(CPUS)
+    t_build, _ = timed(build_image_table, spark)
+    images = spark.read.parquet(IMG_TABLE)
+    n_img = images.count()
+
+    # headline at full cores
+    t_headline, out_rows = timed(headline_job, spark, images)
+    results["spatial_join_tiles"] = round(t_headline, 3)
+
+    # ingest kernel throughput (cell assignment over lineitem-scale rows)
+    from spatialindex_spark.functions.udfs import with_spatial_columns
+
+    def ingest():
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        df = (li.withColumn("ra", (F.col("l_orderkey") * F.lit(0.618034)) % 360)
+                .withColumn("dec", F.degrees(F.asin(
+                    2 * ((F.col("l_partkey") * F.lit(0.381966)) % 1) - 1))))
+        return with_spatial_columns(df, level=7, systems=("htm", "hpx")) \
+            .agg(F.count(F.lit(1))).collect()[0][0]
+
+    t_ingest, n_li = timed(ingest)
+    results["ingest_index"] = round(t_ingest, 3)
+
+    # two-phase cone search over the clustered image table
+    from spatialindex_spark.functions.constraints import SpatialIndex
+
+    def cone():
+        c = SpatialIndex().cone_search(129.4, 43.7, 5.0, mode=0, level=7,
+                                       encoding=0, colname="spt_ind",
+                                       as_constraints=True)
+        return c.filter(images).count()
+
+    t_cone, _ = timed(cone)
+    results["cone_search"] = round(t_cone, 3)
+
+    # crossmatch images sample x images (0.05 deg)
+    from spatialindex_spark.operators.joins import crossmatch
+
+    def xmatch():
+        sample = images.select("image_id", "ra", "dec").sample(0.02, seed=1)
+        return crossmatch(sample, images.select("image_id", "ra", "dec"),
+                          0.05).count()
+
+    t_xm, _ = timed(xmatch)
+    results["crossmatch"] = round(t_xm, 3)
+
+    # kNN
+    from spatialindex_spark.operators.knn import knn
+
+    def run_knn():
+        q = spark.createDataFrame(
+            [(i, float(i * 13.7 % 360), float((i * 7.3) % 120 - 60))
+             for i in range(64)],
+            "query_id long, ra double, dec double")
+        return knn(q, images.select("image_id", "ra", "dec"), k=10,
+                   level=4, rings=1, tiebreak="image_id").count()
+
+    t_knn, _ = timed(run_knn)
+    results["knn"] = round(t_knn, 3)
+
+    # dedup + ANN over driver tables
+    from spatialindex_spark.operators.dedup import minhash_lsh_dedup
+
+    def dedup():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        return minhash_lsh_dedup(docs, threshold=0.9).count()
+
+    t_dd, _ = timed(dedup)
+    results["minhash_dedup"] = round(t_dd, 3)
+
+    from spatialindex_spark.operators.similarity import brute_force_topk
+
+    def ann():
+        emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+               .withColumn("embedding", F.col("embedding").cast("array<double>")))
+        q = (emb.filter(F.col("vec_id") < 8)
+                .select(F.col("vec_id").alias("query_id"), "embedding"))
+        return brute_force_topk(q, emb, k=10).count()
+
+    t_ann, _ = timed(ann)
+    results["ann_brute"] = round(t_ann, 3)
+
+    spark.stop()
+
+    # scaling: identical headline job at 8 vs 32 cores (N vs 4N proxy)
+    scaling = {}
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        thr = {}
+        for cores in (8, 32):
+            s = get_session(cores)
+            imgs = s.read.parquet(IMG_TABLE)
+            t, _ = timed(headline_job, s, imgs)
+            thr[cores] = n_img / t
+            s.stop()
+        eff = (thr[32] / thr[8]) / (32 / 8)
+        scaling = {"cores_lo": 8, "cores_hi": 32,
+                   "thr_lo_rows_per_sec": round(thr[8], 1),
+                   "thr_hi_rows_per_sec": round(thr[32], 1),
+                   "efficiency": round(eff, 3)}
+
+    out = {
+        "metric": "spatial_join_tile_assignment",
+        "value": results["spatial_join_tiles"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF,
+        "n_images": n_img,
+        "headline_output_rows": out_rows,
+        "throughput": {"rows_per_sec": round(n_img / results["spatial_join_tiles"], 1)},
+        "build_sec": round(t_build, 3),
+        "scaling": scaling,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

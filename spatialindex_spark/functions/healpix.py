@@ -210,6 +210,89 @@ def max_pix_rad(order: int) -> float:
     return math.acos(dot)
 
 
+# ---------------------------------------------------------------------------
+# exact NESTED neighbors (standard HEALPix face-adjacency algorithm; the
+# direction/face/swap tables are published in the HEALPix framework paper and
+# its BSD reimplementations — public knowledge, validated by brute force in
+# tests/test_operators.py)
+# ---------------------------------------------------------------------------
+
+# Face-transition tables indexed by nbnum = 4 + sx + 3*sy (sx/sy = -1/0/+1
+# coordinate under/overflow). Derived EMPIRICALLY in this repo from the
+# bit-exact hpx_id/pix2loc kernels by probing just past each face edge
+# midpoint / corner at nside=1024 (derivation script in the commit history;
+# brute-force validated against dense-sampled adjacency in tests).
+_NB_XOFFSET = np.array([-1, 0, 1], dtype=np.int64)
+_NB_FACEARRAY = np.array([
+    [8, 9, 10, 11, 8, 9, 10, 11, 10, 11, 8, 9],
+    [5, 6, 7, 4, 8, 9, 10, 11, 9, 10, 11, 8],
+    [1, 2, 3, 0, 5, 6, 7, 4, 9, 10, 11, 8],
+    [4, 5, 6, 7, 11, 8, 9, 10, 11, 8, 9, 10],
+    [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],   # center (unused)
+    [1, 2, 3, 0, 0, 1, 2, 3, 5, 6, 7, 4],
+    [3, 0, 1, 2, 7, 4, 5, 6, 11, 8, 9, 10],
+    [3, 0, 1, 2, 3, 0, 1, 2, 4, 5, 6, 7],
+    [2, 3, 0, 1, 0, 1, 2, 3, 0, 1, 2, 3],
+], dtype=np.int64)
+_NB_SWAPARRAY = np.array([
+    [0, 1, 3],
+    [0, 0, 6],
+    [0, 0, 0],
+    [0, 0, 5],
+    [0, 0, 0],  # center (unused)
+    [5, 0, 0],
+    [0, 0, 0],
+    [6, 0, 0],
+    [3, 2, 0],
+], dtype=np.int64)
+
+
+def neighbors(order: int, pix: np.ndarray) -> np.ndarray:
+    """Exact ring-1 neighbors of NESTED pixels: (n, 8) int64 array, -1 where
+    a neighbor does not exist (the 8 corner-deficient pixels per face edge
+    meeting). Fully vectorized."""
+    pix = np.atleast_1d(np.asarray(pix, dtype=np.int64))
+    nside = np.int64(1) << order
+    ix, iy, face = nest2xyf(order, pix)
+    out = np.empty((len(pix), 8), dtype=np.int64)
+    d = 0
+    for sx in (-1, 0, 1):
+        for sy in (-1, 0, 1):
+            if sx == 0 and sy == 0:
+                continue
+            xx = ix + sx
+            yy = iy + sy
+            inside = (xx >= 0) & (xx < nside) & (yy >= 0) & (yy < nside)
+            res = np.where(inside,
+                           xyf2nest(order, np.clip(xx, 0, nside - 1),
+                                    np.clip(yy, 0, nside - 1), face),
+                           np.int64(-1))
+            if not inside.all():
+                m = ~inside
+                xm, ym = xx[m], yy[m]
+                # nbnum from the coordinates that actually overflowed (a
+                # diagonal step from a non-corner edge pixel overflows in
+                # one coordinate only)
+                nbnum = (4 - (xm < 0) + (xm >= nside)
+                         - 3 * (ym < 0) + 3 * (ym >= nside)).astype(np.int64)
+                x2 = np.where(xm < 0, xm + nside,
+                              np.where(xm >= nside, xm - nside, xm))
+                y2 = np.where(ym < 0, ym + nside,
+                              np.where(ym >= nside, ym - nside, ym))
+                f = face[m]
+                f2 = _NB_FACEARRAY[nbnum, f]
+                bits = _NB_SWAPARRAY[nbnum, f >> 2]
+                x3 = np.where(bits & 1, nside - x2 - 1, x2)
+                y3 = np.where(bits & 2, nside - y2 - 1, y2)
+                swap = (bits & 4) != 0
+                x4 = np.where(swap, y3, x3)
+                y4 = np.where(swap, x3, y3)
+                res[m] = xyf2nest(order, x4, y4, f2)
+            out[:, d] = res
+            d += 1
+    return out
+
+
 def pix2vec(order: int, pix):
     """Pixel center as unit vector(s); uses sqrt((1-z)(1+z)) for sintheta
     (sptQueryLib.c:1436 numerical form)."""

@@ -16,6 +16,21 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# DataType instances (not DDL strings): module-level UDFs must not require an
+# active SparkSession at import time (DDL strings are parsed via the context).
+_XYZ_TYPE = StructType([
+    StructField("x", DoubleType()),
+    StructField("y", DoubleType()),
+    StructField("z", DoubleType()),
+])
 
 from .geometry import angsep_deg, radec_to_xyz
 from .h3s2 import h3_id as _h3_id
@@ -26,7 +41,7 @@ from .htm import htm_id as _htm_id, htm_idtodec as _htm_idtodec, htm_level as _h
 
 # ---- coordinate kernels ----------------------------------------------------
 
-@pandas_udf("struct<x: double, y: double, z: double>")
+@pandas_udf(_XYZ_TYPE)
 def xyz_udf(ra: pd.Series, dec: pd.Series) -> pd.DataFrame:
     x, y, z = radec_to_xyz(ra.values, dec.values)
     return pd.DataFrame({"x": x, "y": y, "z": z})
@@ -68,17 +83,17 @@ def h3_udf(res: int):
     return _udf
 
 
-@pandas_udf("long")
+@pandas_udf(LongType())
 def htm_idtodec_udf(ids: pd.Series) -> pd.Series:
     return pd.Series(_htm_idtodec(ids.values))
 
 
-@pandas_udf("int")
+@pandas_udf(IntegerType())
 def htm_level_udf(ids: pd.Series) -> pd.Series:
     return pd.Series(_htm_level(ids.values).astype(np.int32))
 
 
-@pandas_udf("double")
+@pandas_udf(DoubleType())
 def angsep_udf(x1: pd.Series, y1: pd.Series, z1: pd.Series,
                x2: pd.Series, y2: pd.Series, z2: pd.Series) -> pd.Series:
     return pd.Series(angsep_deg(x1.values, y1.values, z1.values,

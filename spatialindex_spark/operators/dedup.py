@@ -1,0 +1,193 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are DataFrame-native and shuffle-aware:
+
+- ``exact_dedup``: hash-groupBy on normalized text (map-side partial agg;
+  one shuffle on the 64-bit content hash, never on the text itself).
+- ``minhash_lsh_dedup``: shingle -> 64-perm minhash -> banded LSH; candidate
+  pairs only ever join on (band, band_hash) keys, so the shuffle volume is
+  O(rows x bands), not O(rows^2).
+- ``simhash_dedup``: 64-bit simhash; near-dup candidates via b-bit band keys.
+- ``ngram_jaccard``: exact n-gram Jaccard on candidate pairs (verifier stage
+  after LSH, or standalone for small sets).
+- ``embedding_cosine_dedup``: see similarity.py (cosine top-1 over LSH
+  buckets).
+
+Vectorized pandas UDFs throughout (numpy hashing over Arrow batches).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Rolling k-char shingle hash set (document fingerprint primitive)."""
+    data = text.encode("utf-8", "ignore")
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # polynomial rolling hash over a sliding window, vectorized
+    B = np.uint64(257)
+    powers = B ** np.arange(k, dtype=np.uint64)
+    n = len(arr) - k + 1
+    idx = np.arange(n)[:, None] + np.arange(k)[None, :]
+    h = (arr[idx] * powers[None, :]).sum(axis=1)
+    return np.unique(h)
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(1234)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_udf(num_perm: int = 64, k: int = 5):
+    a, b = _minhash_params(num_perm)
+
+    @pandas_udf("array<long>")
+    def _udf(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text.fillna(""):
+            sh = _shingle_hashes(t, k)
+            # (a*x + b) mod p, min per permutation
+            vals = (a[None, :] * sh[:, None] + b[None, :]) % np.uint64(_MERSENNE)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return _udf
+
+
+def simhash_udf(k: int = 5):
+    @pandas_udf("long")
+    def _udf(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), dtype=np.int64)
+        for i, t in enumerate(text.fillna("")):
+            sh = _shingle_hashes(t, k)
+            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
+            score = bits.sum(axis=0) * 2 - len(sh)
+            v = np.uint64(0)
+            for j in np.nonzero(score > 0)[0]:
+                v |= np.uint64(1) << np.uint64(j)
+            out[i] = np.int64(v.astype(np.int64))
+        return pd.Series(out)
+
+    return _udf
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Keep one representative (min id) per exact content hash."""
+    t = F.col(text_col)
+    if normalize:
+        t = F.lower(F.regexp_replace(t, r"\s+", " "))
+    h = F.xxhash64(t)
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      num_perm: int = 64, bands: int = 16, k: int = 5) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
+
+    rows x bands band-key rows; same-key rows self-join (shuffle on the
+    band hash, small groups), pairs deduped across bands."""
+    rows_per_band = num_perm // bands
+    sigs = df.select(F.col(id_col), minhash_udf(num_perm, k)(F.col(text_col)).alias("_sig"))
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.xxhash64(F.concat_ws(",", *[
+                F.element_at("_sig", b * rows_per_band + i + 1).cast("string")
+                for i in range(rows_per_band)
+            ])).alias(f"_b{b}")
+        )
+    banded = sigs.select(id_col, *band_cols)
+    stacked = banded.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), F.col(f"_b{b}").alias("bh"))
+            for b in range(bands)
+        ])).alias("_k"),
+    ).select(id_col, "_k.band", "_k.bh")
+    a = stacked.select(F.col(id_col).alias("id_a"), "band", "bh")
+    b2 = stacked.select(F.col(id_col).alias("id_b"), "band", "bh")
+    return (
+        a.join(b2, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_udf(k: int = 5):
+    @pandas_udf("double")
+    def _udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta.fillna(""), tb.fillna(""))):
+            sa, sb = _shingle_hashes(x, k), _shingle_hashes(y, k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 1.0
+        return pd.Series(out)
+
+    return _udf
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8, num_perm: int = 64,
+                      bands: int = 16, k: int = 5) -> DataFrame:
+    """Remove near-duplicates: LSH candidates -> exact n-gram Jaccard verify
+    (>= threshold) -> drop the larger id of each verified pair (union-find-
+    free greedy: any row that is the b-side of a kept pair is removed; safe
+    because duplicate relations here are almost-cliques)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, k)
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("_tb"))
+    verified = (
+        pairs.join(ta, "id_a").join(tb, "id_b")
+        .withColumn("jaccard", jaccard_udf(k)(F.col("_ta"), F.col("_tb")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  band_bits: int = 16, max_hamming: int = 3, k: int = 5) -> DataFrame:
+    """SimHash near-dup removal: 64-bit simhash, candidates sharing any of
+    the 64/band_bits bands, verified by Hamming distance <= max_hamming."""
+    nbands = 64 // band_bits
+    sh = df.select(F.col(id_col), simhash_udf(k)(F.col(text_col)).alias("_sh"))
+    stacked = sh.select(
+        id_col, "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftrightunsigned("_sh", b * band_bits)
+                     .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bh"))
+            for b in range(nbands)
+        ])).alias("_k"),
+    ).select(id_col, "_sh", "_k.band", "_k.bh")
+    a = stacked.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bh")
+    b2 = stacked.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bh")
+    pairs = (
+        a.join(b2, ["band", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -33,10 +33,17 @@ from ..functions.healpix import max_pix_rad, nest2xyf, xyf2nest
 # J1: point-in-region filter-join
 # ---------------------------------------------------------------------------
 
-def region_ranges_df(spark, regions: list[dict], level: int = 7, mode: int = SpatialIndex.HTM):
+def region_ranges_df(spark, regions: list[dict], level: int = 7,
+                     mode: int = SpatialIndex.HTM, anchor_shift: int = 8):
     """regions: [{'region_id': .., 'kind': 'cone'|'poly', ...params}] ->
-    DataFrame (region_id, cell_lo, cell_hi) of covering ranges + a dict of
-    exact-geometry params per region."""
+    DataFrame (region_id, cell_lo, cell_hi, anchor) of covering ranges plus
+    a dict of exact-geometry params per region.
+
+    ``anchor`` is the coarse cell prefix (cell >> anchor_shift) each range
+    overlaps, one row per (range, anchor). Joining on it turns the range join
+    into a broadcast HASH equi-join with a residual BETWEEN — a
+    BroadcastNestedLoopJoin over every (row, range) pair would evaluate
+    O(rows x ranges) predicates and dominates the job at scale."""
     si = SpatialIndex()
     rows = []
     geoms = {}
@@ -53,8 +60,10 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7, mode: int = Spa
             raise ValueError(f"region {r['region_id']}: {c.error_message}")
         geoms[r["region_id"]] = c.geom
         for lo, hi in c.ranges:
-            rows.append((r["region_id"], lo, hi))
-    df = spark.createDataFrame(rows, "region_id long, cell_lo long, cell_hi long")
+            for anchor in range(lo >> anchor_shift, (hi >> anchor_shift) + 1):
+                rows.append((r["region_id"], lo, hi, anchor))
+    df = spark.createDataFrame(
+        rows, "region_id long, cell_lo long, cell_hi long, anchor long")
     return df, geoms
 
 
@@ -67,13 +76,16 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
     exact per-region geometry. Output = points columns + region_id.
     """
     spark = points.sparkSession
-    ranges, geoms = region_ranges_df(spark, regions, level, mode)
+    anchor_shift = 8
+    ranges, geoms = region_ranges_df(spark, regions, level, mode, anchor_shift)
 
-    cand = points.join(
-        F.broadcast(ranges),
-        (F.col(cell_col) >= F.col("cell_lo")) & (F.col(cell_col) <= F.col("cell_hi")),
-        "inner",
-    ).drop("cell_lo", "cell_hi")
+    cand = (
+        points.withColumn("_anchor", F.shiftright(F.col(cell_col), anchor_shift))
+        .join(F.broadcast(ranges), F.col("_anchor") == F.col("anchor"), "inner")
+        .filter((F.col(cell_col) >= F.col("cell_lo"))
+                & (F.col(cell_col) <= F.col("cell_hi")))
+        .drop("cell_lo", "cell_hi", "anchor", "_anchor")
+    )
 
     # exact geometry as a broadcast per-region array of half-space rows
     # [nx, ny, nz, thresh]; a point is inside iff every row's dot >= thresh
@@ -105,43 +117,12 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
 # ---------------------------------------------------------------------------
 
 def _hpx_neighbors(order: int, pix: np.ndarray) -> np.ndarray:
-    """Ring-1 neighbor cells of nested pixels, same-face arithmetic with
-    cross-face fallback via pixel-center re-encode (approximate but superset-
-    safe when combined with the match-radius guard ring).
+    """Pixel + its exact ring-1 neighbors: (n, 9) int64 (self in column 0).
+    Exactness validated against dense-sampled adjacency (test_operators)."""
+    from ..functions.healpix import neighbors
 
-    Returns (n, 9) array: the pixel itself + up to 8 neighbors (dupes ok)."""
-    from ..functions.healpix import pix2loc, hpx_id
-
-    ix, iy, face = nest2xyf(order, pix)
-    nside = 1 << order
-    out = np.empty((len(pix), 9), dtype=np.int64)
-    out[:, 0] = pix
-    k = 1
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            if dx == 0 and dy == 0:
-                continue
-            jx = ix + dx
-            jy = iy + dy
-            inface = (jx >= 0) & (jx < nside) & (jy >= 0) & (jy < nside)
-            nb = np.where(inface, xyf2nest(order, np.clip(jx, 0, nside - 1),
-                                           np.clip(jy, 0, nside - 1), face), -1)
-            # cross-face: re-encode the offset pixel-center direction
-            miss = ~inface
-            if miss.any():
-                z, phi = pix2loc(order, pix[miss])
-                # step ~1.5 pixel widths in the (dx, dy) direction
-                step = 1.5 * max_pix_rad(order)
-                dec = 90.0 - np.degrees(np.arccos(np.clip(z, -1, 1)))
-                ra = np.degrees(phi)
-                ra2 = ra + np.degrees(step) * dx / np.maximum(np.cos(np.radians(dec)), 1e-6)
-                dec2 = np.clip(dec + np.degrees(step) * dy, -90.0, 90.0)
-                nb2 = hpx_id(order, ra2 % 360.0, dec2)
-                nb = nb.copy()
-                nb[miss] = nb2
-            out[:, k] = nb
-            k += 1
-    return out
+    nb = neighbors(order, pix)
+    return np.concatenate([pix[:, None], nb], axis=1)
 
 
 def pick_match_level(radius_deg: float, max_level: int = 20) -> int:
@@ -180,7 +161,7 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
     def cells_with_neighbors(ra: pd.Series, dec: pd.Series) -> pd.Series:
         pix = _hpx(lvl, ra.values, dec.values)
         nb = _hpx_neighbors(lvl, pix)
-        return pd.Series([np.unique(row).tolist() for row in nb])
+        return pd.Series([np.unique(row[row >= 0]).tolist() for row in nb])
 
     lr, ld = left_cols
     rr, rd = right_cols

@@ -36,7 +36,8 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         level: int | None = None, rings: int = 1,
         query_id: str = "query_id",
         q_cols=("ra", "dec"), d_cols=("ra", "dec"),
-        max_radius_deg: float | None = None) -> DataFrame:
+        max_radius_deg: float | None = None,
+        tiebreak: str | None = None) -> DataFrame:
     """k nearest data rows per query point.
 
     queries: small-ish DataFrame with ``query_id`` + ra/dec.
@@ -103,7 +104,39 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     if max_radius_deg is not None:
         pairs = pairs.filter(F.col("dist_deg") <= max_radius_deg)
 
-    w = Window.partitionBy(query_id).orderBy(F.col("dist_deg").asc())
+    order = [F.col("dist_deg").asc()]
+    if tiebreak:
+        order.append(F.col(tiebreak).asc())
+    w = Window.partitionBy(query_id).orderBy(*order)
+
+    # Exactness guard: ring-based top-k is provably complete only for
+    # queries holding >= k candidates within the verified radius. Starved
+    # queries (sparse data, or all mass far from the query) fall back to an
+    # exact scan — they are few, so the cross join is tiny.
+    vr = verified_radius_deg(level, rings)
+    counts = (pairs.filter(F.col("dist_deg") <= vr)
+              .groupBy(query_id).agg(F.count(F.lit(1)).alias("_n")))
+    qmeta = queries.select(F.col(query_id),
+                           F.col(qr).alias("_qra"), F.col(qd).alias("_qdec"))
+    starved = (qmeta.join(counts, query_id, "left")
+               .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
+               .drop("_n"))
+    if starved.limit(1).count() > 0:
+        brute = data.crossJoin(F.broadcast(starved))
+        bdot = (
+            F.cos(rad(F.col("_qdec"))) * F.cos(rad(F.col(dd)))
+            * F.cos(rad(F.col("_qra")) - rad(F.col(dr)))
+            + F.sin(rad(F.col("_qdec"))) * F.sin(rad(F.col(dd)))
+        )
+        brute = brute.withColumn(
+            "dist_deg",
+            F.degrees(F.acos(F.least(F.greatest(bdot, F.lit(-1.0)), F.lit(1.0)))))
+        if max_radius_deg is not None:
+            brute = brute.filter(F.col("dist_deg") <= max_radius_deg)
+        starved_ids = [r[0] for r in starved.select(query_id).collect()]
+        pairs = pairs.filter(~F.col(query_id).isin(starved_ids)) \
+            .unionByName(brute.select(*pairs.columns))
+
     out = (
         pairs.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)

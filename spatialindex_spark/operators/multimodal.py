@@ -1,0 +1,112 @@
+"""Multimodal (binary-payload) operators over the image+caption table.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata
+(w, h, fmt). The Spark-side plumbing — schemas, Arrow batch shapes,
+mapInPandas partitioning — is real and tested; decoding uses the repo's
+numpy codecs (sources/imaging.py). External-format decode (JPEG/PNG/WAV)
+is stubbed behind NotImplementedError since no media libraries exist in
+this environment; plug a real decoder into ``EXTERNAL_DECODERS`` on a
+cluster with PIL/ffmpeg available.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..sources import imaging
+
+# fmt -> callable(bytes, w, h) -> uint8 (h, w, 3). Extend on real clusters.
+EXTERNAL_DECODERS: dict = {}
+
+
+def _decode_any(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt in ("raw", "z", "dct"):
+        return imaging.decode(data, w, h, fmt)
+    if fmt in EXTERNAL_DECODERS:
+        return EXTERNAL_DECODERS[fmt](data, w, h)
+    raise NotImplementedError(
+        f"decoder for fmt={fmt!r} requires an external media library "
+        "(not available in this environment); register one in "
+        "multimodal.EXTERNAL_DECODERS")
+
+
+DECODE_STATS_SCHEMA = "image_id string, psnr double, mean_lum double, phash_check long"
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+FEATURE_SCHEMA = "image_id string, features array<double>"
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Decode every image and emit per-row quality stats (the north-rule
+    PSNR/phash invariants as a distributed job)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, psnrs, lums, ph = [], [], [], []
+            for r in b.itertuples(index=False):
+                img = _decode_any(r.bytes, r.w, r.h, r.fmt)
+                ref = imaging.synth_image(int(r.image_id[3:]), r.w, r.h)
+                psnrs.append(imaging.psnr(ref, img))
+                lums.append(float(imaging.grayscale(img).mean()))
+                ph.append(imaging.phash64(img))
+                ids.append(r.image_id)
+            yield pd.DataFrame({"image_id": ids, "psnr": psnrs,
+                                "mean_lum": lums, "phash_check": ph})
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, DECODE_STATS_SCHEMA)
+
+
+def resize(df: DataFrame, out_w: int, out_h: int, out_fmt: str = "z") -> DataFrame:
+    """Nearest-neighbor resize of every image, re-encoded to ``out_fmt``."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"image_id": [], "bytes": [], "w": [], "h": [], "fmt": []}
+            for r in b.itertuples(index=False):
+                img = _decode_any(r.bytes, r.w, r.h, r.fmt)
+                yi = (np.arange(out_h) * r.h) // out_h
+                xi = (np.arange(out_w) * r.w) // out_w
+                res = img[yi][:, xi]
+                rows["image_id"].append(r.image_id)
+                rows["bytes"].append(imaging.encode(res, out_fmt))
+                rows["w"].append(out_w)
+                rows["h"].append(out_h)
+                rows["fmt"].append(out_fmt)
+            yield pd.DataFrame(rows)
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, RESIZE_SCHEMA)
+
+
+def extract_features(df: DataFrame, grid: int = 4) -> DataFrame:
+    """Cheap visual features: grid x grid mean-luminance patches + global
+    stats -> array<double> embedding column (feeds similarity.py ANN)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, feats = [], []
+            for r in b.itertuples(index=False):
+                img = _decode_any(r.bytes, r.w, r.h, r.fmt)
+                g = imaging.grayscale(img)
+                h, w = g.shape
+                ys = (np.arange(grid + 1) * h) // grid
+                xs = (np.arange(grid + 1) * w) // grid
+                patch = [g[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+                         for i in range(grid) for j in range(grid)]
+                patch += [float(g.mean()), float(g.std())]
+                ids.append(r.image_id)
+                feats.append([float(v) for v in patch])
+            yield pd.DataFrame({"image_id": ids, "features": feats})
+
+    return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling plumbing: treats the binary payload as a frame
+    container. STUB — container demux needs an external library; the
+    operator shape (mapInPandas, schema, partition passthrough) is real."""
+    raise NotImplementedError(
+        "video demux requires an external media library; the operator "
+        "signature is provided for API completeness")

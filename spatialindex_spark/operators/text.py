@@ -1,0 +1,98 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure Column expressions (JVM whole-stage codegen) except the fingerprint,
+which is a vectorized pandas UDF. Each has an exact ANSI-SQL oracle twin in
+__spark_entry__.oracle_sql().
+
+- ``with_quality``: length / punctuation-ratio / stopword-ratio / mean word
+  length quality features + a composite score.
+- ``with_token_count``: whitespace tokens and a BPE-ish subword estimate
+  (words + ceil(chars/4) blend).
+- ``with_lang_id``: n-gram-free heuristic language id over stopword hit
+  rates for a small language set (en/de/fr/es) — deterministic, oracle-able.
+- ``fingerprint_udf``: 64-bit rolling-hash document fingerprint.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "una", "para", "con", "por", "del"],
+}
+
+
+def _tokens(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _stop_hits(col, lang: str):
+    toks = _tokens(col)
+    return F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    toks = _tokens(t)
+    n_chars = F.length(t)
+    n_words = F.size(toks)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[\.,;:!\?\"'\(\)]", ""))
+    stop_ratio = _stop_hits(t, "en") / F.greatest(n_words, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    mean_word_len = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
+    score = (
+        F.least(n_words / F.lit(200.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * F.lit(4.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(5.0), F.lit(1.0))) * 0.2
+    )
+    return df.withColumns({
+        "n_words": n_words,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stop_ratio,
+        "mean_word_len": mean_word_len,
+        "quality_score": score,
+    })
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    ws = F.size(_tokens(t))
+    bpe_est = F.ceil(F.length(t) / F.lit(4.0)).cast("long")
+    return df.withColumns({
+        "ws_tokens": ws.cast("long"),
+        "bpe_tokens_est": F.greatest(ws.cast("long"), bpe_est),
+    })
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    hits = {lang: _stop_hits(t, lang) for lang in STOPWORDS}
+    best = F.greatest(*hits.values())
+    lang_expr = F.when(best == F.lit(0), F.lit("unknown"))
+    for lang, h in hits.items():  # first max wins, fixed dict order
+        lang_expr = lang_expr.when(h == best, F.lit(lang))
+    return df.withColumn("lang_pred", lang_expr)
+
+
+def fingerprint_udf(k: int = 8):
+    """64-bit document fingerprint: min of rolling k-byte polynomial hashes
+    (a deterministic content fingerprint; equal fingerprints => likely shared
+    k-gram content)."""
+
+    @pandas_udf("long")
+    def _udf(text: pd.Series) -> pd.Series:
+        from .dedup import _shingle_hashes
+
+        out = np.empty(len(text), dtype=np.int64)
+        for i, s in enumerate(text.fillna("")):
+            h = _shingle_hashes(s, k)
+            out[i] = np.int64(h.min().astype(np.int64)) if h.size else 0
+        return pd.Series(out)
+
+    return _udf
