@@ -39,6 +39,22 @@ CONE2 = dict(ra=34.0, dec=45.0, radius=9.0)           # test.py region
 POLY_RA = [120.0, 150.0, 150.0, 120.0]
 POLY_DEC = [30.0, 30.0, 55.0, 55.0]
 KNN_QUERIES = [(1, 129.4, 43.7), (2, 34.0, 45.0), (3, 250.0, -45.0)]
+
+
+def _make_ellipse():
+    from spatialindex_spark.functions.regions import SphericalEllipse
+
+    return SphericalEllipse.from_center(sc_to_v3(200.0, 10.0), 8.0, 4.0, 30.0)
+
+
+_ELLIPSE = None
+
+
+def _ellipse():
+    global _ELLIPSE
+    if _ELLIPSE is None:
+        _ELLIPSE = _make_ellipse()
+    return _ELLIPSE
 KNN_K = 5
 TILES = [
     dict(tile_id=1, ra=[100.0, 130.0, 130.0, 100.0], dec=[-20.0, -20.0, 10.0, 10.0]),
@@ -280,6 +296,128 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fp"))
 
 
+def _q_ellipse_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical-ellipse region filter (C3/F3): covering + exact quadratic
+    form, both engine-side; oracle recomputes the quadratic form in SQL."""
+    from spatialindex_spark.functions.regions import SphericalEllipse, htm_ellipse_ranges
+
+    df = _orders_sky(spark, sf_dir)
+    ell = _ellipse()
+    ranges = htm_ellipse_ranges(ell, 7)
+    pred = None
+    for lo, hi in ranges:
+        p = F.col("htm7").between(lo, hi)
+        pred = p if pred is None else (pred | p)
+    qf = (F.lit(ell.xx) * F.col("x") * F.col("x")
+          + F.lit(ell.yy) * F.col("y") * F.col("y")
+          + F.lit(ell.zz) * F.col("z") * F.col("z")
+          + 2.0 * F.lit(ell.xy) * F.col("x") * F.col("y")
+          + 2.0 * F.lit(ell.xz) * F.col("x") * F.col("z")
+          + 2.0 * F.lit(ell.yz) * F.col("y") * F.col("z"))
+    dp = (F.lit(ell.cen.x) * F.col("x") + F.lit(ell.cen.y) * F.col("y")
+          + F.lit(ell.cen.z) * F.col("z"))
+    return df.filter(pred).filter((dp >= 0) & (qf <= 0)).select("o_orderkey")
+
+
+def _q_polygon_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _orders_sky(spark, sf_dir)
+    c = SI.polygon_search(POLY_RA, POLY_DEC, mode=SpatialIndex.HPX, level=7,
+                          encoding=0, colname="hpx7", as_constraints=True)
+    return c.filter(df).select("o_orderkey")
+
+
+def _q_cone_base4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy spt_ind (BASE4 digit) encoding path: default API resolution
+    (no colname/encoding) + htm_idtodec UDF column."""
+    from spatialindex_spark.functions.udfs import htm_idtodec_udf
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "spt_ind", htm_idtodec_udf(F.col("htm7")))
+    c = SI.cone_search(**CONE, mode=SpatialIndex.HTM, level=7,
+                       as_constraints=True)  # defaults -> BASE4 + spt_ind
+    return c.filter(df).select("o_orderkey")
+
+
+def _q_count_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: [lower, upper] region-count bounds from cell counts alone; the
+    oracle checks the bracketing invariant lower <= true <= upper."""
+    from spatialindex_spark.operators.counts import cell_count_tree, region_count_bounds
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "htm7", level=7, min_level=7)
+    b = region_count_bounds(counts, CONE["ra"], CONE["dec"], CONE["radius"], level=7)
+    row = b.collect()[0]
+    true_n = _q_region_count(spark, sf_dir).collect()[0]["n"]
+    ok = int(row["lower"] <= true_n <= row["upper"])
+    return spark.createDataFrame([(int(row["lower"] <= true_n <= row["upper"]),)],
+                                 "bracket_ok int") if False else \
+        spark.createDataFrame([(ok,)], "bracket_ok int")
+
+
+def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 parent rollup invariant: every level's counts sum to the table
+    total (oracle: counts per level == row count)."""
+    from spatialindex_spark.operators.counts import cell_count_tree
+
+    df = _orders_sky(spark, sf_dir)
+    tree = cell_count_tree(df, "htm7", level=7, min_level=4)
+    return (tree.groupBy("level").agg(F.sum("cnt").alias("total"))
+            .orderBy("level").select("level", "total"))
+
+
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (approximate; rows-only check)."""
+    from spatialindex_spark.operators.similarity import ivf_topk
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    dim = len(emb.select("embedding").first()[0])
+    q = (emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return ivf_topk(q, emb, k=5, dim=dim).select("query_id", "vec_id", "rank")
+
+
+def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup removal (rows-only check)."""
+    from spatialindex_spark.operators.similarity import embedding_cosine_dedup
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    dim = len(emb.select("embedding").first()[0])
+    return embedding_cosine_dedup(emb, dim=dim, threshold=0.95).select("vec_id")
+
+
+def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-defined S2/H3-style encodes: invariants oracle-checked
+    (count + bounds are SQL-expressible even though the encode is not)."""
+    from spatialindex_spark.functions.udfs import s2_udf, h3_udf
+
+    df = _orders_sky(spark, sf_dir)
+    df = (df.withColumn("s2_7", s2_udf(7)("x", "y", "z"))
+            .withColumn("h3_7", h3_udf(7)("ra", "dec")))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.min("s2_7") >= 0).cast("int").alias("s2_min_ok"),
+        (F.max("s2_7") < 6 * (4 ** 7)).cast("int").alias("s2_max_ok"),
+        (F.count(F.when(F.col("h3_7") >> 56 == 7, 1)) == F.count(F.lit(1)))
+        .cast("int").alias("h3_res_ok"),
+    )
+
+
+def _q_angsep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 angular separation kernel vs SQL haversine-free formula."""
+    from spatialindex_spark.functions.udfs import angsep_udf
+
+    # key-filtered (not LIMIT) so both engines see the identical subset
+    df = _orders_sky(spark, sf_dir).filter(F.col("o_orderkey") <= 2000)
+    v = sc_to_v3(CONE["ra"], CONE["dec"])
+    out = df.withColumn(
+        "sep",
+        F.round(angsep_udf("x", "y", "z",
+                           F.lit(v.x), F.lit(v.y), F.lit(v.z)), 9))
+    return out.select("o_orderkey", "sep")
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (streaming-semantics batch twin)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -310,6 +448,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
+        "ellipse_htm": _q_ellipse_htm,
+        "polygon_hpx": _q_polygon_hpx,
+        "cone_base4": _q_cone_base4,
+        "count_bounds": _q_count_bounds,
+        "cell_rollup": _q_cell_rollup,
+        "ann_ivf": _q_ann_ivf,
+        "embed_dedup": _q_embed_dedup,
+        "s2_h3_cells": _q_s2_h3_cells,
+        "angsep": _q_angsep,
     }
 
 
@@ -344,6 +491,20 @@ _CUST_CTE = (
     "ssky AS (SELECT s_suppkey, (s_suppkey * 0.618034) % 360 AS ra, "
     "degrees(asin(2 * ((s_suppkey * 0.381966) % 1) - 1)) AS dec FROM supplier)"
 )
+
+
+def _cv(i: int) -> float:
+    v = sc_to_v3(CONE["ra"], CONE["dec"])
+    return (v.x, v.y, v.z)[i]
+
+
+def _ellipse_where() -> str:
+    e = _ellipse()
+    return (
+        f"(x*({e.cen.x!r}) + y*({e.cen.y!r}) + z*({e.cen.z!r}) >= 0) AND "
+        f"(({e.xx!r})*x*x + ({e.yy!r})*y*y + ({e.zz!r})*z*z "
+        f"+ 2*({e.xy!r})*x*y + 2*({e.xz!r})*x*z + 2*({e.yz!r})*y*z <= 0)"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -448,6 +609,30 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) AS n, round(sum(value), 6) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
-        # minhash_dedup / simhash_dedup / ann_lsh / fingerprint: not
-        # SQL-expressible (hash-family specific); driver records rows-only.
+        "polygon_hpx": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
+        "cone_base4": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
+        "ellipse_htm": (
+            f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
+            + _ellipse_where()
+        ),
+        "count_bounds": "SELECT 1 AS bracket_ok",
+        "cell_rollup": (
+            "SELECT lv AS level, (SELECT count(*) FROM orders) AS total "
+            "FROM (SELECT unnest([4,5,6,7]) AS lv) ORDER BY lv"
+        ),
+        "s2_h3_cells": (
+            "SELECT count(*) AS n, 1 AS s2_min_ok, 1 AS s2_max_ok, "
+            "1 AS h3_res_ok FROM orders"
+        ),
+        "angsep": (
+            f"{_SKY_CTE} SELECT o_orderkey, round(degrees(atan2("
+            f"  sqrt( (y*({_cv(2)!r}) - z*({_cv(1)!r}))^2"
+            f"      + (z*({_cv(0)!r}) - x*({_cv(2)!r}))^2"
+            f"      + (x*({_cv(1)!r}) - y*({_cv(0)!r}))^2 ),"
+            f"  x*({_cv(0)!r}) + y*({_cv(1)!r}) + z*({_cv(2)!r}))), 9) AS sep "
+            "FROM sky WHERE o_orderkey <= 2000"
+        ),
+        # minhash_dedup / simhash_dedup / ann_lsh / ann_ivf / embed_dedup /
+        # fingerprint: hash/quantizer-family specific, not SQL-expressible;
+        # driver records rows-only checks for these.
     }

@@ -88,6 +88,7 @@ class Constraints:
     colname: str = ""
     mode: int = HTM
     level: int = 7
+    encoding: int = DECIMAL
     xcol: str = "x"
     ycol: str = "y"
     zcol: str = "z"
@@ -109,6 +110,11 @@ class Constraints:
         col = F.col(self.colname)
         pred = None
         for lo, hi in self.ranges:
+            if self.encoding == BASE4 and self.mode == HTM:
+                # the column holds legacy spt_ind digits; idtodec is
+                # monotone for same-level ids so range bounds map directly
+                lo = int(htm_idtodec(np.array([lo], dtype=np.int64))[0])
+                hi = int(htm_idtodec(np.array([hi], dtype=np.int64))[0])
             p = (col == lo) if lo == hi else col.between(lo, hi)
             pred = p if pred is None else (pred | p)
         if pred is None:
@@ -165,7 +171,7 @@ class SpatialIndex:
         """sptConeSearch (sptQueryLib.c:14-586)."""
         colname, encoding = self._resolve(mode, level, colname, encoding)
         c = Constraints(status=0, colname=colname, mode=mode, level=level,
-                        xcol=xcol, ycol=ycol, zcol=zcol)
+                        encoding=encoding, xcol=xcol, ycol=ycol, zcol=zcol)
         if level > MAX_LEVEL:
             c.status = 1
             c.error_message = ("Indexing level cannot be greater than 20 "
@@ -203,7 +209,7 @@ class SpatialIndex:
         vertex lists (>= 3 vertices, convex)."""
         colname, encoding = self._resolve(mode, level, colname, encoding)
         c = Constraints(status=0, colname=colname, mode=mode, level=level,
-                        xcol=xcol, ycol=ycol, zcol=zcol)
+                        encoding=encoding, xcol=xcol, ycol=ycol, zcol=zcol)
         if level > MAX_LEVEL:
             c.status = 1
             c.error_message = ("Indexing level cannot be greater than 20 "
@@ -222,15 +228,21 @@ class SpatialIndex:
             verts = [sc_to_v3(ra[i], dec[i]) for i in range(len(ra))]
             poly = SphericalPolygon(verts)
             ranges = htm_polygon_ranges(poly, level)
+            exec_ranges = ranges
         else:
+            # string parity keeps the reference's (buggy for large polygons)
+            # bounding circle; the engine's executable predicate uses the
+            # corrected superset covering (see hpx_polygon_ranges docstring)
             ranges = hpx_polygon_ranges(level, ra, dec)
+            exec_ranges = hpx_polygon_ranges(level, ra, dec, exact_circle=True)
         if not ranges:
             c.status = 1
             c.error_message = "No ranges found."
             return c if as_constraints else c.as_dict()
         if compress:
             ranges = compress_gaps(ranges)
-        c.ranges = ranges
+            exec_ranges = compress_gaps(exec_ranges)
+        c.ranges = exec_ranges
         c.index_constraint = _render_index_constraint(
             ranges, colname, encoding if mode == HTM else DECIMAL,
             hpx_poly_quirk=(mode == HPX))

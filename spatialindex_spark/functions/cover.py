@@ -368,8 +368,18 @@ def polygon_normals(ra: list[float], dec: list[float]) -> list[V3]:
     return normals
 
 
-def hpx_polygon_ranges(omax: int, ra: list[float], dec: list[float]) -> list[list[int]]:
-    """hpxPolygonSearch (sptQueryLib.c:1633-2090)."""
+def hpx_polygon_ranges(omax: int, ra: list[float], dec: list[float],
+                       exact_circle: bool = False) -> list[list[int]]:
+    """hpxPolygonSearch (sptQueryLib.c:1633-2090).
+
+    ``exact_circle=False`` reproduces the reference bit-for-bit, INCLUDING
+    a defect observed in this sandbox: hpxBoundingCircle/hpxGetCircle
+    (sptQueryLib.c:2295-2320) can return a circle smaller than the polygon
+    for large polygons, so the zone-0 pre-reject drops member cells (a
+    30x25-degree quad loses 65 of 196 true rows). ``exact_circle=True``
+    replaces it with a valid enclosing circle (centroid + min vertex dot),
+    making the covering a true superset; constraint-STRING parity tests use
+    False, the engine's executable predicates use True."""
     npoly = len(ra)
     dtr = RAD_PER_DEG
     poly = [
@@ -382,7 +392,12 @@ def hpx_polygon_ranges(omax: int, ra: list[float], dec: list[float]) -> list[lis
     ]
     normals = polygon_normals(ra, dec)
 
-    center, cosrad = _bounding_circle(poly)
+    if exact_circle:
+        c = V3(sum(p.x for p in poly), sum(p.y for p in poly), sum(p.z for p in poly))
+        center = v_normalize(c)
+        cosrad = min(v_dot(center, p) for p in poly)
+    else:
+        center, cosrad = _bounding_circle(poly)
     rcenter = math.acos(cosrad)
 
     dr = [0.0] * (omax + 1)

@@ -69,22 +69,35 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
 
 def region_join(points: DataFrame, regions: list[dict], level: int = 7,
                 mode: int = SpatialIndex.HTM, cell_col: str = "spt_ind",
-                xcol: str = "x", ycol: str = "y", zcol: str = "z") -> DataFrame:
+                xcol: str = "x", ycol: str = "y", zcol: str = "z",
+                preplanned=None) -> DataFrame:
     """Assign every point to every region containing it.
 
     Plan: broadcast range-join on the cell covering (coarse superset) then
     exact per-region geometry. Output = points columns + region_id.
+    ``preplanned`` accepts a cached (ranges_df, geoms) pair from
+    region_ranges_df so repeated joins skip the driver-side covering work.
     """
     spark = points.sparkSession
     anchor_shift = 8
-    ranges, geoms = region_ranges_df(spark, regions, level, mode, anchor_shift)
+    if preplanned is not None:
+        ranges, geoms = preplanned
+    else:
+        ranges, geoms = region_ranges_df(spark, regions, level, mode, anchor_shift)
 
+    # coalesce makes the cell key non-null so Catalyst's inferred
+    # isnotnull(join key) filter constant-folds — without it the filter is
+    # pushed below the join and the cell-assignment Arrow UDF is evaluated
+    # a SECOND time with fully-inlined (unshared) argument expressions,
+    # tripling stage cost (observed via explain("formatted")).
+    cell = F.coalesce(F.col(cell_col), F.lit(-1))
     cand = (
-        points.withColumn("_anchor", F.shiftright(F.col(cell_col), anchor_shift))
+        points.withColumn("_cell", cell)
+        .withColumn("_anchor", F.shiftright(F.col("_cell"), anchor_shift))
         .join(F.broadcast(ranges), F.col("_anchor") == F.col("anchor"), "inner")
-        .filter((F.col(cell_col) >= F.col("cell_lo"))
-                & (F.col(cell_col) <= F.col("cell_hi")))
-        .drop("cell_lo", "cell_hi", "anchor", "_anchor")
+        .filter((F.col("_cell") >= F.col("cell_lo"))
+                & (F.col("_cell") <= F.col("cell_hi")))
+        .drop("cell_lo", "cell_hi", "anchor", "_anchor", "_cell")
     )
 
     # exact geometry as a broadcast per-region array of half-space rows

@@ -41,9 +41,14 @@ def get_session(app: str = "spatialindex-spark", cores: int | str = "*",
     os.environ.setdefault("PYTHONPATH", REPO_ROOT)
     if REPO_ROOT not in os.environ.get("PYTHONPATH", ""):
         os.environ["PYTHONPATH"] = REPO_ROOT + os.pathsep + os.environ["PYTHONPATH"]
+    # local mode runs executors inside the driver JVM: size the heap for the
+    # host (default 1g OOMs on multi-GB image-table writes at 32 threads)
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
     b = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

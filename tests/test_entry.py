@@ -47,7 +47,8 @@ def test_queries_have_oracles_or_are_documented():
     assert set(oracles) <= set(qs)
     # every non-oracled query is one of the documented hash-family ops
     assert set(qs) - set(oracles) == {
-        "minhash_dedup", "simhash_dedup", "ann_lsh", "fingerprint"}
+        "minhash_dedup", "simhash_dedup", "ann_lsh", "ann_ivf",
+        "embed_dedup", "fingerprint"}
 
 
 @pytest.mark.parametrize("name", SUBSET)
