@@ -102,6 +102,12 @@ def hpx_id(order: int, ra: np.ndarray, dec: np.ndarray) -> np.ndarray:
     """
     ra = np.asarray(ra, dtype=np.float64)
     dec = np.asarray(dec, dtype=np.float64)
+    if ra.ndim == 1 and len(ra) > 4096:
+        from .native import hpx_id_native
+
+        nat = hpx_id_native(order, ra, dec)
+        if nat is not None:
+            return nat
     nside = np.int64(1) << order
     dtr = PI / 180.0
 

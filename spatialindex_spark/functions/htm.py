@@ -113,6 +113,13 @@ def htm_id(x: np.ndarray, y: np.ndarray, z: np.ndarray, level: int) -> np.ndarra
     z = np.asarray(z, dtype=np.float64)
     if level < 0 or level > HTM_MAX_LEVEL:
         raise ValueError(f"level must be in [0, {HTM_MAX_LEVEL}]")
+    # native batch kernel (bit-identical, ~3.5x faster and CPU-bound rather
+    # than bandwidth-bound); numpy blocks below are the portable fallback
+    from .native import htm_id_native
+
+    nat = htm_id_native(x, y, z, level)
+    if nat is not None:
+        return nat
     n = len(x)
     if n > _HTM_CHUNK:
         out = np.empty(n, dtype=np.int64)

@@ -1,0 +1,109 @@
+"""ctypes loader for the optional native batch kernels.
+
+Compiles spt_kernels.c once per host with the system C compiler (plain
+``-O2``, no FMA contraction, so float64 results are bit-identical to the
+numpy kernels and therefore to the reference). Falls back silently to the
+numpy implementations when no compiler is available — callers use
+``native.htm_id_batch is not None`` style checks via the accessors in
+htm.py / healpix.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "spt_kernels.c")
+
+_lib = None
+_tried = False
+
+
+def _build_dir() -> str:
+    d = os.environ.get("SPT_NATIVE_DIR") or os.path.join(
+        tempfile.gettempdir(), "spt_native")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def get_lib():
+    """The loaded shared library, or None if unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    try:
+        so = os.path.join(_build_dir(), "spt_kernels.so")
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(_SRC)):
+            tmp = so + f".{os.getpid()}.tmp"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC, "-lm"],
+                check=True, capture_output=True, timeout=120)
+            os.replace(tmp, so)  # atomic: concurrent workers race safely
+        lib = ctypes.CDLL(so)
+        i64 = ctypes.c_int64
+        pd = ctypes.POINTER(ctypes.c_double)
+        pl = ctypes.POINTER(ctypes.c_int64)
+        lib.htm_id_batch.argtypes = [pd, pd, pd, i64, ctypes.c_int, pl]
+        lib.hpx_id_batch.argtypes = [pd, pd, i64, ctypes.c_int, pl]
+        lib.radec_to_xyz_batch.argtypes = [pd, pd, i64, pd, pd, pd]
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def htm_id_native(x, y, z, level: int):
+    """numpy in/out wrapper; returns None when the native lib is absent."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.ascontiguousarray(y, dtype=np.float64)
+    z = np.ascontiguousarray(z, dtype=np.float64)
+    out = np.empty(len(x), dtype=np.int64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    pl = ctypes.POINTER(ctypes.c_int64)
+    lib.htm_id_batch(x.ctypes.data_as(pd), y.ctypes.data_as(pd),
+                     z.ctypes.data_as(pd), len(x), level,
+                     out.ctypes.data_as(pl))
+    return out
+
+
+def hpx_id_native(order: int, ra, dec):
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ra = np.ascontiguousarray(ra, dtype=np.float64)
+    dec = np.ascontiguousarray(dec, dtype=np.float64)
+    out = np.empty(len(ra), dtype=np.int64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    pl = ctypes.POINTER(ctypes.c_int64)
+    lib.hpx_id_batch(ra.ctypes.data_as(pd), dec.ctypes.data_as(pd),
+                     len(ra), order, out.ctypes.data_as(pl))
+    return out
+
+
+def radec_to_xyz_native(ra, dec):
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    ra = np.ascontiguousarray(ra, dtype=np.float64)
+    dec = np.ascontiguousarray(dec, dtype=np.float64)
+    n = len(ra)
+    xs = np.empty(n); ys = np.empty(n); zs = np.empty(n)
+    pd = ctypes.POINTER(ctypes.c_double)
+    lib.radec_to_xyz_batch(ra.ctypes.data_as(pd), dec.ctypes.data_as(pd), n,
+                           xs.ctypes.data_as(pd), ys.ctypes.data_as(pd),
+                           zs.ctypes.data_as(pd))
+    return xs, ys, zs

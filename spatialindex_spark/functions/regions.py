@@ -350,22 +350,27 @@ def convex_hull(points: list[V3]) -> SphericalPolygon:
     ang = [math.atan2(v_dot(p, east), v_dot(p, north)) for p in points]
     order = sorted(range(len(points)), key=lambda i: ang[i])
     pts = [points[i] for i in order]
-    # Graham-like chain on the sphere: drop points inside the turn
-    hull: list[V3] = []
-    for p in pts + pts[:2]:
-        while len(hull) >= 2 and v_dot(v_rcross(hull[-2], hull[-1]), p) < 0.0:
-            hull.pop()
-        hull.append(p)
-    # unwrap the doubled tail
-    out = []
-    seen = set()
-    for p in hull:
-        key = (p.x, p.y, p.z)
-        if key in seen:
-            continue
-        seen.add(key)
-        out.append(p)
-    return SphericalPolygon(out)
+    # orient the chain CCW (the angle sort may come out clockwise)
+    m = len(pts)
+    neg = sum(1 for i in range(m)
+              if v_dot(v_rcross(pts[(i - 1) % m], pts[i]), pts[(i + 1) % m]) < 0.0)
+    if neg > m // 2:
+        pts.reverse()
+    # angle-sorted circular chain; iteratively remove reflex vertices until
+    # every turn is convex (CCW) — converges for hemispherical point sets
+    changed = True
+    while changed and len(pts) >= 3:
+        changed = False
+        keep: list[V3] = []
+        m = len(pts)
+        for i in range(m):
+            a, b, c = pts[(i - 1) % m], pts[i], pts[(i + 1) % m]
+            if v_dot(v_rcross(a, b), c) < 0.0:
+                changed = True  # b is inside edge (a, c): drop it
+            else:
+                keep.append(b)
+        pts = keep
+    return SphericalPolygon(pts)
 
 
 def convex(points: list[V3]) -> int:

@@ -26,6 +26,8 @@ def stream_cell_counts(stream: DataFrame, level: int = 7,
     (parquet/memory) accumulates (window, cell, count) rows that compact
     into the cell-counts table."""
     cells = stream.withColumn("spt_ind", hpx_udf(level)(F.col(ra_col), F.col(dec_col)))
+    # parquet TIMESTAMP_NTZ is not a valid event-time type; normalize
+    cells = cells.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         cells.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"), F.col("spt_ind"))

@@ -1,0 +1,149 @@
+"""Property tests for extended region geometry (regions.py) and streaming."""
+
+import math
+
+import numpy as np
+import pytest
+
+from spatialindex_spark.functions.geometry import (
+    RAD_PER_DEG,
+    sc_to_v3,
+    v_dot,
+)
+from spatialindex_spark.functions.htm import htm_id
+from spatialindex_spark.functions.regions import (
+    SphericalEllipse,
+    convex,
+    convex_hull,
+    htm_ellipse_ranges,
+    poly_area,
+    poly_box,
+    poly_line,
+    poly_ngon,
+    poly_pad,
+    v3_ne,
+    v3_rot,
+)
+
+
+def test_ne_basis_orthonormal():
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        v = sc_to_v3(rng.uniform(0, 360), rng.uniform(-89, 89))
+        n, e = v3_ne(v)
+        assert abs(v_dot(n, e)) < 1e-12
+        assert abs(v_dot(n, v)) < 1e-12
+        assert abs(v_dot(e, v)) < 1e-12
+
+
+def test_rot_preserves_angle():
+    v = sc_to_v3(10.0, 20.0)
+    k = sc_to_v3(10.0, 80.0)
+    r = v3_rot(v, k, 25.0)
+    assert abs(v_dot(r, k) - v_dot(v, k)) < 1e-9
+
+
+def test_box_contains_center_and_area():
+    cen = sc_to_v3(120.0, 30.0)
+    box = poly_box(cen, 4.0, 2.0, 0.0)
+    assert box.contains(cen)
+    # area ~ w*h*cos(dec) steradians-ish; just sanity bounds
+    a = poly_area(box)
+    expect = (4.0 * RAD_PER_DEG) * (2.0 * RAD_PER_DEG)
+    assert 0.5 * expect < a < 2.0 * expect
+
+
+def test_ngon_inscribed_in_circle():
+    cen = sc_to_v3(200.0, -45.0)
+    poly = poly_ngon(cen, 3.0, 8)
+    cosr = math.cos(3.0 * RAD_PER_DEG)
+    for v in poly.verts:
+        assert abs(v_dot(v, cen) - cosr) < 1e-12
+    assert poly.contains(cen)
+
+
+def test_line_corridor_contains_midpoint():
+    v1 = sc_to_v3(10.0, 0.0)
+    v2 = sc_to_v3(20.0, 5.0)
+    cor = poly_line(v1, v2, 1.0)
+    mid = sc_to_v3(15.0, 2.5)
+    assert cor.contains(mid)
+    assert not cor.contains(sc_to_v3(15.0, 10.0))
+
+
+def test_pad_grows_polygon():
+    cen = sc_to_v3(50.0, 10.0)
+    box = poly_box(cen, 2.0, 2.0, 0.0)
+    padded = poly_pad(box, 0.5)
+    # a point just outside the box but within the pad margin
+    p = sc_to_v3(50.0, 11.3)
+    assert not box.contains(p)
+    assert padded.contains(p)
+    assert poly_area(padded) > poly_area(box)
+
+
+def test_convex_hull_contains_inputs():
+    rng = np.random.default_rng(3)
+    pts = [sc_to_v3(100 + rng.uniform(0, 10), 20 + rng.uniform(0, 10))
+           for _ in range(20)]
+    hull = convex_hull(pts)
+    for p in pts:
+        assert hull.contains(p) or any(
+            abs(v_dot(p, e)) < 1e-12 for e in hull.edges)
+
+
+def test_convex_orientation():
+    ccw = [sc_to_v3(0, 0), sc_to_v3(5, 0), sc_to_v3(5, 5), sc_to_v3(0, 5)]
+    assert convex(ccw) != 0
+    bowtie = [sc_to_v3(0, 0), sc_to_v3(5, 5), sc_to_v3(5, 0), sc_to_v3(0, 5)]
+    assert convex(bowtie) == 0
+
+
+def test_ellipse_covering_superset():
+    """Every point inside the ellipse lies in a covered cell."""
+    ell = SphericalEllipse.from_center(sc_to_v3(200.0, 10.0), 8.0, 4.0, 30.0)
+    ranges = np.array(htm_ellipse_ranges(ell, 7))
+    rng = np.random.default_rng(5)
+    ra = 200.0 + rng.uniform(-12, 12, 3000)
+    dec = 10.0 + rng.uniform(-12, 12, 3000)
+    from spatialindex_spark.functions.geometry import radec_to_xyz
+
+    x, y, z = radec_to_xyz(ra, dec)
+    inside = ell.contains_cols(x, y, z)
+    cells = htm_id(x[inside], y[inside], z[inside], 7)
+    for c in cells:
+        assert ((ranges[:, 0] <= c) & (c <= ranges[:, 1])).any()
+
+
+def test_ellipse_foci_definition():
+    f1 = sc_to_v3(100.0, 20.0)
+    f2 = sc_to_v3(104.0, 20.0)
+    ell = SphericalEllipse.from_foci(f1, f2, 3.0)
+    # center of segment must be inside; a far point outside
+    assert ell.contains(sc_to_v3(102.0, 20.0))
+    assert not ell.contains(sc_to_v3(102.0, 28.0))
+
+
+def test_streaming_cell_counts(spark, tmp_path):
+    """Structured Streaming per-cell counts over a file stream."""
+    import time
+
+    from pyspark.sql import functions as F
+    from spatialindex_spark.streaming.ingest import start_to_memory, stream_cell_counts
+
+    src = str(tmp_path / "events_in")
+    (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+     .withColumn("ra", (F.col("event_id") * F.lit(0.618034)) % 360)
+     .withColumn("dec", F.degrees(F.asin(2 * ((F.col("user_id") * F.lit(0.381966)) % 1) - 1)))
+     .write.parquet(src))
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    counts = stream_cell_counts(stream, level=4)
+    q = start_to_memory(counts, "t_cells")
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT sum(cnt) AS n FROM t_cells").collect()[0]["n"]
+        assert got == 1000
+    finally:
+        q.stop()
