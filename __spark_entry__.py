@@ -399,8 +399,8 @@ def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.min("s2_7") >= 0).cast("int").alias("s2_min_ok"),
         (F.max("s2_7") < 6 * (4 ** 7)).cast("int").alias("s2_max_ok"),
-        (F.count(F.when(F.col("h3_7") >> 56 == 7, 1)) == F.count(F.lit(1)))
-        .cast("int").alias("h3_res_ok"),
+        (F.count(F.when(F.shiftright(F.col("h3_7"), 56) == 7, 1))
+         == F.count(F.lit(1))).cast("int").alias("h3_res_ok"),
     )
 
 

@@ -194,6 +194,10 @@ def edgedist2(v: V3, v1: V3, v2: V3, e: V3) -> float:
             y = x * x
             return x + (0.25 * y + 0.125 * x * y)
         y = 1.0 - math.sqrt(1.0 - x)
+        if y == 1.0:
+            # C computes 0/0 = NaN here; NaN <= dist2 is false in both
+            # languages, so the edge reads as "far" either way
+            return float("nan")
         return (x - y * y) / (1 - y)
     else:
         d1 = v_dist2(v, v1)

@@ -52,14 +52,29 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
             c = si.cone_search(r["ra"], r["dec"], r["radius"], mode=mode,
                                level=level, encoding=0,
                                colname="spt_ind", as_constraints=True)
+            geom = c.geom
+            ranges = c.ranges
+        elif r["kind"] == "ellipse":
+            # ellipse regions: HTM covering + quadratic-form exact test
+            from ..functions.regions import SphericalEllipse, htm_ellipse_ranges
+            from ..functions.geometry import sc_to_v3
+
+            ell = SphericalEllipse.from_center(
+                sc_to_v3(r["ra"], r["dec"]), r["a"], r["b"],
+                r.get("angle", 0.0))
+            ranges = htm_ellipse_ranges(ell, level)
+            geom = {"ellipse": ell}
+            c = None
         else:
             c = si.polygon_search(r["ra"], r["dec"], mode=mode, level=level,
                                   encoding=0, colname="spt_ind",
                                   as_constraints=True)
-        if c.status:
+            geom = c.geom
+            ranges = c.ranges
+        if c is not None and c.status:
             raise ValueError(f"region {r['region_id']}: {c.error_message}")
-        geoms[r["region_id"]] = c.geom
-        for lo, hi in c.ranges:
+        geoms[r["region_id"]] = geom
+        for lo, hi in ranges:
             for anchor in range(lo >> anchor_shift, (hi >> anchor_shift) + 1):
                 rows.append((r["region_id"], lo, hi, anchor))
     df = spark.createDataFrame(
@@ -104,24 +119,40 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
     # [nx, ny, nz, thresh]; a point is inside iff every row's dot >= thresh
     # (cone = one row with thresh=cos r; polygon = one row per edge, thresh=0).
     # Evaluated shuffle-free with F.forall — pure JVM Column math.
+    # half-space geometries (cone: one plane w/ thresh; polygon: edges) plus
+    # an optional quadratic form row [xx,yy,zz,xy,xz,yz,cx,cy,cz] for
+    # ellipse regions — all still pure JVM Column math.
     geom_rows = []
     for rid, g in geoms.items():
         if "cone" in g:
             cx, cy, cz, cosr = g["cone"]
-            planes = [[cx, cy, cz, cosr]]
+            geom_rows.append((rid, [[cx, cy, cz, cosr]], None))
+        elif "ellipse" in g:
+            e = g["ellipse"]
+            geom_rows.append((rid, [],
+                              [e.xx, e.yy, e.zz, e.xy, e.xz, e.yz,
+                               e.cen.x, e.cen.y, e.cen.z]))
         else:
             planes = [[nx, ny, nz, 0.0] for nx, ny, nz in g["poly_normals"]]
-        geom_rows.append((rid, planes))
-    gdf = spark.createDataFrame(geom_rows, "region_id long, planes array<array<double>>")
+            geom_rows.append((rid, planes, None))
+    gdf = spark.createDataFrame(
+        geom_rows,
+        "region_id long, planes array<array<double>>, quad array<double>")
 
-    inside = F.forall(
+    x, y, z = F.col(xcol), F.col(ycol), F.col(zcol)
+    planes_ok = F.forall(
         F.col("planes"),
-        lambda p: F.col(xcol) * p[0] + F.col(ycol) * p[1] + F.col(zcol) * p[2] >= p[3],
+        lambda p: x * p[0] + y * p[1] + z * p[2] >= p[3],
     )
+    q = F.col("quad")
+    quad_ok = F.when(q.isNull(), F.lit(True)).otherwise(
+        (x * q[6] + y * q[7] + z * q[8] >= 0)
+        & (q[0] * x * x + q[1] * y * y + q[2] * z * z
+           + 2 * q[3] * x * y + 2 * q[4] * x * z + 2 * q[5] * y * z <= 0))
     return (
         cand.join(F.broadcast(gdf), "region_id")
-        .filter(inside)
-        .drop("planes")
+        .filter(planes_ok & quad_ok)
+        .drop("planes", "quad")
     )
 
 

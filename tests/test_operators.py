@@ -254,3 +254,29 @@ def test_salting(spark, small_images):
     j = big2.join(small2, key).select("image_id", "tag")
     plain = small_images.join(small, "spt_ind").select("image_id", "tag")
     assert j.count() == plain.count()
+
+
+def test_region_join_ellipse(spark, small_images):
+    from spatialindex_spark.operators.joins import region_join
+    from spatialindex_spark.functions.regions import SphericalEllipse
+    from spatialindex_spark.functions.geometry import sc_to_v3
+
+    regions = [{"region_id": 9, "kind": "ellipse", "ra": 129.4, "dec": 43.7,
+                "a": 5.0, "b": 2.5, "angle": 20.0}]
+    got = region_join(small_images, regions, level=7) \
+        .select("image_id").toPandas()
+    ell = SphericalEllipse.from_center(sc_to_v3(129.4, 43.7), 5.0, 2.5, 20.0)
+    pts = small_images.select("image_id", "x", "y", "z").toPandas()
+    inside = ell.contains_cols(pts.x.values, pts.y.values, pts.z.values)
+    assert set(got.image_id) == set(pts.image_id[inside])
+
+
+def test_cell_equijoin(spark, small_images):
+    from spatialindex_spark.operators.joins import cell_equijoin
+
+    a = small_images.select(F.col("image_id").alias("ia"), "spt_ind")
+    b = small_images.select(F.col("image_id").alias("ib"), "spt_ind")
+    j = cell_equijoin(a, b, level_from=7, level_to=4)
+    # self-pairs must all be present (same cell -> same level-4 prefix)
+    n_self = j.filter(F.col("ia") == F.col("ib")).count()
+    assert n_self == small_images.count()
