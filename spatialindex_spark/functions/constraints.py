@@ -104,9 +104,9 @@ class Constraints:
         }
 
     # ---- Spark Column builders -------------------------------------------
-    def index_column(self, F=None):
+    def index_column(self):
         """Cell-range predicate as a Catalyst Column (pushes to parquet)."""
-        from pyspark.sql import functions as F  # noqa: F811
+        from pyspark.sql import functions as F
         col = F.col(self.colname)
         pred = None
         for lo, hi in self.ranges:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..functions.constraints import SpatialIndex
 from ..functions.geometry import RAD_PER_DEG
-from ..functions.healpix import max_pix_rad, nest2xyf, xyf2nest
+from ..functions.healpix import max_pix_rad
 
 
 # ---------------------------------------------------------------------------
@@ -204,8 +204,14 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
     @pandas_udf("array<long>")
     def cells_with_neighbors(ra: pd.Series, dec: pd.Series) -> pd.Series:
         pix = _hpx(lvl, ra.values, dec.values)
-        nb = _hpx_neighbors(lvl, pix)
-        return pd.Series([np.unique(row[row >= 0]).tolist() for row in nb])
+        nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
+        # row-wise dedup without a per-row unique() call: mask repeats in the
+        # sorted rows, then split the kept values by per-row counts
+        keep = np.ones(nb.shape, dtype=bool)
+        keep[:, 1:] = nb[:, 1:] != nb[:, :-1]
+        counts = keep.sum(axis=1)
+        flat = nb[keep]
+        return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
 
     lr, ld = left_cols
     rr, rd = right_cols

@@ -63,17 +63,10 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     @pandas_udf("array<long>")
     def ring_cells_udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
         pix = hpx_id(lvl, ra.values, dec.values)
-        cells = pix[:, None]
+        cells = [np.atleast_1d(p) for p in pix]
         for _ in range(rg):
-            out = []
-            for row in cells:
-                nb = _hpx_neighbors(lvl, np.unique(row))
-                out.append(np.unique(nb))
-            # pad to rectangular by unique-per-row lists
-            cells = out
-        if isinstance(cells, np.ndarray):
-            return pd.Series([np.unique(r).tolist() for r in cells])
-        return pd.Series([np.asarray(r).tolist() for r in cells])
+            cells = [np.unique(_hpx_neighbors(lvl, row)) for row in cells]
+        return pd.Series([row[row >= 0].tolist() for row in cells])
 
     @pandas_udf("long")
     def cell_udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
