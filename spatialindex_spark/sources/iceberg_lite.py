@@ -127,18 +127,23 @@ class IcebergLiteTable:
                  .write.mode("append").partitionBy("bucket")
                  .parquet(self.data_dir))
             # lineage metrics per bucket, from what actually landed on disk
-            stats = (
-                part.sparkSession.read.parquet(self.data_dir)
-                .filter(F.col("bucket").isin(group))
-                .groupBy("bucket")
-                .agg(
-                    F.count(F.lit(1)).alias("row_count"),
-                    F.min(self.cell_col).alias("cell_min"),
-                    F.max(self.cell_col).alias("cell_max"),
-                    F.sum(F.crc32(F.col(self.cell_col).cast("string"))).alias("checksum"),
+            # (a group whose buckets hold no rows writes no files at all)
+            has_data = os.path.isdir(self.data_dir) and any(
+                d.startswith("bucket=") for d in os.listdir(self.data_dir))
+            stats = []
+            if has_data:
+                stats = (
+                    part.sparkSession.read.parquet(self.data_dir)
+                    .filter(F.col("bucket").isin(group))
+                    .groupBy("bucket")
+                    .agg(
+                        F.count(F.lit(1)).alias("row_count"),
+                        F.min(self.cell_col).alias("cell_min"),
+                        F.max(self.cell_col).alias("cell_max"),
+                        F.sum(F.crc32(F.col(self.cell_col).cast("string"))).alias("checksum"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
             seen = {r["bucket"] for r in stats}
             rows = [
                 {

@@ -280,3 +280,30 @@ def test_cell_equijoin(spark, small_images):
     # self-pairs must all be present (same cell -> same level-4 prefix)
     n_self = j.filter(F.col("ia") == F.col("ib")).count()
     assert n_self == small_images.count()
+
+
+def test_resumable_tile_assignment(spark, small_images, tmp_path):
+    """North rule: tile assignment resumes from checkpoint after a crash and
+    the resumed output equals a one-shot run (no duplicates, no gaps)."""
+    from spatialindex_spark.operators.tiles import resumable_tile_assignment
+
+    tiles = [{"tile_id": 1, "center_ra": 129.4, "center_dec": 43.7,
+              "width_deg": 6.0, "height_deg": 6.0},
+             {"tile_id": 2, "center_ra": 34.0, "center_dec": 45.0,
+              "width_deg": 6.0, "height_deg": 6.0}]
+    p1 = str(tmp_path / "resumed")
+    with pytest.raises(RuntimeError):
+        resumable_tile_assignment(small_images, tiles, p1, group_size=4,
+                                  fail_after_groups=1)
+    snap1 = resumable_tile_assignment(small_images, tiles, p1, group_size=4)
+
+    p2 = str(tmp_path / "oneshot")
+    snap2 = resumable_tile_assignment(small_images, tiles, p2, group_size=4)
+    assert snap1["total_rows"] == snap2["total_rows"] > 0
+
+    a = spark.read.parquet(p1 + "/data").select("tile_id", "image_id").toPandas()
+    b = spark.read.parquet(p2 + "/data").select("tile_id", "image_id").toPandas()
+    assert sorted(map(tuple, a.values.tolist())) == sorted(map(tuple, b.values.tolist()))
+    # re-running a completed job is a no-op (all buckets committed)
+    snap3 = resumable_tile_assignment(small_images, tiles, p1, group_size=4)
+    assert snap3["total_rows"] == snap1["total_rows"]
