@@ -1,1 +1,1 @@
-from .session import get_session, cluster_by_cell  # noqa: F401
+from .session import cluster_by_cell, get_session, write_clustered  # noqa: F401

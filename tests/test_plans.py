@@ -1,0 +1,89 @@
+"""Physical-plan discipline tests: the optimizations the engine depends on
+at 100 TB must be visible in explain() output, not assumed.
+
+- region joins broadcast the (small) covering side as a HASH join — never a
+  BroadcastNestedLoopJoin (the naive BETWEEN-range join plan).
+- cell predicates reach the parquet scan as PushedFilters, so row-group
+  min/max statistics prune on the spt_ind clustering key.
+- the ingest stage contains exactly ONE ArrowEvalPython (a Catalyst
+  isnotnull pushdown used to duplicate it).
+"""
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_region_join_is_broadcast_hash(spark):
+    from spatialindex_spark.operators.joins import region_join
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    img = synth_images_indexed(spark, 500, level=7, systems=("htm",))
+    regions = [{"region_id": 1, "kind": "cone", "ra": 10.0, "dec": 10.0,
+                "radius": 5.0}]
+    plan = _plan(region_join(img, regions, level=7))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan  # big side must not shuffle
+
+
+def test_single_arrow_eval_in_ingest(spark):
+    from spatialindex_spark.functions.udfs import with_spatial_columns
+    from spatialindex_spark.operators.joins import region_join
+
+    base = (spark.range(0, 1000)
+            .withColumn("ra", (F.col("id") * F.lit(0.618034)) % 360)
+            .withColumn("dec", F.degrees(F.asin(
+                2 * ((F.col("id") * F.lit(0.381966)) % 1) - 1))))
+    pts = with_spatial_columns(base, level=7, systems=("htm",))
+    regions = [{"region_id": 1, "kind": "cone", "ra": 10.0, "dec": 10.0,
+                "radius": 5.0}]
+    plan = _plan(region_join(pts, regions, level=7))
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+
+
+def test_cell_filter_pushdown_to_parquet(spark, tmp_path):
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.plans import write_clustered
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    p = str(tmp_path / "tab")
+    img = synth_images_indexed(spark, 2000, level=7, systems=("htm",))
+    write_clustered(img.select("image_id", "ra", "dec", "x", "y", "z", "spt_ind"),
+                    p, num_partitions=4)
+    df = spark.read.parquet(p)
+    c = SpatialIndex().cone_search(129.4, 43.7, 1.0, mode=0, level=7,
+                                   encoding=0, colname="spt_ind",
+                                   as_constraints=True)
+    plan = _plan(c.filter(df))
+    i = plan.find("PushedFilters: [")
+    assert i >= 0, plan[:1500]
+    # spark truncates long filter lists; the spt_ind range conditions must
+    # appear within the pushed-filter section
+    assert "spt_ind" in plan[i:i + 300], plan[i:i + 300]
+
+
+def test_wholestage_codegen_on_geometry(spark):
+    """The exact-geometry filter must stay inside whole-stage codegen."""
+    from spatialindex_spark.functions.constraints import SpatialIndex
+
+    base = (spark.range(0, 1000)
+            .withColumn("ra", (F.col("id") * F.lit(0.618034)) % 360)
+            .withColumn("dec", F.degrees(F.asin(
+                2 * ((F.col("id") * F.lit(0.381966)) % 1) - 1))))
+    rad = F.radians
+    df = base.withColumns({
+        "x": F.cos(rad("ra")) * F.cos(rad("dec")),
+        "y": F.sin(rad("ra")) * F.cos(rad("dec")),
+        "z": F.sin(rad("dec")),
+    })
+    c = SpatialIndex().cone_search(10.0, 10.0, 5.0, mode=0, level=7,
+                                   encoding=0, colname="spt_ind",
+                                   as_constraints=True)
+    plan = _plan(df.filter(c.geom_column()))
+    # executedPlan().toString() renders codegen stages as "*(N) Filter ..."
+    assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) Filter", plan), plan
