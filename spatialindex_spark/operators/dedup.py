@@ -98,6 +98,39 @@ def simhash_udf(k: int = 5):
     return _udf
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has fewer partitions than the
+    cluster has slots, so the (expensive) signature UDF parallelizes. A
+    production-scale input already has >= parallelism partitions -> no-op,
+    no shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _bucket_pairs(stacked: DataFrame, keys: list[str], id_col: str,
+                  payload: list[str] | None = None) -> DataFrame:
+    """Ordered candidate pairs (``_a``, ``_b`` structs with ``_id`` +
+    payload) of rows sharing a bucket key — in ONE pass over ``stacked``.
+
+    A self-join on the bucket key would recompute the whole upstream plan
+    (the signature UDFs) once per side; collect_list + double explode keys
+    the shuffle identically but computes signatures exactly once. The
+    in-bucket quadratic expansion is the same either way (LSH buckets are
+    small by construction; hot buckets are a banding-parameter problem)."""
+    payload = payload or []
+    item = F.struct(F.col(id_col).alias("_id"),
+                    *[F.col(c) for c in payload])
+    buckets = (stacked.groupBy(*keys)
+               .agg(F.collect_list(item).alias("_items"))
+               .filter(F.size("_items") >= 2))
+    return (buckets
+            .select(F.explode("_items").alias("_a"), F.col("_items"))
+            .select("_a", F.explode("_items").alias("_b"))
+            .filter(F.col("_a._id") < F.col("_b._id")))
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
     """Keep one representative (min id) per exact content hash."""
@@ -137,12 +170,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       threshold: float = 0.8) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via banded minhash LSH.
 
-    rows x bands band-key rows; same-key rows self-join (shuffle on the
-    band hash, small groups), pairs deduped across bands."""
+    rows x bands band-key rows; one shuffle on the band hash groups same-key
+    rows, whose in-bucket cross product (id_a < id_b) is the candidate set;
+    pairs deduped across bands."""
     if bands is None:
         bands = pick_bands(num_perm, threshold)
     rows_per_band = num_perm // bands
-    sigs = df.select(F.col(id_col), minhash_udf(num_perm, k)(F.col(text_col)).alias("_sig"))
+    proj = _ensure_parallelism(df.select(id_col, text_col))
+    sigs = proj.select(F.col(id_col), minhash_udf(num_perm, k)(F.col(text_col)).alias("_sig"))
     band_cols = []
     for b in range(bands):
         band_cols.append(
@@ -159,12 +194,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
             for b in range(bands)
         ])).alias("_k"),
     ).select(id_col, "_k.band", "_k.bh")
-    a = stacked.select(F.col(id_col).alias("id_a"), "band", "bh")
-    b2 = stacked.select(F.col(id_col).alias("id_b"), "band", "bh")
     return (
-        a.join(b2, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        _bucket_pairs(stacked, ["band", "bh"], id_col)
+        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
         .distinct()
     )
 
@@ -208,7 +240,8 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """SimHash near-dup removal: 64-bit simhash, candidates sharing any of
     the 64/band_bits bands, verified by Hamming distance <= max_hamming."""
     nbands = 64 // band_bits
-    sh = df.select(F.col(id_col), simhash_udf(k)(F.col(text_col)).alias("_sh"))
+    proj = _ensure_parallelism(df.select(id_col, text_col))
+    sh = proj.select(F.col(id_col), simhash_udf(k)(F.col(text_col)).alias("_sh"))
     stacked = sh.select(
         id_col, "_sh",
         F.explode(F.array(*[
@@ -218,12 +251,10 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             for b in range(nbands)
         ])).alias("_k"),
     ).select(id_col, "_sh", "_k.band", "_k.bh")
-    a = stacked.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("sh_a"), "band", "bh")
-    b2 = stacked.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("sh_b"), "band", "bh")
     pairs = (
-        a.join(b2, ["band", "bh"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        _bucket_pairs(stacked, ["band", "bh"], id_col, payload=["_sh"])
+        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"),
+                F.col("_a._sh").alias("sh_a"), F.col("_b._sh").alias("sh_b"))
         .distinct()
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)

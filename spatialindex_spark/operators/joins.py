@@ -182,28 +182,35 @@ def pick_match_level(radius_deg: float, max_level: int = 20) -> int:
 def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
                level: int | None = None,
                left_cols=("ra", "dec"), right_cols=("ra", "dec"),
-               suffixes=("_l", "_r")) -> DataFrame:
+               suffixes=("_l", "_r"),
+               cell_col: str | None = None,
+               cell_level: int | None = None) -> DataFrame:
     """All pairs (l, r) with angular separation <= radius_deg (J3).
 
     Both sides get an HPX match-cell key; the *left* side additionally
     explodes into its ring-1 neighbor cells so every true pair shares a key.
     Exact haversine-free dot-product distance filters afterwards.
+
+    When the tables already carry a nested-HPX cell column (``cell_col`` at
+    ``cell_level``, the ingest-time index), the match key is derived with a
+    shiftright instead of recomputing cells — the big side stays entirely
+    JVM-side (no Arrow roundtrip), which is the difference between a
+    column projection and re-shipping 100 TB through Python. The match
+    level is capped at ``cell_level`` (coarser cells = more candidates for
+    the exact filter, never missed pairs).
     """
     if level is None:
         level = pick_match_level(radius_deg)
+    use_cell = cell_col is not None and cell_level is not None
+    if use_cell:
+        level = min(level, cell_level)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from ..functions.healpix import hpx_id as _hpx
 
     lvl = level
 
-    @pandas_udf("long")
-    def cell_of(ra: pd.Series, dec: pd.Series) -> pd.Series:
-        return pd.Series(_hpx(lvl, ra.values, dec.values))
-
-    @pandas_udf("array<long>")
-    def cells_with_neighbors(ra: pd.Series, dec: pd.Series) -> pd.Series:
-        pix = _hpx(lvl, ra.values, dec.values)
+    def _nb_lists(pix: np.ndarray) -> pd.Series:
         nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
         # row-wise dedup without a per-row unique() call: mask repeats in the
         # sorted rows, then split the kept values by per-row counts
@@ -213,13 +220,34 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
         flat = nb[keep]
         return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
 
+    @pandas_udf("long")
+    def cell_of(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        return pd.Series(_hpx(lvl, ra.values, dec.values))
+
+    @pandas_udf("array<long>")
+    def cells_with_neighbors(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        return _nb_lists(_hpx(lvl, ra.values, dec.values))
+
+    @pandas_udf("array<long>")
+    def cells_with_neighbors_from_pix(pix: pd.Series) -> pd.Series:
+        return _nb_lists(pix.values.astype(np.int64))
+
     lr, ld = left_cols
     rr, rd = right_cols
     lsel = [F.col(c).alias(c + suffixes[0]) for c in left.columns]
     rsel = [F.col(c).alias(c + suffixes[1]) for c in right.columns]
 
-    lkey = left.select(*lsel, F.explode(cells_with_neighbors(F.col(lr), F.col(ld))).alias("_mc"))
-    rkey = right.select(*rsel, cell_of(F.col(rr), F.col(rd)).alias("_mc"))
+    if use_cell:
+        shift = 2 * (cell_level - lvl)
+        lpix = F.shiftright(F.col(cell_col), shift)
+        rkey_col = F.shiftright(F.col(cell_col), shift)
+        lcells = cells_with_neighbors_from_pix(lpix)
+    else:
+        rkey_col = cell_of(F.col(rr), F.col(rd))
+        lcells = cells_with_neighbors(F.col(lr), F.col(ld))
+
+    lkey = left.select(*lsel, F.explode(lcells).alias("_mc"))
+    rkey = right.select(*rsel, rkey_col.alias("_mc"))
 
     pairs = lkey.join(rkey, "_mc").drop("_mc")
 
@@ -232,9 +260,10 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
         * F.cos(rad(F.col(lrc)) - rad(F.col(rrc)))
         + F.sin(rad(F.col(ldc))) * F.sin(rad(F.col(rdc)))
     )
-    out = pairs.filter(dot >= F.lit(cosr)).dropDuplicates(
-        [c for c in pairs.columns if c != "_mc"])
-    return out
+    # no dedup pass needed: the right side has exactly ONE cell key and the
+    # left side's ring cells are deduped per row, so each (l, r) pair can
+    # match on at most one key — the join output is already duplicate-free
+    return pairs.filter(dot >= F.lit(cosr))
 
 
 # ---------------------------------------------------------------------------

@@ -106,6 +106,15 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     # queries holding >= k candidates within the verified radius. Starved
     # queries (sparse data, or all mass far from the query) fall back to an
     # exact scan — they are few, so the cross join is tiny.
+    #
+    # pairs is consumed twice (starved check + final rank) but is tiny
+    # (queries x ring candidates); persisting it means the big data table is
+    # scanned once, not once per consumer. The operator is already eager
+    # (the starved check runs a job), so the result is materialized with
+    # localCheckpoint and the cache released before returning — repeated
+    # knn() calls must not accumulate CacheManager entries.
+    from pyspark import StorageLevel
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     vr = verified_radius_deg(level, rings)
     counts = (pairs.filter(F.col("dist_deg") <= vr)
               .groupBy(query_id).agg(F.count(F.lit(1)).alias("_n")))
@@ -114,6 +123,7 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     starved = (qmeta.join(counts, query_id, "left")
                .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
                .drop("_n"))
+    cached = pairs
     if starved.limit(1).count() > 0:
         brute = data.crossJoin(F.broadcast(starved))
         bdot = (
@@ -135,6 +145,10 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         .filter(F.col("knn_rank") <= k)
         .drop("_qra", "_qdec")
     )
+    # k x queries rows: cheap to materialize; truncating lineage here lets
+    # the pairs cache be dropped immediately instead of leaking per call
+    out = out.localCheckpoint(eager=True)
+    cached.unpersist()
     return out
 
 
