@@ -338,39 +338,133 @@ def poly_pad(poly: SphericalPolygon, r: float) -> SphericalPolygon:
     return SphericalPolygon(verts)
 
 
-def convex_hull(points: list[V3]) -> SphericalPolygon:
-    """Hemispherical convex hull (angle-sorted chain, the pattern of
-    geometry.c:1293-1440)."""
-    if len(points) < 3:
+# hull degeneracy thresholds (geometry.c:1173-1185)
+_RCROSS_N2MIN = 4.0e-16
+_SIN_MIN = 1.0e-10
+_COS_MAX = 0.999999999999999
+
+
+def convex_hull(points: list[V3], mode: str = "exact") -> SphericalPolygon:
+    """Hemispherical convex hull — spherical Graham scan with the reference's
+    vertex-selection semantics (htm_s2cpoly_hull, geometry.c:1388-1630):
+    anchor at the point furthest from the centroid, winding angles measured
+    against the centroid→anchor great-circle plane, stable sort, scan with
+    edge-plane sign tests at SIN_MIN. Input must span < 1 hemisphere.
+
+    mode="reference" reproduces the reference's closing-edge backtrack
+    verbatim — including its edge-slot arithmetic, which re-tests removed
+    vertices against a dangling edge and can WRONGLY DROP true hull vertices
+    (observed: 2 of 20 inputs excluded by the resulting polygon AND by the
+    reference binary's own covering). Fixture parity only. mode="exact"
+    (default) backtracks against the edge into the new last vertex, so the
+    hull provably contains every input."""
+    n = len(points)
+    if n < 3:
         raise ValueError("need >= 3 points")
-    cen = v_normalize(V3(sum(p.x for p in points),
-                         sum(p.y for p in points),
-                         sum(p.z for p in points)))
-    north, east = v3_ne(cen)
-    ang = [math.atan2(v_dot(p, east), v_dot(p, north)) for p in points]
-    order = sorted(range(len(points)), key=lambda i: ang[i])
-    pts = [points[i] for i in order]
-    # orient the chain CCW (the angle sort may come out clockwise)
-    m = len(pts)
-    neg = sum(1 for i in range(m)
-              if v_dot(v_rcross(pts[(i - 1) % m], pts[i]), pts[(i + 1) % m]) < 0.0)
-    if neg > m // 2:
-        pts.reverse()
-    # angle-sorted circular chain; iteratively remove reflex vertices until
-    # every turn is convex (CCW) — converges for hemispherical point sets
-    changed = True
-    while changed and len(pts) >= 3:
-        changed = False
-        keep: list[V3] = []
-        m = len(pts)
-        for i in range(m):
-            a, b, c = pts[(i - 1) % m], pts[i], pts[(i + 1) % m]
-            if v_dot(v_rcross(a, b), c) < 0.0:
-                changed = True  # b is inside edge (a, c): drop it
+    center = v_normalize(V3(sum(p.x for p in points),
+                            sum(p.y for p in points),
+                            sum(p.z for p in points)))
+    # point furthest from the centroid is on the hull
+    extremum, maxsep = 0, -1.0
+    for i, p in enumerate(points):
+        d = v_dot(v_sub(p, center), v_sub(p, center))
+        if d > maxsep:
+            extremum, maxsep = i, d
+    anchor0 = points[extremum]
+    refplane = v_rcross(center, anchor0)
+    n2 = v_dot(refplane, refplane)
+    if n2 < _RCROSS_N2MIN:
+        raise ValueError("degenerate hull: vertex too close to centroid")
+    refplane = V3(refplane.x / math.sqrt(n2), refplane.y / math.sqrt(n2),
+                  refplane.z / math.sqrt(n2))
+
+    # (winding angle, vertex), anchor first at angle 0
+    av: list[tuple[float, V3]] = [(0.0, anchor0)]
+    for i, p in enumerate(points):
+        if i == extremum:
+            continue
+        plane = v_rcross(center, p)
+        pn2 = v_dot(plane, plane)
+        if pn2 < _RCROSS_N2MIN:
+            continue  # too close to the centroid
+        s = math.sqrt(pn2)
+        plane = V3(plane.x / s, plane.y / s, plane.z / s)
+        pc = v_rcross(refplane, plane)
+        sa = v_norm(pc)
+        if v_dot(pc, center) < 0.0:
+            sa = -sa
+        angle = math.atan2(sa, v_dot(refplane, plane))
+        if angle < 0.0:
+            angle += 2.0 * math.pi
+        av.append((angle, p))
+    if len(av) < 3:
+        raise ValueError("degenerate hull: fewer than 3 distinct directions")
+    av.sort(key=lambda t: t[0])  # stable, anchor stays first at angle 0
+    verts = [t[1] for t in av]
+    nav = len(verts)
+
+    hull: list[V3] = [verts[0]]
+    edges: list[V3] = []  # edges[j] = plane from hull[j] to hull[j+1]
+    i = 1
+    while i < nav:
+        v = verts[i]
+        anchor = hull[-1]
+        p = v_rcross(anchor, v)
+        pn2 = v_dot(p, p)
+        if v_dot(anchor, v) < _COS_MAX and pn2 >= _RCROSS_N2MIN:
+            s = math.sqrt(pn2)
+            e = V3(p.x / s, p.y / s, p.z / s)
+            if len(hull) == 1:
+                edges.append(e)
+                hull.append(v)
             else:
-                keep.append(b)
-        pts = keep
-    return SphericalPolygon(pts)
+                d = v_dot(v, edges[-1])
+                if d > _SIN_MIN:
+                    edges.append(e)
+                    hull.append(v)
+                elif d < -_SIN_MIN:
+                    # backtrack: last hull vertex is interior
+                    hull.pop()
+                    edges.pop()
+                    continue  # reprocess v
+                # |d| <= SIN_MIN: coplanar with edge, skip
+        i += 1
+
+    # closing edge, with backtracking (geometry.c:1553-1571). In
+    # mode="reference" the FIRST backtrack re-tests against the edge *into
+    # the removed vertex* (slot unchanged) and the closing edge overwrites
+    # the dangling slot, reproducing the reference bug; mode="exact" pops
+    # the removed vertex's incoming edge every time.
+    v = verts[0]
+    backtracked = False
+    while True:
+        if len(hull) < 3:
+            raise ValueError("degenerate hull: fewer than 3 vertices")
+        anchor = hull[-1]
+        p = v_rcross(anchor, v)
+        pn2 = v_dot(p, p)
+        if (v_dot(anchor, v) < _COS_MAX and pn2 >= _RCROSS_N2MIN
+                and v_dot(v, edges[-1]) > _SIN_MIN):
+            s = math.sqrt(pn2)
+            closing = V3(p.x / s, p.y / s, p.z / s)
+            if backtracked and mode == "reference":
+                edges[-1] = closing
+            else:
+                edges.append(closing)
+            break
+        hull.pop()
+        if mode != "reference" or backtracked:
+            edges.pop()
+        backtracked = True
+
+    vsum = V3(sum(p.x for p in hull), sum(p.y for p in hull),
+              sum(p.z for p in hull))
+    poly = SphericalPolygon.__new__(SphericalPolygon)
+    poly.n = len(hull)
+    poly.verts = hull
+    poly.edges = edges
+    poly.vsum = vsum
+    return poly
 
 
 def convex(points: list[V3]) -> int:

@@ -147,3 +147,19 @@ def test_streaming_cell_counts(spark, tmp_path):
         assert got == 1000
     finally:
         q.stop()
+
+
+def test_convex_hull_exact_contains_all_inputs_many_seeds():
+    """mode='exact' fixes the reference's closing-backtrack bug (FIXTURES.md):
+    every input point satisfies all edge-plane constraints to fp precision."""
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        cra = rng.uniform(5, 355)
+        cdec = rng.uniform(-70, 70)
+        spread = rng.uniform(0.3, 9)
+        pts = [sc_to_v3(cra + rng.uniform(-spread, spread),
+                        cdec + rng.uniform(-spread, spread))
+               for _ in range(int(rng.integers(3, 40)))]
+        hull = convex_hull(pts)
+        for p in pts:
+            assert min(v_dot(p, e) for e in hull.edges) > -1e-9
