@@ -319,6 +319,39 @@ def _q_ellipse_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(pred).filter((dp >= 0) & (qf <= 0)).select("o_orderkey")
 
 
+HULL_PTS = [(308.0, -33.5), (312.4, -27.2), (305.9, -29.8), (314.1, -31.0),
+            (309.5, -26.4), (306.8, -34.6), (313.0, -34.1), (310.2, -30.0),
+            (307.4, -27.0), (311.7, -32.8)]
+
+
+def _hull():
+    from spatialindex_spark.functions.regions import convex_hull
+
+    return convex_hull([sc_to_v3(ra, dec) for ra, dec in HULL_PTS])
+
+
+def _q_hull_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 convex hull as a region filter: hull of a scattered point set
+    (mode='exact' — the reference's own closing-backtrack drops vertices,
+    FIXTURES.md) -> HTM covering + half-space conjunction; the oracle
+    re-evaluates the same half-spaces in SQL, so the two-phase Spark plan
+    must return exactly the geometric row set."""
+    from spatialindex_spark.functions.cover import htm_polygon_ranges
+
+    df = _orders_sky(spark, sf_dir)
+    hull = _hull()
+    pred = None
+    for lo, hi in htm_polygon_ranges(hull, 7):
+        p = F.col("htm7").between(int(lo), int(hi))
+        pred = p if pred is None else (pred | p)
+    geom = None
+    for e in hull.edges:
+        g = (F.lit(e.x) * F.col("x") + F.lit(e.y) * F.col("y")
+             + F.lit(e.z) * F.col("z")) >= 0.0
+        geom = g if geom is None else (geom & g)
+    return df.filter(pred).filter(geom).select("o_orderkey")
+
+
 def _q_polygon_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _orders_sky(spark, sf_dir)
     c = SI.polygon_search(POLY_RA, POLY_DEC, mode=SpatialIndex.HPX, level=7,
@@ -449,6 +482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
         "ellipse_htm": _q_ellipse_htm,
+        "hull_htm": _q_hull_htm,
         "polygon_hpx": _q_polygon_hpx,
         "cone_base4": _q_cone_base4,
         "count_bounds": _q_count_bounds,
@@ -614,6 +648,10 @@ def oracle_sql() -> dict[str, str]:
         "ellipse_htm": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
             + _ellipse_where()
+        ),
+        "hull_htm": (
+            f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
+            + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
         ),
         "count_bounds": "SELECT 1 AS bracket_ok",
         "cell_rollup": (

@@ -67,6 +67,28 @@ def test_cell_filter_pushdown_to_parquet(spark, tmp_path):
     assert "spt_ind" in plan[i:i + 300], plan[i:i + 300]
 
 
+def test_crossmatch_cell_col_keeps_big_side_jvm(spark):
+    """With an ingest-time cell column, the only Python eval in the
+    crossmatch plan is the tiny left side's ring-neighbor expansion — the
+    big side's join key is a shiftright projection (one ArrowEvalPython
+    total, and the same pairs as the recompute path)."""
+    from spatialindex_spark.operators.joins import crossmatch
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    img = synth_images_indexed(spark, 800, level=7, systems=("htm", "hpx"))
+    # truncate the synth lineage so the plan under test is crossmatch's own
+    data = (img.select("image_id", "ra", "dec", "hpx7")
+            .localCheckpoint(eager=True))
+    left = data.filter(F.abs(F.xxhash64("image_id")) % 20 == 0)
+    cm = crossmatch(left, data, 0.5, cell_col="hpx7", cell_level=7)
+    plan = _plan(cm)
+    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    ref = crossmatch(left.drop("hpx7"), data.drop("hpx7"), 0.5)
+    got = set(map(tuple, cm.select("image_id_l", "image_id_r").collect()))
+    want = set(map(tuple, ref.select("image_id_l", "image_id_r").collect()))
+    assert got == want
+
+
 def test_wholestage_codegen_on_geometry(spark):
     """The exact-geometry filter must stay inside whole-stage codegen."""
     from spatialindex_spark.functions.constraints import SpatialIndex
