@@ -343,6 +343,148 @@ _RCROSS_N2MIN = 4.0e-16
 _SIN_MIN = 1.0e-10
 _COS_MAX = 0.999999999999999
 
+# G6: hemispherical test (htm_v3_hemispherical, geometry.c:759-1168).
+# Feasibility of { w : p_i . w > 0 for all i }: fix w_z to +-1 and run a
+# Megiddo-style 2D LP feasibility test (median-of-intersections pruning of
+# the upper/lower constraint envelopes), then fall back to the 1D and 0D
+# axis cases.
+
+_DBL_MIN = 2.2250738585072014e-308
+_DBL_EPS = 2.220446049250313e-16
+_INF = float("inf")
+
+
+def _envelope(pairs: list[tuple[float, float]], x: float, upper: bool):
+    """(value, min slope, max slope) of the max (upper=True) or min envelope
+    of lines y = a*x + b at x (_htm_g / _htm_h)."""
+    a0, b0 = pairs[0]
+    v, amin, amax = a0 * x + b0, a0, a0
+    for a, b in pairs[1:]:
+        vi = a * x + b
+        if vi == v:
+            amin, amax = min(amin, a), max(amax, a)
+        elif (vi > v) if upper else (vi < v):
+            v, amin, amax = vi, a, a
+    return v, amin, amax
+
+
+def _prune(pairs: list[tuple[float, float]], xlo: float, xhi: float,
+           keep_larger_b: bool) -> list[float]:
+    """Pair up consecutive constraints; drop the one that is dominated over
+    (xlo, xhi), or record the intersection abscissa of a crossing pair
+    (_htm_prune_g / _htm_prune_h — keep_larger_b selects the g variant).
+    Mutates ``pairs`` in place with the reference's swap-with-last scheme."""
+    xs: list[float] = []
+    i, n = 0, len(pairs) - 1
+    while i < n:
+        a1, b1 = pairs[i]
+        a2, b2 = pairs[i + 1]
+        da = a1 - a2
+        xx = _INF if abs(da) < _DBL_MIN / _DBL_EPS else (b2 - b1) / da
+        if math.isinf(xx) or math.isnan(xx):
+            drop = (i + 1) if ((b1 > b2) == keep_larger_b) else i
+            pairs[drop] = pairs[n]
+            n -= 1
+        elif xx <= xlo:
+            drop = (i + 1) if ((a1 > a2) == keep_larger_b) else i
+            pairs[drop] = pairs[n]
+            n -= 1
+        elif xx >= xhi:
+            drop = i if ((a1 > a2) == keep_larger_b) else (i + 1)
+            pairs[drop] = pairs[n]
+            n -= 1
+        else:
+            xs.append(xx)
+            i += 2
+    del pairs[n + 1:]
+    return xs
+
+
+def _feasible_2d(points: list[V3], z: float) -> bool:
+    """Does { (x, y) : px*x + py*y + pz*z > 0 for all p } have a solution?"""
+    xlo, xhi = -_INF, _INF
+    upper: list[tuple[float, float]] = []  # y > a*x + b
+    lower: list[tuple[float, float]] = []  # y < a*x + b
+    for p in points:
+        if abs(p.y) <= _DBL_MIN:
+            if abs(p.x) <= _DBL_MIN:
+                if z * p.z <= 0.0:
+                    return False
+            else:
+                xlim = -z * p.z / p.x
+                if p.x > 0.0:
+                    xlo = max(xlo, xlim)
+                else:
+                    xhi = min(xhi, xlim)
+                if xhi <= xlo:
+                    return False
+        else:
+            coeffs = (-p.x / p.y, -z * p.z / p.y)
+            (upper if p.y > 0.0 else lower).append(coeffs)
+    if not upper or not lower:
+        return True
+    while True:
+        xs = _prune(upper, xlo, xhi, keep_larger_b=True)
+        xs += _prune(lower, xlo, xhi, keep_larger_b=False)
+        if not xs:
+            (a1, b1), (a2, b2) = upper[0], lower[0]
+            try:
+                xi = (b2 - b1) / (a1 - a2)
+            except ZeroDivisionError:
+                return b1 < b2
+            if math.isinf(xi) or math.isnan(xi):
+                return b1 < b2
+            return (xi > xlo or a1 < a2) and (xi < xhi or a1 > a2)
+        xs.sort()
+        med = xs[len(xs) >> 1]
+        g, gmin, gmax = _envelope(upper, med, upper=True)
+        h, hmin, hmax = _envelope(lower, med, upper=False)
+        if g <= h:
+            return True
+        if gmin > hmax:
+            xhi = med
+        elif gmax < hmin:
+            xlo = med
+        else:
+            return False
+
+
+def _feasible_1d(points: list[V3], y: float) -> bool:
+    xlo, xhi = -_INF, _INF
+    for p in points:
+        if abs(p.x) <= _DBL_MIN:
+            if y * p.y <= 0.0:
+                return False
+        else:
+            xlim = -y * p.y / p.x
+            if p.x > 0.0:
+                xlo = max(xlo, xlim)
+            elif xlim < xhi:
+                xhi = xlim
+            if xhi <= xlo:
+                return False
+    return True
+
+
+def hemispherical(points: list[V3]) -> bool:
+    """True iff all points fit in an OPEN hemisphere (exists w with
+    p . w > 0 for every p) — htm_v3_hemispherical."""
+    if not points:
+        raise ValueError("need >= 1 point")
+    if _feasible_2d(points, 1.0) or _feasible_2d(points, -1.0):
+        return True
+    if _feasible_1d(points, 1.0) or _feasible_1d(points, -1.0):
+        return True
+    pos = neg = False
+    for p in points:
+        if p.x > 0.0:
+            pos = True
+        elif p.x < 0.0:
+            neg = True
+        else:
+            return False
+    return not (pos and neg)
+
 
 def convex_hull(points: list[V3], mode: str = "exact") -> SphericalPolygon:
     """Hemispherical convex hull — spherical Graham scan with the reference's
@@ -361,6 +503,8 @@ def convex_hull(points: list[V3], mode: str = "exact") -> SphericalPolygon:
     n = len(points)
     if n < 3:
         raise ValueError("need >= 3 points")
+    if not hemispherical(points):
+        raise ValueError("hull input is not hemispherical")
     center = v_normalize(V3(sum(p.x for p in points),
                             sum(p.y for p in points),
                             sum(p.z for p in points)))

