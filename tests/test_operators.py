@@ -307,3 +307,26 @@ def test_resumable_tile_assignment(spark, small_images, tmp_path):
     # re-running a completed job is a no-op (all buckets committed)
     snap3 = resumable_tile_assignment(small_images, tiles, p1, group_size=4)
     assert snap3["total_rows"] == snap1["total_rows"]
+
+
+def test_ann_ivf_recall(spark):
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 16)).astype(float)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    from spatialindex_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    exact = brute_force_topk(q, df, k=3).toPandas()
+    approx = ivf_topk(q, df, k=3, dim=16, ncentroids=8, nprobe=4).toPandas()
+    for qid in range(5):
+        assert approx[(approx.query_id == qid) & (approx["rank"] == 1)].vec_id.iloc[0] == qid
+    hits = 0
+    for qid in range(5):
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        hits += len(e & a)
+    assert hits >= 10  # >= 66% recall@3 with half the lists probed
