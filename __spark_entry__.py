@@ -451,6 +451,26 @@ def _q_angsep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "sep")
 
 
+def _q_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed connected components over a deterministic pair graph
+    (dedup-cluster labeling). Edges link consecutive doc_ids whose token
+    counts fall in the same parity bucket, producing non-trivial chains;
+    the oracle computes the same components with a recursive CTE."""
+    from spatialindex_spark.operators.graph import connected_components
+    from spatialindex_spark.operators.text import with_token_count
+
+    docs = with_token_count(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), "text")
+    d = docs.select("doc_id", (F.col("ws_tokens") % 2).alias("_b"))
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.col("_b").alias("_b2"))
+    edges = (d.join(nxt, "doc_id")
+             .filter(F.col("_b") == F.col("_b2"))
+             .select(F.col("doc_id").alias("id_a"),
+                     (F.col("doc_id") + 1).alias("id_b")))
+    return connected_components(edges).orderBy("id")
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (streaming-semantics batch twin)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -481,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
+        "conn_components": _q_conn_components,
         "ellipse_htm": _q_ellipse_htm,
         "hull_htm": _q_hull_htm,
         "polygon_hpx": _q_polygon_hpx,
@@ -652,6 +673,20 @@ def oracle_sql() -> dict[str, str]:
         "hull_htm": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
             + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
+        ),
+        "conn_components": (
+            "WITH RECURSIVE "
+            "tok AS (SELECT doc_id, "
+            "  (len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT % 2) AS b "
+            "  FROM documents), "
+            "edges AS (SELECT a.doc_id AS u, a.doc_id + 1 AS v "
+            "  FROM tok a JOIN tok c ON c.doc_id = a.doc_id + 1 AND c.b = a.b), "
+            "sym AS (SELECT u, v FROM edges UNION SELECT v, u FROM edges), "
+            "reach(id, lbl) AS ( "
+            "  SELECT u, u FROM sym "
+            "  UNION "
+            "  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.id) "
+            "SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id"
         ),
         "count_bounds": "SELECT 1 AS bracket_ok",
         "cell_rollup": (

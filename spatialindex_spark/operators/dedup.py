@@ -217,11 +217,15 @@ def jaccard_udf(k: int = 5):
 
 def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       threshold: float = 0.8, num_perm: int = 64,
-                      bands: int | None = None, k: int = 5) -> DataFrame:
+                      bands: int | None = None, k: int = 5,
+                      transitive: bool = False) -> DataFrame:
     """Remove near-duplicates: LSH candidates -> exact n-gram Jaccard verify
-    (>= threshold) -> drop the larger id of each verified pair (union-find-
-    free greedy: any row that is the b-side of a kept pair is removed; safe
-    because duplicate relations here are almost-cliques)."""
+    (>= threshold) -> drop duplicates. Default drops the larger id of each
+    verified pair (keeps every local-minimum row; right when duplicate
+    relations are almost-cliques). ``transitive=True`` clusters the verified
+    pair graph with connected components (operators.graph) and keeps one
+    representative per component — the standard semantics for corpus-scale
+    dedup where chains A~B~C collapse to one row."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, k,
                               threshold=threshold)
     ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("_ta"))
@@ -231,6 +235,10 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         .withColumn("jaccard", jaccard_udf(k)(F.col("_ta"), F.col("_tb")))
         .filter(F.col("jaccard") >= threshold)
     )
+    if transitive:
+        from .graph import component_dedup
+
+        return component_dedup(df, verified.select("id_a", "id_b"), id_col)
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

@@ -330,3 +330,52 @@ def test_ann_ivf_recall(spark):
         a = set(approx[approx.query_id == qid].vec_id)
         hits += len(e & a)
     assert hits >= 10  # >= 66% recall@3 with half the lists probed
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = np.random.default_rng(21)
+    n = 400
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, n, (250, 2)) if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    from spatialindex_spark.operators.graph import connected_components
+
+    got = {r.id: r.component for r in connected_components(df).collect()}
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    nodes = {v for e in edges for v in e}
+    want = {}
+    roots = {}
+    for v in sorted(nodes):
+        r = find(v)
+        roots.setdefault(r, v)   # min id per component
+        want[v] = roots[r]
+    assert got == want
+
+
+def test_minhash_transitive_dedup_collapses_chains(spark):
+    # A~B and B~C verified, A!~C directly: greedy keeps {A}, transitive too;
+    # but A~C-only chains via a middleman differ: build texts so doc0~doc1,
+    # doc1~doc2 (overlap), doc0 vs doc2 below threshold
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    words = base.split()
+    t0 = " ".join(words)
+    t1 = " ".join(words[:36] + ["xx1", "xx2", "xx3", "xx4"])
+    t2 = " ".join(words[:32] + ["xx1", "xx2", "xx3", "xx4", "yy1", "yy2", "yy3", "yy4"])
+    df = spark.createDataFrame([(0, t0), (1, t1), (2, t2)], "doc_id long, text string")
+
+    from spatialindex_spark.operators.dedup import minhash_lsh_dedup
+
+    kept_t = sorted(r.doc_id for r in
+                    minhash_lsh_dedup(df, threshold=0.75, transitive=True).collect())
+    kept_g = sorted(r.doc_id for r in
+                    minhash_lsh_dedup(df, threshold=0.75).collect())
+    assert kept_t[0] == 0 and len(kept_t) <= len(kept_g)
+    assert 0 in kept_g
