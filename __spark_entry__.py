@@ -161,6 +161,19 @@ def _q_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(df).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_region_count_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 with the reference's INSIDE fast path (htm.c:1666-1669): interior
+    cells counted from the per-cell counts table with zero row reads, exact
+    geometry only over the boundary shell; must equal the brute count."""
+    from spatialindex_spark.operators.counts import cell_count_tree, region_count_fast
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "htm7", level=7)
+    n = region_count_fast(df, counts, CONE["ra"], CONE["dec"],
+                          CONE["radius"], level=7, cell_col="htm7")
+    return spark.createDataFrame([(int(n),)], "n long")
+
+
 def _q_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.operators.joins import region_join
 
@@ -486,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cone_hpx": _q_cone_hpx,
         "polygon_htm": _q_polygon_htm,
         "region_count": _q_region_count,
+        "region_count_fast": _q_region_count_fast,
         "region_join": _q_region_join,
         "crossmatch": _q_crossmatch,
         "knn": _q_knn,
@@ -580,6 +594,9 @@ def oracle_sql() -> dict[str, str]:
         "cone_hpx": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone2}",
         "polygon_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
         "region_count": f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone1}",
+        "region_count_fast": (
+            f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone1}"
+        ),
         "region_join": (
             f"{_SKY_CTE} "
             f"SELECT 1 AS region_id, o_orderkey FROM sky WHERE {cone1} "

@@ -183,6 +183,61 @@ def _cpoly_cov(t: Trixel, poly: SphericalPolygon) -> int:
     return DISJOINT
 
 
+def _htm_cover_split(classify, level: int):
+    """Like _htm_cover but keeps the DFS's coverage classification: returns
+    (inside_ranges, boundary_ranges). INSIDE subtrees are wholly within the
+    region (rows there need NO geometry evaluation — the reference's
+    count-without-scan fast path, htm.c:1666-1669); boundary ranges are
+    INTERSECT cells at the target level that need the exact predicate."""
+    if level < 0 or level > HTM_MAX_LEVEL:
+        raise ValueError(f"level must be in [0, {HTM_MAX_LEVEL}]")
+    inside: list[list[int]] = []
+    boundary: list[list[int]] = []
+    prune_to_root = False
+    for root in range(8):
+        frames: list[list[Trixel]] = [[Trixel.root(root)]]
+        while frames:
+            frame = frames[-1]
+            if not frame:
+                frames.pop()
+                continue
+            t = frame.pop(0)
+            cov = classify(t)
+            if cov == CONTAINS:
+                if t.level == 0:
+                    prune_to_root = True
+                else:
+                    frame.clear()
+                cov = INTERSECT
+            if cov == INTERSECT:
+                if t.level < level:
+                    frames.append(t.children())
+                    continue
+                _ranges_add(boundary, t.tid, t.tid)
+                continue
+            if cov == INSIDE:
+                shift = 2 * (level - t.level)
+                lo = t.tid << shift
+                n = 1 << shift
+                _ranges_add(inside, lo, lo + n - 1)
+        if prune_to_root:
+            break
+    return inside, boundary
+
+
+def htm_circle_ranges_split(ra: float, dec: float, radius_deg: float,
+                            level: int):
+    """(inside_ranges, boundary_ranges) for a cone covering."""
+    if radius_deg < 0.0:
+        return [], []
+    if radius_deg >= 180.0:
+        return [[8 << (2 * level), (16 << (2 * level)) - 1]], []
+    center = sc_to_v3(ra, dec)
+    d = math.sin(radius_deg * 0.5 * RAD_PER_DEG)
+    dist2 = 4.0 * d * d
+    return _htm_cover_split(lambda t: _circle_cov(t, center, dist2), level)
+
+
 def _htm_cover(classify, level: int, maxranges: int | None = None) -> list[list[int]]:
     """Shared DFS over the 8 HTM roots (htm.c:1209-1283 control flow).
 

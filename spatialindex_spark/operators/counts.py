@@ -87,3 +87,43 @@ def region_count_bounds(counts: DataFrame, ra: float, dec: float,
     lower = lvl_counts.filter(pred(inner_ranges)).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("lower"))
     return lower.crossJoin(upper)
+
+
+def region_count_fast(df: DataFrame, counts: DataFrame, ra: float, dec: float,
+                      radius: float, level: int = 7,
+                      cell_col: str = "spt_ind") -> int:
+    """Exact cone count with the reference's INSIDE fast path
+    (htm.c:1666-1669): cells wholly inside the cone are summed from the
+    per-cell counts table with ZERO row reads; only boundary cells run the
+    exact geometric predicate. At 100 TB this turns a count over a 10-degree
+    region from a scan of every covered row into a metadata lookup plus a
+    thin shell scan."""
+    import math
+
+    from ..functions.cover import htm_circle_ranges_split
+    from ..functions.geometry import RAD_PER_DEG, sc_to_v3
+
+    inside, boundary = htm_circle_ranges_split(ra, dec, radius, level)
+
+    def pred(col, ranges):
+        p = None
+        for lo, hi in ranges:
+            q = col.between(int(lo), int(hi))
+            p = q if p is None else (p | q)
+        return p
+
+    interior = 0
+    if inside:
+        row = (counts.filter(F.col("level") == level)
+               .filter(pred(F.col("cell"), inside))
+               .agg(F.sum("cnt")).collect()[0][0])
+        interior = int(row or 0)
+
+    shell = 0
+    if boundary:
+        c = sc_to_v3(ra, dec)
+        geom = (F.col("x") * c.x + F.col("y") * c.y + F.col("z") * c.z
+                >= math.cos(radius * RAD_PER_DEG))
+        shell = (df.filter(pred(F.col(cell_col), boundary))
+                 .filter(geom).count())
+    return interior + shell

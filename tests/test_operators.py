@@ -379,3 +379,24 @@ def test_minhash_transitive_dedup_collapses_chains(spark):
                     minhash_lsh_dedup(df, threshold=0.75).collect())
     assert kept_t[0] == 0 and len(kept_t) <= len(kept_g)
     assert 0 in kept_g
+
+
+def test_region_count_fast_matches_exact(spark):
+    """A1 INSIDE fast path: interior from the counts table + boundary-only
+    exact filter == brute-force geometric count."""
+    import math
+
+    from spatialindex_spark.functions.geometry import RAD_PER_DEG, sc_to_v3
+    from spatialindex_spark.operators.counts import cell_count_tree, region_count_fast
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    img = synth_images_indexed(spark, 4000, level=7, systems=("htm",)) \
+        .select("image_id", "x", "y", "z", "spt_ind").localCheckpoint(eager=True)
+    counts = cell_count_tree(img, "spt_ind", level=7).localCheckpoint(eager=True)
+    for (ra, dec, r) in [(129.4, 43.7, 6.0), (34.0, 45.0, 12.0), (200.0, -30.0, 3.0)]:
+        c = sc_to_v3(ra, dec)
+        brute = img.filter(
+            F.col("x") * c.x + F.col("y") * c.y + F.col("z") * c.z
+            >= math.cos(r * RAD_PER_DEG)).count()
+        fast = region_count_fast(img, counts, ra, dec, r, level=7)
+        assert fast == brute, (ra, dec, r, fast, brute)
