@@ -262,8 +262,9 @@ def main():
             [(i, float(i * 13.7 % 360), float((i * 7.3) % 120 - 60))
              for i in range(64)],
             "query_id long, ra double, dec double")
-        return knn(q, images.select("image_id", "ra", "dec"), k=10,
-                   level=4, rings=1, tiebreak="image_id").count()
+        return knn(q, images.select("image_id", "ra", "dec", "hpx7"), k=10,
+                   level=4, rings=1, tiebreak="image_id",
+                   cell_col="hpx7", cell_level=7).count()
 
     t_knn, _ = timed_steady(run_knn)
     results["knn"] = round(t_knn, 3)

@@ -37,7 +37,9 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         query_id: str = "query_id",
         q_cols=("ra", "dec"), d_cols=("ra", "dec"),
         max_radius_deg: float | None = None,
-        tiebreak: str | None = None) -> DataFrame:
+        tiebreak: str | None = None,
+        cell_col: str | None = None,
+        cell_level: int | None = None) -> DataFrame:
     """k nearest data rows per query point.
 
     queries: small-ish DataFrame with ``query_id`` + ra/dec.
@@ -48,6 +50,11 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     only returned when nearer candidates exist in the searched cells. Choose
     a deeper level / more rings for tighter k-radii, or set max_radius_deg
     to pick the level automatically.
+
+    When ``data`` carries an ingest-time nested-HPX cell column
+    (``cell_col`` at ``cell_level``), the match key is a shiftright of it —
+    the big side stays JVM-only (no Arrow roundtrip of 100 TB through
+    Python). The search level is capped at ``cell_level``.
     """
     if level is None:
         if max_radius_deg is not None:
@@ -57,6 +64,9 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
                 level += 1
         else:
             level = 5
+    use_cell = cell_col is not None and cell_level is not None
+    if use_cell:
+        level = min(level, cell_level)
 
     lvl, rg = level, rings
 
@@ -81,7 +91,11 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         F.col(qd).alias("_qdec"),
         F.explode(ring_cells_udf(F.col(qr), F.col(qd))).alias("_mc"),
     )
-    dk = data.withColumn("_mc", cell_udf(F.col(dr), F.col(dd)))
+    if use_cell:
+        dk = data.withColumn(
+            "_mc", F.shiftright(F.col(cell_col), 2 * (cell_level - lvl)))
+    else:
+        dk = data.withColumn("_mc", cell_udf(F.col(dr), F.col(dd)))
 
     pairs = dk.join(F.broadcast(qk), "_mc").drop("_mc")
 

@@ -109,3 +109,25 @@ def test_wholestage_codegen_on_geometry(spark):
     plan = _plan(df.filter(c.geom_column()))
     # executedPlan().toString() renders codegen stages as "*(N) Filter ..."
     assert "WholeStageCodegen" in plan or re.search(r"\*\(\d+\) Filter", plan), plan
+
+
+def test_knn_cell_col_keeps_big_side_jvm(spark):
+    from spatialindex_spark.operators.knn import knn
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    img = synth_images_indexed(spark, 800, level=7, systems=("htm", "hpx"))
+    data = (img.select("image_id", "ra", "dec", "hpx7")
+            .localCheckpoint(eager=True))
+    q = spark.createDataFrame(
+        [(i, float(i * 37.0 % 360), float((i * 11.0) % 100 - 50))
+         for i in range(8)], "query_id long, ra double, dec double")
+    out = knn(q, data, k=5, level=4, rings=1, tiebreak="image_id",
+              cell_col="hpx7", cell_level=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # only the tiny query side computes cells in Python
+    assert plan.count("ArrowEvalPython") <= 1, plan[:2000]
+    ref = knn(q, data.drop("hpx7"), k=5, level=4, rings=1,
+              tiebreak="image_id")
+    got = set(map(tuple, out.select("query_id", "image_id").collect()))
+    want = set(map(tuple, ref.select("query_id", "image_id").collect()))
+    assert got == want
