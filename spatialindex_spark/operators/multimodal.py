@@ -103,10 +103,39 @@ def extract_features(df: DataFrame, grid: int = 4) -> DataFrame:
     return df.select("image_id", "bytes", "w", "h", "fmt").mapInPandas(run, FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "video_id string, frame_idx int, nframes int, bytes binary, w int, h int, fmt string"
+
+
 def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: treats the binary payload as a frame
-    container. STUB — container demux needs an external library; the
-    operator shape (mapInPandas, schema, partition passthrough) is real."""
-    raise NotImplementedError(
-        "video demux requires an external media library; the operator "
-        "signature is provided for API completeness")
+    """Sample every ``every_n``-th frame of each video payload into its own
+    row (video_id, frame_idx, nframes, bytes, w, h, fmt).
+
+    Demuxes the engine-native SVC1 container (sources/imaging.py) without
+    decoding pixels — each emitted row carries the still-image payload for
+    that frame, so downstream decode/resize/feature operators compose.
+    External containers (mp4/webm) would plug a demuxer into
+    ``EXTERNAL_DECODERS``-style hooks; none exist in this environment, so
+    non-SVC1 payloads raise NotImplementedError inside the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"video_id": [], "frame_idx": [], "nframes": [],
+                    "bytes": [], "w": [], "h": [], "fmt": []}
+            for vid, data in zip(pdf["video_id"], pdf["bytes"]):
+                data = bytes(data)
+                if data[:4] != b"SVC1":
+                    raise NotImplementedError(
+                        "non-SVC1 video container: external demuxer required")
+                nframes, w, h, fmt, spans = imaging.video_info(data)
+                for idx in range(0, nframes, every_n):
+                    o, ln = spans[idx]
+                    rows["video_id"].append(vid)
+                    rows["frame_idx"].append(idx)
+                    rows["nframes"].append(nframes)
+                    rows["bytes"].append(data[o:o + ln])
+                    rows["w"].append(w)
+                    rows["h"].append(h)
+                    rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return df.select("video_id", "bytes").mapInPandas(run, FRAME_SCHEMA)

@@ -99,3 +99,33 @@ def synth_images_indexed(spark: SparkSession, n: int, level: int = 7,
 
     return with_spatial_columns(synth_images(spark, n, partitions),
                                 level=level, systems=systems)
+
+
+VIDEO_SCHEMA = "video_id string, bytes binary, nframes int, w int, h int, fmt string"
+
+
+def synth_videos(spark: SparkSession, n: int, nframes: int = 24,
+                 w: int = 32, h: int = 24,
+                 partitions: int | None = None) -> DataFrame:
+    """Deterministic n-row video table (SVC1 containers, executor-side)."""
+    from . import imaging
+
+    if partitions is None:
+        partitions = max(4, n // 2_000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].values
+            rows = {"video_id": [f"vid{int(i):012d}" for i in ids],
+                    "bytes": [], "nframes": [], "w": [], "h": [], "fmt": []}
+            for i in ids:
+                fmt = "z" if int(i) % 3 else "dct"
+                frames = imaging.synth_video(int(i), w, h, nframes)
+                rows["bytes"].append(imaging.encode_video(frames, fmt))
+                rows["nframes"].append(nframes)
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, VIDEO_SCHEMA)

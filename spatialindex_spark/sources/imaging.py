@@ -146,3 +146,57 @@ def synth_image(i: int, w: int, h: int) -> np.ndarray:
         chan = base * rng.uniform(0.6, 1.0) + rng.normal(0, 6.0, (h, w))
         img[:, :, c] = np.clip(chan, 0, 255).astype(np.uint8)
     return img
+
+
+# ---------------------------------------------------------------------------
+# multi-frame container ("svc1"): the engine-native video payload. Layout:
+#   magic b"SVC1" | u32 nframes | u32 w | u32 h | u8 fmtlen | fmt bytes |
+#   nframes x (u32 len) | concatenated per-frame encode() payloads.
+# Frame payloads use the same per-frame codecs as still images, so the
+# PSNR/lossless invariants carry over frame-by-frame.
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"SVC1"
+
+
+def encode_video(frames: "list[np.ndarray]", fmt: str) -> bytes:
+    import struct
+
+    if not frames:
+        raise ValueError("need >= 1 frame")
+    h, w, _ = frames[0].shape
+    payloads = [encode(f, fmt) for f in frames]
+    fb = fmt.encode()
+    head = _VID_MAGIC + struct.pack("<III B", len(frames), w, h, len(fb)) + fb
+    lens = struct.pack(f"<{len(payloads)}I", *[len(p) for p in payloads])
+    return head + lens + b"".join(payloads)
+
+
+def video_info(data: bytes) -> tuple[int, int, int, str, list[tuple[int, int]]]:
+    """(nframes, w, h, fmt, [(offset, len) per frame])."""
+    import struct
+
+    if data[:4] != _VID_MAGIC:
+        raise ValueError("not an SVC1 container")
+    nframes, w, h, fmtlen = struct.unpack_from("<III B", data, 4)
+    fmt = data[17:17 + fmtlen].decode()
+    lens = struct.unpack_from(f"<{nframes}I", data, 17 + fmtlen)
+    off = 17 + fmtlen + 4 * nframes
+    spans = []
+    for ln in lens:
+        spans.append((off, ln))
+        off += ln
+    return nframes, w, h, fmt, spans
+
+
+def decode_video_frame(data: bytes, idx: int) -> np.ndarray:
+    nframes, w, h, fmt, spans = video_info(data)
+    o, ln = spans[idx]
+    return decode(data[o:o + ln], w, h, fmt)
+
+
+def synth_video(i: int, w: int, h: int, nframes: int) -> "list[np.ndarray]":
+    """Deterministic clip: the synth image pattern with a per-frame phase
+    drift (what a camera pan would look like to the codecs)."""
+    return [np.roll(synth_image(i, w, h), shift=3 * t, axis=1)
+            for t in range(nframes)]
