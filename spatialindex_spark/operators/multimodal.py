@@ -139,3 +139,37 @@ def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("video_id", "bytes").mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = ("audio_id string, n_samples int, rms double, "
+                        "zcr double, spectral_centroid_hz double")
+
+
+def audio_features(df: DataFrame, rate: int = 8000) -> DataFrame:
+    """Vectorized audio feature extraction over PCM payloads: RMS level,
+    zero-crossing rate, FFT spectral centroid. Same mapInPandas shape as the
+    image operators; external codecs (mp3/ogg) raise NotImplementedError."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"audio_id": [], "n_samples": [], "rms": [], "zcr": [],
+                    "spectral_centroid_hz": []}
+            for aid, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+                if fmt not in ("pcm", "pcmz"):
+                    raise NotImplementedError(
+                        f"audio fmt {fmt!r}: external codec required")
+                pcm = imaging.decode_audio(bytes(data), fmt).astype(np.float64)
+                n = len(pcm)
+                mag = np.abs(np.fft.rfft(pcm))
+                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                denom = mag.sum()
+                rows["audio_id"].append(aid)
+                rows["n_samples"].append(n)
+                rows["rms"].append(float(np.sqrt(np.mean(pcm ** 2))))
+                rows["zcr"].append(float(np.mean(np.signbit(pcm[1:])
+                                                 != np.signbit(pcm[:-1]))))
+                rows["spectral_centroid_hz"].append(
+                    float((freqs * mag).sum() / denom) if denom else 0.0)
+            yield pd.DataFrame(rows)
+
+    return df.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURE_SCHEMA)

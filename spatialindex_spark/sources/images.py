@@ -129,3 +129,31 @@ def synth_videos(spark: SparkSession, n: int, nframes: int = 24,
             yield pd.DataFrame(rows)
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, VIDEO_SCHEMA)
+
+
+AUDIO_SCHEMA = "audio_id string, bytes binary, n_samples int, rate int, fmt string"
+
+
+def synth_audios(spark: SparkSession, n: int, n_samples: int = 8000,
+                 rate: int = 8000, partitions: int | None = None) -> DataFrame:
+    """Deterministic n-row audio table (int16 PCM payloads)."""
+    from . import imaging
+
+    if partitions is None:
+        partitions = max(4, n // 5_000)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids = b["id"].values
+            rows = {"audio_id": [f"aud{int(i):012d}" for i in ids],
+                    "bytes": [], "n_samples": [], "rate": [], "fmt": []}
+            for i in ids:
+                fmt = "pcmz" if int(i) % 2 else "pcm"
+                pcm = imaging.synth_audio(int(i), n_samples, rate)
+                rows["bytes"].append(imaging.encode_audio(pcm, fmt))
+                rows["n_samples"].append(n_samples)
+                rows["rate"].append(rate)
+                rows["fmt"].append(fmt)
+            yield pd.DataFrame(rows)
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, AUDIO_SCHEMA)

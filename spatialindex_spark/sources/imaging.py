@@ -200,3 +200,36 @@ def synth_video(i: int, w: int, h: int, nframes: int) -> "list[np.ndarray]":
     drift (what a camera pan would look like to the codecs)."""
     return [np.roll(synth_image(i, w, h), shift=3 * t, axis=1)
             for t in range(nframes)]
+
+
+# ---------------------------------------------------------------------------
+# audio payloads: int16 PCM, zlib-packed ("pcmz") or raw ("pcm").
+# ---------------------------------------------------------------------------
+
+def synth_audio(i: int, n_samples: int = 8000, rate: int = 8000) -> np.ndarray:
+    """Deterministic int16 mono clip: two detuned tones + seeded noise."""
+    rng = np.random.default_rng(1000 + i)
+    t = np.arange(n_samples) / rate
+    f0 = 110.0 * (1 + (i % 24))
+    sig = (0.6 * np.sin(2 * np.pi * f0 * t)
+           + 0.25 * np.sin(2 * np.pi * f0 * 1.498 * t)
+           + 0.05 * rng.standard_normal(n_samples))
+    return np.clip(sig * 20000.0, -32768, 32767).astype(np.int16)
+
+
+def encode_audio(pcm: np.ndarray, fmt: str) -> bytes:
+    if pcm.dtype != np.int16 or pcm.ndim != 1:
+        raise ValueError("expected int16 mono PCM")
+    if fmt == "pcm":
+        return pcm.astype("<i2").tobytes()
+    if fmt == "pcmz":
+        return zlib.compress(pcm.astype("<i2").tobytes(), 6)
+    raise ValueError(f"unknown audio fmt {fmt!r}")
+
+
+def decode_audio(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "pcm":
+        return np.frombuffer(data, dtype="<i2").astype(np.int16)
+    if fmt == "pcmz":
+        return np.frombuffer(zlib.decompress(data), dtype="<i2").astype(np.int16)
+    raise ValueError(f"unknown audio fmt {fmt!r}")

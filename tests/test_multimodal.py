@@ -22,3 +22,26 @@ def test_frame_sample_real_demux(spark):
     got = imaging.decode(bytes(row["bytes"]), row.w, row.h, row.fmt)
     want = imaging.synth_video(6, 32, 24, 24)[6]
     assert imaging.psnr(got, want) >= 40.0  # id 6 -> dct (lossy)
+
+
+def test_audio_features_distributed(spark):
+    """Audio PCM payloads decode + feature-extract distributed; the spectral
+    centroid tracks each clip's fundamental (clips are tones at 110*(1+i%24)
+    Hz), and codec roundtrip is exact for both pcm and pcmz."""
+    import numpy as np
+
+    from spatialindex_spark.operators.multimodal import audio_features
+    from spatialindex_spark.sources import imaging
+    from spatialindex_spark.sources.images import synth_audios
+
+    aud = synth_audios(spark, 10)
+    out = audio_features(aud).toPandas().set_index("audio_id")
+    assert len(out) == 10
+    # centroid rises with the clip's fundamental (noise floor adds a
+    # constant offset, so compare relatively)
+    c = [out.loc[f"aud{i:012d}"].spectral_centroid_hz for i in (0, 4, 9)]
+    assert c[0] < c[1] < c[2], c
+    assert (out.rms > 5000).all() and (out.zcr > 0).all()
+    pcm = imaging.synth_audio(5)
+    assert np.array_equal(
+        imaging.decode_audio(imaging.encode_audio(pcm, "pcmz"), "pcmz"), pcm)
