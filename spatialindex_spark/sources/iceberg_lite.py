@@ -191,11 +191,20 @@ class IcebergLiteTable:
         return snapshot
 
     # -- read ----------------------------------------------------------------
-    def read(self, spark: SparkSession, ranges: list[list[int]] | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, ranges: list[list[int]] | None = None,
+             snapshot: int | None = None) -> DataFrame:
         """Read the table; with covering ``ranges``, only matching bucket
         dirs load (directory-level pruning), then the cell predicate prunes
-        row groups inside them."""
+        row groups inside them. ``snapshot`` time-travels to an earlier
+        commit: buckets are written exactly once and snapshots are
+        append-only bucket lists, so snapshot N is the table restricted to
+        the buckets its manifest recorded."""
         df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        if snapshot is not None:
+            snap_path = os.path.join(self.meta_dir, f"snapshot-{snapshot}.json")
+            with open(snap_path) as f:
+                snap = json.load(f)
+            df = df.filter(F.col("bucket").isin([int(b) for b in snap["buckets"]]))
         if ranges:
             df = df.filter(F.col("bucket").isin(self.buckets_for_ranges(ranges)))
             pred = None

@@ -400,3 +400,21 @@ def test_region_count_fast_matches_exact(spark):
             >= math.cos(r * RAD_PER_DEG)).count()
         fast = region_count_fast(img, counts, ra, dec, r, level=7)
         assert fast == brute, (ra, dec, r, fast, brute)
+
+
+def test_iceberg_snapshot_time_travel(spark, tmp_path):
+    """Snapshot N = the buckets its manifest recorded; reading an older
+    snapshot excludes later-committed buckets."""
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    df = synth_images_indexed(spark, 600, level=7, systems=("htm",))
+    t = IcebergLiteTable(str(tmp_path / "tab"), num_buckets=8)
+    with pytest.raises(RuntimeError):
+        t.write(df, group_size=2, fail_after_groups=2)
+    snap0 = t.commit_snapshot()
+    t.write(df, group_size=2)  # resume to completion -> snapshot 1
+    full = t.read(spark).count()
+    old = t.read(spark, snapshot=snap0["snapshot"]).count()
+    assert full == 600
+    assert old == snap0["total_rows"] < 600
