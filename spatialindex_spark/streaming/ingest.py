@@ -39,3 +39,53 @@ def start_to_memory(counts: DataFrame, name: str = "cell_counts_stream"):
     """Debug/test sink."""
     return (counts.writeStream.outputMode("update")
             .format("memory").queryName(name).start())
+
+
+def stream_region_filter(stream: DataFrame, ra: float, dec: float,
+                         radius: float, level: int = 7,
+                         ra_col: str = "ra", dec_col: str = "dec") -> DataFrame:
+    """Two-phase cone search on a stream: the same coarse cell-range
+    predicate + exact dot-product filter the batch engine generates, applied
+    stateless per micro-batch (predicates are stream-agnostic Columns)."""
+    import math
+
+    from ..functions.cover import hpx_cone_ranges
+    from ..functions.geometry import RAD_PER_DEG, sc_to_v3
+
+    cells = stream.withColumn("spt_ind",
+                              hpx_udf(level)(F.col(ra_col), F.col(dec_col)))
+    pred = None
+    for lo, hi in hpx_cone_ranges(level, ra, dec, radius):
+        p = F.col("spt_ind").between(int(lo), int(hi))
+        pred = p if pred is None else (pred | p)
+    c = sc_to_v3(ra, dec)
+    rad = F.radians
+    geom = (F.cos(rad(ra_col)) * F.cos(rad(dec_col)) * c.x
+            + F.sin(rad(ra_col)) * F.cos(rad(dec_col)) * c.y
+            + F.sin(rad(dec_col)) * c.z) >= math.cos(radius * RAD_PER_DEG)
+    return cells.filter(pred).filter(geom)
+
+
+def stream_running_cell_totals(stream: DataFrame, level: int = 7,
+                               ra_col: str = "ra",
+                               dec_col: str = "dec") -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): cumulative row
+    count per cell across ALL micro-batches — the incrementally-maintained
+    A5 counts table. State per cell is one int; update mode emits rows only
+    for cells touched by the current batch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cells = stream.withColumn("spt_ind",
+                              hpx_udf(level)(F.col(ra_col), F.col(dec_col)))
+
+    def update(key, pdfs, state: GroupState):
+        n = sum(len(pdf) for pdf in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"spt_ind": [key[0]], "total": [total]})
+
+    return (cells.groupBy("spt_ind")
+            .applyInPandasWithState(update, "spt_ind long, total long",
+                                    "total long", "update",
+                                    GroupStateTimeout.NoTimeout))

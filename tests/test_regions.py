@@ -183,3 +183,51 @@ def test_hemispherical():
     import pytest as _pytest
     with _pytest.raises(ValueError, match="hemispherical"):
         convex_hull([sc_to_v3(0, 0), sc_to_v3(120, 0), sc_to_v3(240, 0)])
+
+
+def test_streaming_region_filter_and_stateful_totals(spark, tmp_path):
+    """Streaming two-phase cone filter matches the batch result, and the
+    applyInPandasWithState running totals accumulate across micro-batches."""
+    import time as _time
+
+    from spatialindex_spark.streaming.ingest import (
+        stream_region_filter, stream_running_cell_totals)
+
+    src = str(tmp_path / "src")
+    rows1 = [(float(i * 3.7 % 360), float((i * 7.3) % 160 - 80)) for i in range(500)]
+    spark.createDataFrame(rows1, "ra double, dec double") \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("ra double, dec double").parquet(src)
+    flt = stream_region_filter(stream, 34.0, 45.0, 20.0, level=5)
+    q = (flt.writeStream.outputMode("append").format("memory")
+         .queryName("region_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM region_stream").collect()[0].n
+    batch = spark.createDataFrame(rows1, "ra double, dec double")
+    from spatialindex_spark.streaming.ingest import stream_region_filter as _f
+    want = _f(batch, 34.0, 45.0, 20.0, level=5).count()
+    assert got == want > 0
+
+    tot = stream_running_cell_totals(
+        spark.readStream.schema("ra double, dec double").parquet(src), level=2)
+    ckpt = str(tmp_path / "ckpt")
+    q2 = (tot.writeStream.outputMode("update").format("memory")
+          .queryName("cell_totals").option("checkpointLocation", ckpt)
+          .start())
+    q2.processAllAvailable()
+    t1 = {r.spt_ind: r.total
+          for r in spark.sql("SELECT * FROM cell_totals").collect()}
+    # second micro-batch into the SAME query: same rows again -> the state
+    # carries over and per-cell totals double (update mode appends the new
+    # totals to the memory table; take max per key)
+    spark.createDataFrame(rows1, "ra double, dec double") \
+        .write.mode("append").parquet(src)
+    q2.processAllAvailable()
+    rows = spark.sql("SELECT spt_ind, max(total) AS total FROM cell_totals "
+                     "GROUP BY spt_ind").collect()
+    q2.stop()
+    t2 = {r.spt_ind: r.total for r in rows}
+    assert sum(t1.values()) == 500
+    assert all(t2[k] == 2 * v for k, v in t1.items())
+    assert sum(t2.values()) == 1000
