@@ -484,6 +484,24 @@ def _q_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).orderBy("id")
 
 
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event joins its user's latest prior (or
+    simultaneous) view event. Oracle is DuckDB's native ASOF JOIN."""
+    from spatialindex_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+              .select("user_id", "ts", "event_id", "value")
+    out = asof_join(clicks, views, ts="ts", by="user_id",
+                    right_cols=["event_id", "value"])
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        F.col("event_id_asof").alias("view_id"),
+        F.round(F.col("value_asof"), 6).alias("view_value"))
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (streaming-semantics batch twin)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -516,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
         "conn_components": _q_conn_components,
+        "asof_join": _q_asof_join,
         "ellipse_htm": _q_ellipse_htm,
         "hull_htm": _q_hull_htm,
         "polygon_hpx": _q_polygon_hpx,
@@ -690,6 +709,16 @@ def oracle_sql() -> dict[str, str]:
         "hull_htm": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
             + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
+        ),
+        "asof_join": (
+            "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click'), "
+            "views AS (SELECT event_id, user_id, ts, value FROM events "
+            "  WHERE event_type = 'view') "
+            "SELECT c.event_id AS click_id, v.event_id AS view_id, "
+            "  round(v.value, 6) AS view_value "
+            "FROM clicks c ASOF LEFT JOIN views v "
+            "  ON c.user_id = v.user_id AND c.ts >= v.ts"
         ),
         "conn_components": (
             "WITH RECURSIVE "

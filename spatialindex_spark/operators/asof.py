@@ -1,0 +1,58 @@
+"""As-of join (nearest prior row per key) — a training-pipeline staple Spark
+lacks natively (feature lookups "as of" an example's timestamp).
+
+Implementation is the union + window carry-forward pattern, NOT a range
+join: tag right rows, union with left rows, sort each key's timeline once
+(one shuffle on the key), and carry the latest right payload forward to
+each left row. Cost is a single sort-shuffle of |L| + |R| rows — no
+per-row range probing, no broadcast requirement, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts: str = "ts",
+              by: str | list[str] = "key",
+              right_cols: list[str] | None = None,
+              suffix: str = "_asof",
+              tolerance: str | None = None) -> DataFrame:
+    """For every left row, attach the right row with the largest right.ts
+    <= left.ts within the same ``by`` key(s) (backward as-of, inclusive).
+    Left rows with no prior right row keep nulls (left-join semantics).
+
+    right_cols: right payload columns to carry (default: all but ts/by).
+    tolerance:  optional max age as an INTERVAL string (e.g. '2 hours') —
+                matches older than left.ts - tolerance are nulled out.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c != ts and c not in by]
+
+    payload = F.struct(F.col(ts).alias(f"{ts}{suffix}"),
+                       *[F.col(c).alias(c + suffix) for c in right_cols])
+    r = right.select(*by, F.col(ts).alias("_ts"),
+                     F.lit(0).alias("_side"), payload.alias("_pay"))
+    l = left.select(*by, F.col(ts).alias("_ts"),
+                    F.lit(1).alias("_side"),
+                    F.lit(None).cast(r.schema["_pay"].dataType).alias("_pay"),
+                    F.struct(*left.columns).alias("_row"))
+    r = r.withColumn("_row", F.lit(None).cast(l.schema["_row"].dataType))
+
+    # right rows sort before left rows at equal ts, so ties are inclusive
+    w = (Window.partitionBy(*by).orderBy(F.col("_ts").asc(), F.col("_side").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    timeline = l.unionByName(r).withColumn(
+        "_carry", F.last("_pay", ignorenulls=True).over(w))
+
+    out = timeline.filter(F.col("_side") == 1)
+    if tolerance is not None:
+        fresh = (F.col(f"_carry.{ts}{suffix}")
+                 >= F.col("_ts") - F.expr(f"INTERVAL {tolerance}"))
+        out = out.withColumn(
+            "_carry", F.when(fresh, F.col("_carry")))
+    cols = [F.col(f"_row.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"_carry.{ts}{suffix}").alias(f"{ts}{suffix}")]
+    cols += [F.col(f"_carry.{c}{suffix}").alias(c + suffix) for c in right_cols]
+    return out.select(*cols)

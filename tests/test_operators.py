@@ -418,3 +418,30 @@ def test_iceberg_snapshot_time_travel(spark, tmp_path):
     old = t.read(spark, snapshot=snap0["snapshot"]).count()
     assert full == 600
     assert old == snap0["total_rows"] < 600
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    rng = np.random.default_rng(33)
+    import pandas as pd
+
+    lt = pd.DataFrame({
+        "key": rng.integers(0, 5, 300),
+        "ts": rng.integers(0, 100_000, 300).astype("datetime64[s]"),
+        "lid": np.arange(300)})
+    rt = pd.DataFrame({
+        "key": rng.integers(0, 5, 200),
+        "ts": rng.integers(0, 100_000, 200).astype("datetime64[s]"),
+        "val": rng.standard_normal(200).round(6)})
+    rt = rt.drop_duplicates(["key", "ts"])  # merge_asof tie semantics
+
+    from spatialindex_spark.operators.asof import asof_join
+
+    l = spark.createDataFrame(lt)
+    r = spark.createDataFrame(rt)
+    got = (asof_join(l, r, ts="ts", by="key", right_cols=["val"])
+           .toPandas().sort_values("lid").reset_index(drop=True))
+    want = pd.merge_asof(lt.sort_values("ts"), rt.sort_values("ts"),
+                         on="ts", by="key", direction="backward") \
+        .sort_values("lid").reset_index(drop=True)
+    assert (got["val_asof"].round(6).fillna(1e18)
+            == want["val"].round(6).fillna(1e18)).all()
