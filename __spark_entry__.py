@@ -502,6 +502,24 @@ def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_asof"), 6).alias("view_value"))
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks landing within 1 hour after each view of the
+    same user (bucket-quantized hash equi-join + exact BETWEEN residual —
+    never a nested-loop range join). Oracle is a plain inequality join."""
+    from spatialindex_spark.operators.ranges import interval_point_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"), "user_id",
+                     F.col("ts").alias("start"),
+                     (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"), "user_id", "ts"))
+    out = interval_point_join(views, clicks, by="user_id", bucket="1 hour")
+    return out.select(F.col("view_id_l").alias("view_id"),
+                      F.col("click_id_r").alias("click_id"))
+
+
 def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed event rollup (streaming-semantics batch twin)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -535,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window": _q_events_window,
         "conn_components": _q_conn_components,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "ellipse_htm": _q_ellipse_htm,
         "hull_htm": _q_hull_htm,
         "polygon_hpx": _q_polygon_hpx,
@@ -709,6 +728,14 @@ def oracle_sql() -> dict[str, str]:
         "hull_htm": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
             + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
+        ),
+        "range_join": (
+            "WITH views AS (SELECT event_id AS view_id, user_id, ts AS s, "
+            "  ts + INTERVAL 1 HOUR AS e FROM events WHERE event_type = 'view'), "
+            "clicks AS (SELECT event_id AS click_id, user_id, ts FROM events "
+            "  WHERE event_type = 'click') "
+            "SELECT v.view_id, c.click_id FROM views v JOIN clicks c "
+            "  ON v.user_id = c.user_id AND c.ts BETWEEN v.s AND v.e"
         ),
         "asof_join": (
             "WITH clicks AS (SELECT event_id, user_id, ts FROM events "

@@ -445,3 +445,39 @@ def test_asof_join_matches_pandas_merge_asof(spark):
         .sort_values("lid").reset_index(drop=True)
     assert (got["val_asof"].round(6).fillna(1e18)
             == want["val"].round(6).fillna(1e18)).all()
+
+
+def test_interval_point_join_matches_brute(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(44)
+    base = np.datetime64("2024-01-01", "us")
+    iv = pd.DataFrame({
+        "iv_id": np.arange(60),
+        "key": rng.integers(0, 4, 60),
+        "start": base + rng.integers(0, 200_000, 60).astype("timedelta64[s]").astype("timedelta64[us]"),
+    })
+    iv["end"] = iv["start"] + np.array(
+        rng.integers(60, 7200, 60), dtype="timedelta64[s]").astype("timedelta64[us]")
+    pt = pd.DataFrame({
+        "pt_id": np.arange(400),
+        "key": rng.integers(0, 4, 400),
+        "ts": base + rng.integers(0, 220_000, 400).astype("timedelta64[s]").astype("timedelta64[us]"),
+        "val": rng.standard_normal(400).round(6)})
+
+    from spatialindex_spark.operators.ranges import interval_point_join
+
+    l = spark.createDataFrame(iv)
+    r = spark.createDataFrame(pt)
+    got = set(map(tuple, interval_point_join(l, r, by="key", bucket="30 minutes")
+                  .select("iv_id_l", "pt_id_r").collect()))
+    want = set()
+    for a in iv.itertuples(index=False):
+        for b in pt.itertuples(index=False):
+            if a.key == b.key and a.start <= b.ts <= a.end:
+                want.add((a.iv_id, b.pt_id))
+    assert got == want and len(want) > 50
+    # plan check: hash equi-join, not a nested-loop range join
+    plan = interval_point_join(l, r, by="key", bucket="30 minutes") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
