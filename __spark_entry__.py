@@ -165,13 +165,13 @@ def _q_region_count_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 with the reference's INSIDE fast path (htm.c:1666-1669): interior
     cells counted from the per-cell counts table with zero row reads, exact
     geometry only over the boundary shell; must equal the brute count."""
-    from spatialindex_spark.operators.counts import cell_count_tree, region_count_fast
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_fast_frame)
 
     df = _orders_sky(spark, sf_dir)
     counts = cell_count_tree(df, "htm7", level=7)
-    n = region_count_fast(df, counts, CONE["ra"], CONE["dec"],
-                          CONE["radius"], level=7, cell_col="htm7")
-    return spark.createDataFrame([(int(n),)], "n long")
+    return region_count_fast_frame(df, counts, CONE["ra"], CONE["dec"],
+                                   CONE["radius"], level=7, cell_col="htm7")
 
 
 def _q_region_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,11 +316,9 @@ def _q_ellipse_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = _orders_sky(spark, sf_dir)
     ell = _ellipse()
-    ranges = htm_ellipse_ranges(ell, 7)
-    pred = None
-    for lo, hi in ranges:
-        p = F.col("htm7").between(lo, hi)
-        pred = p if pred is None else (pred | p)
+    from spatialindex_spark.functions.cover import ranges_predicate
+
+    pred = ranges_predicate(F.col("htm7"), htm_ellipse_ranges(ell, 7))
     qf = (F.lit(ell.xx) * F.col("x") * F.col("x")
           + F.lit(ell.yy) * F.col("y") * F.col("y")
           + F.lit(ell.zz) * F.col("z") * F.col("z")
@@ -352,11 +350,10 @@ def _q_hull_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.functions.cover import htm_polygon_ranges
 
     df = _orders_sky(spark, sf_dir)
+    from spatialindex_spark.functions.cover import ranges_predicate
+
     hull = _hull()
-    pred = None
-    for lo, hi in htm_polygon_ranges(hull, 7):
-        p = F.col("htm7").between(int(lo), int(hi))
-        pred = p if pred is None else (pred | p)
+    pred = ranges_predicate(F.col("htm7"), htm_polygon_ranges(hull, 7))
     geom = None
     for e in hull.edges:
         g = (F.lit(e.x) * F.col("x") + F.lit(e.y) * F.col("y")

@@ -551,3 +551,18 @@ def compress_gaps(ranges: list[list[int]], maxpct: float = 30.0) -> list[list[in
         else:
             out.append([int(mins[i]), int(maxs[i])])
     return out
+
+
+def ranges_predicate(col, ranges) -> "object":
+    """Covering ranges -> one Catalyst Column: OR-chain of `=` (single cell)
+    / BETWEEN (range) disjuncts, `lit(False)` for an empty covering. The
+    single shared implementation for every ranges-to-predicate site (filter,
+    counts, streaming, Iceberg-lite read)."""
+    from pyspark.sql import functions as F
+
+    pred = None
+    for lo, hi in ranges:
+        lo, hi = int(lo), int(hi)
+        p = (col == lo) if lo == hi else col.between(lo, hi)
+        pred = p if pred is None else (pred | p)
+    return F.lit(False) if pred is None else pred

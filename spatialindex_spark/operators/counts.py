@@ -75,12 +75,10 @@ def region_count_bounds(counts: DataFrame, ra: float, dec: float,
 
     lvl_counts = counts.filter(F.col("level") == level)
 
+    from ..functions.cover import ranges_predicate
+
     def pred(ranges):
-        p = None
-        for lo, hi in ranges:
-            q = F.col("cell").between(lo, hi)
-            p = q if p is None else (p | q)
-        return p if p is not None else F.lit(False)
+        return ranges_predicate(F.col("cell"), ranges)
 
     upper = lvl_counts.filter(pred(loose.ranges)).agg(
         F.coalesce(F.sum("cnt"), F.lit(0)).alias("upper"))
@@ -89,41 +87,39 @@ def region_count_bounds(counts: DataFrame, ra: float, dec: float,
     return lower.crossJoin(upper)
 
 
-def region_count_fast(df: DataFrame, counts: DataFrame, ra: float, dec: float,
-                      radius: float, level: int = 7,
-                      cell_col: str = "spt_ind") -> int:
+def region_count_fast_frame(df: DataFrame, counts: DataFrame, ra: float,
+                            dec: float, radius: float, level: int = 7,
+                            cell_col: str = "spt_ind") -> DataFrame:
     """Exact cone count with the reference's INSIDE fast path
-    (htm.c:1666-1669): cells wholly inside the cone are summed from the
-    per-cell counts table with ZERO row reads; only boundary cells run the
-    exact geometric predicate. At 100 TB this turns a count over a 10-degree
-    region from a scan of every covered row into a metadata lookup plus a
-    thin shell scan."""
+    (htm.c:1666-1669), as ONE lazy single-row DataFrame (column ``n``):
+    cells wholly inside the cone are summed from the per-cell counts table
+    with ZERO row reads; only boundary cells run the exact geometric
+    predicate. At 100 TB this turns a count over a 10-degree region from a
+    scan of every covered row into a metadata lookup plus a thin shell
+    scan."""
     import math
 
-    from ..functions.cover import htm_circle_ranges_split
+    from ..functions.cover import htm_circle_ranges_split, ranges_predicate
     from ..functions.geometry import RAD_PER_DEG, sc_to_v3
 
     inside, boundary = htm_circle_ranges_split(ra, dec, radius, level)
 
-    def pred(col, ranges):
-        p = None
-        for lo, hi in ranges:
-            q = col.between(int(lo), int(hi))
-            p = q if p is None else (p | q)
-        return p
+    interior = (counts.filter(F.col("level") == level)
+                .filter(ranges_predicate(F.col("cell"), inside))
+                .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_interior")))
+    c = sc_to_v3(ra, dec)
+    geom = (F.col("x") * c.x + F.col("y") * c.y + F.col("z") * c.z
+            >= math.cos(radius * RAD_PER_DEG))
+    shell = (df.filter(ranges_predicate(F.col(cell_col), boundary))
+             .filter(geom)
+             .agg(F.count(F.lit(1)).alias("_shell")))
+    return interior.crossJoin(shell).select(
+        (F.col("_interior") + F.col("_shell")).alias("n"))
 
-    interior = 0
-    if inside:
-        row = (counts.filter(F.col("level") == level)
-               .filter(pred(F.col("cell"), inside))
-               .agg(F.sum("cnt")).collect()[0][0])
-        interior = int(row or 0)
 
-    shell = 0
-    if boundary:
-        c = sc_to_v3(ra, dec)
-        geom = (F.col("x") * c.x + F.col("y") * c.y + F.col("z") * c.z
-                >= math.cos(radius * RAD_PER_DEG))
-        shell = (df.filter(pred(F.col(cell_col), boundary))
-                 .filter(geom).count())
-    return interior + shell
+def region_count_fast(df: DataFrame, counts: DataFrame, ra: float, dec: float,
+                      radius: float, level: int = 7,
+                      cell_col: str = "spt_ind") -> int:
+    """Eager convenience wrapper over region_count_fast_frame."""
+    return int(region_count_fast_frame(df, counts, ra, dec, radius, level,
+                                       cell_col).collect()[0]["n"])

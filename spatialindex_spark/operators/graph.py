@@ -108,8 +108,14 @@ def connected_components(edges: DataFrame, id_a: str = "id_a",
     if not roots:
         return labels.select(F.col("_id").alias("id"),
                              F.col("_lbl").alias("component"))
+    # id-type generic: string ids order the same way in Python and Spark
+    # (both lexicographic on the code units) so min-label semantics agree
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = edges.schema[id_a].dataType
     root_df = spark.createDataFrame(
-        [(int(k), int(v)) for k, v in roots.items()], "_rk long, _rv long")
+        list(roots.items()),
+        StructType([StructField("_rk", id_type), StructField("_rv", id_type)]))
     return (labels.join(F.broadcast(root_df), labels["_lbl"] == F.col("_rk"),
                         "left")
             .select(F.col("_id").alias("id"),

@@ -169,6 +169,21 @@ def _hpx_neighbors(order: int, pix: np.ndarray) -> np.ndarray:
     return np.concatenate([pix[:, None], nb], axis=1)
 
 
+def check_hpx_cell_col(data: DataFrame, cell_col: str, cell_level: int) -> None:
+    """Cheap misuse guard for the precomputed-cell fast paths: sample one
+    row and require a valid nested-HPX id at cell_level. Catches the easy
+    mistake of passing the co-existing HTM column (HTM L7 ids live in
+    [131072, 262144), outside HPX L7's [0, 196608) for most of the sky),
+    which would silently produce garbage join keys."""
+    row = data.select(cell_col).first()
+    if row is not None and row[0] is not None:
+        v = int(row[0])
+        if not 0 <= v < (12 << (2 * cell_level)):
+            raise ValueError(
+                f"{cell_col}={v} is not a nested-HPX cell id at level "
+                f"{cell_level} (did you pass an HTM column?)")
+
+
 def pick_match_level(radius_deg: float, max_level: int = 20) -> int:
     """Deepest HPX order whose max pixel radius still exceeds the match
     radius — guarantees ring-1 neighbors cover the match disc."""
@@ -204,6 +219,7 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
     use_cell = cell_col is not None and cell_level is not None
     if use_cell:
         level = min(level, cell_level)
+        check_hpx_cell_col(right, cell_col, cell_level)
 
     from pyspark.sql.pandas.functions import pandas_udf
     from ..functions.healpix import hpx_id as _hpx

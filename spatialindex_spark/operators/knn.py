@@ -67,6 +67,9 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     use_cell = cell_col is not None and cell_level is not None
     if use_cell:
         level = min(level, cell_level)
+        from .joins import check_hpx_cell_col
+
+        check_hpx_cell_col(data, cell_col, cell_level)
 
     lvl, rg = level, rings
 

@@ -147,21 +147,27 @@ AUDIO_FEATURE_SCHEMA = ("audio_id string, n_samples int, rms double, "
 
 def audio_features(df: DataFrame, rate: int = 8000) -> DataFrame:
     """Vectorized audio feature extraction over PCM payloads: RMS level,
-    zero-crossing rate, FFT spectral centroid. Same mapInPandas shape as the
-    image operators; external codecs (mp3/ogg) raise NotImplementedError."""
+    zero-crossing rate, FFT spectral centroid. Uses the per-row ``rate``
+    column when the table has one (mixed-rate corpora), else the ``rate``
+    argument. Same mapInPandas shape as the image operators; external
+    codecs (mp3/ogg) raise NotImplementedError."""
+    has_rate = "rate" in df.columns
+    cols = ["audio_id", "bytes", "fmt"] + (["rate"] if has_rate else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"audio_id": [], "n_samples": [], "rms": [], "zcr": [],
                     "spectral_centroid_hz": []}
-            for aid, data, fmt in zip(pdf["audio_id"], pdf["bytes"], pdf["fmt"]):
+            rates = pdf["rate"] if has_rate else [rate] * len(pdf)
+            for aid, data, fmt, r in zip(pdf["audio_id"], pdf["bytes"],
+                                         pdf["fmt"], rates):
                 if fmt not in ("pcm", "pcmz"):
                     raise NotImplementedError(
                         f"audio fmt {fmt!r}: external codec required")
                 pcm = imaging.decode_audio(bytes(data), fmt).astype(np.float64)
                 n = len(pcm)
                 mag = np.abs(np.fft.rfft(pcm))
-                freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                freqs = np.fft.rfftfreq(n, d=1.0 / float(r))
                 denom = mag.sum()
                 rows["audio_id"].append(aid)
                 rows["n_samples"].append(n)
@@ -172,4 +178,4 @@ def audio_features(df: DataFrame, rate: int = 8000) -> DataFrame:
                     float((freqs * mag).sum() / denom) if denom else 0.0)
             yield pd.DataFrame(rows)
 
-    return df.select("audio_id", "bytes", "fmt").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+    return df.select(*cols).mapInPandas(run, AUDIO_FEATURE_SCHEMA)

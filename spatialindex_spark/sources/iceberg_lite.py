@@ -206,10 +206,8 @@ class IcebergLiteTable:
                 snap = json.load(f)
             df = df.filter(F.col("bucket").isin([int(b) for b in snap["buckets"]]))
         if ranges:
+            from ..functions.cover import ranges_predicate
+
             df = df.filter(F.col("bucket").isin(self.buckets_for_ranges(ranges)))
-            pred = None
-            for lo, hi in ranges:
-                p = F.col(self.cell_col).between(lo, hi)
-                pred = p if pred is None else (pred | p)
-            df = df.filter(pred)
+            df = df.filter(ranges_predicate(F.col(self.cell_col), ranges))
         return df

@@ -49,15 +49,12 @@ def stream_region_filter(stream: DataFrame, ra: float, dec: float,
     stateless per micro-batch (predicates are stream-agnostic Columns)."""
     import math
 
-    from ..functions.cover import hpx_cone_ranges
+    from ..functions.cover import hpx_cone_ranges, ranges_predicate
     from ..functions.geometry import RAD_PER_DEG, sc_to_v3
 
     cells = stream.withColumn("spt_ind",
                               hpx_udf(level)(F.col(ra_col), F.col(dec_col)))
-    pred = None
-    for lo, hi in hpx_cone_ranges(level, ra, dec, radius):
-        p = F.col("spt_ind").between(int(lo), int(hi))
-        pred = p if pred is None else (pred | p)
+    pred = ranges_predicate(F.col("spt_ind"), hpx_cone_ranges(level, ra, dec, radius))
     c = sc_to_v3(ra, dec)
     rad = F.radians
     geom = (F.cos(rad(ra_col)) * F.cos(rad(dec_col)) * c.x
