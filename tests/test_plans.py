@@ -131,3 +131,22 @@ def test_knn_cell_col_keeps_big_side_jvm(spark):
     got = set(map(tuple, out.select("query_id", "image_id").collect()))
     want = set(map(tuple, ref.select("query_id", "image_id").collect()))
     assert got == want
+
+
+def test_cell_equijoin_is_sort_merge_for_large_sides(spark):
+    """J2: tile-to-tile matches shuffle both sides on the coarse cell prefix
+    and sort-merge join (the scalable plan for large-large); verified by
+    disabling broadcast to model two >threshold tables."""
+    from spatialindex_spark.operators.joins import cell_equijoin
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    img = synth_images_indexed(spark, 600, level=7, systems=("htm",))
+    a = img.select("image_id", "spt_ind")
+    b = img.select(F.col("image_id").alias("other_id"), "spt_ind")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(cell_equijoin(a, b, level_from=7, level_to=4))
+        assert "SortMergeJoin" in plan, plan[:1500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
