@@ -775,7 +775,11 @@ def oracle_sql() -> dict[str, str]:
             f"  x*({_cv(0)!r}) + y*({_cv(1)!r}) + z*({_cv(2)!r}))), 9) AS sep "
             "FROM sky WHERE o_orderkey <= 2000"
         ),
-        # minhash_dedup / simhash_dedup / ann_lsh / ann_ivf / embed_dedup /
-        # fingerprint: hash/quantizer-family specific, not SQL-expressible;
-        # driver records rows-only checks for these.
+        # fingerprint: min of rolling 8-byte polynomial hashes mod 2^64 —
+        # HUGEINT arithmetic reproduces the uint64 wrap exactly (ASCII docs,
+        # so ord(substr) == the UTF-8 byte)
+        "fingerprint": ('WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS p FROM documents WHERE length(text) >= 8), hashes AS (SELECT doc_id, (ord(substr(text, p + 0, 1))::HUGEINT * 1::HUGEINT + ord(substr(text, p + 1, 1))::HUGEINT * 257::HUGEINT + ord(substr(text, p + 2, 1))::HUGEINT * 66049::HUGEINT + ord(substr(text, p + 3, 1))::HUGEINT * 16974593::HUGEINT + ord(substr(text, p + 4, 1))::HUGEINT * 4362470401::HUGEINT + ord(substr(text, p + 5, 1))::HUGEINT * 1121154893057::HUGEINT + ord(substr(text, p + 6, 1))::HUGEINT * 288136807515649::HUGEINT + ord(substr(text, p + 7, 1))::HUGEINT * 74051159531521793::HUGEINT) % 18446744073709551616::HUGEINT AS h FROM pos), mins AS (SELECT doc_id, min(h) AS m FROM hashes GROUP BY doc_id) SELECT doc_id, (CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fp FROM mins'),
+        # minhash_dedup / simhash_dedup / ann_lsh / ann_ivf / embed_dedup:
+        # hash/quantizer-family specific, not SQL-expressible; driver
+        # records rows-only checks for these.
     }
