@@ -611,6 +611,66 @@ def _ellipse_where() -> str:
     )
 
 
+
+def _minhash_oracle_sql() -> str:
+    """ANSI-SQL replica of minhash_lsh_dedup(threshold=0.9, defaults):
+    DISTINCT 5-byte rolling shingle hashes (HUGEINT mod 2^64), the same 64
+    multiply-shift permutations (constants from the engine's seeded RNG),
+    min per permutation >> 1, 4 bands of 16 (signature-slice keys — the
+    engine keys bands on the slice itself so an external oracle can
+    reproduce the grouping), exact-jaccard verify >= 0.9, drop id_b."""
+    import numpy as np
+
+    from spatialindex_spark.operators.dedup import _minhash_params
+
+    a, b = _minhash_params(64)
+    perm_rows = ", ".join(f"({j}, {int(a[j])}, {int(b[j])})" for j in range(64))
+    C = [pow(257, j, 1 << 64) for j in range(5)]
+    terms = " + ".join(
+        f"ord(substr(text, p + {j}, 1))::HUGEINT * {C[j]}::HUGEINT"
+        for j in range(5))
+    M = "18446744073709551616::HUGEINT"
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 5 + 2)) AS p
+  FROM documents WHERE length(text) >= 5
+), sh AS (
+  SELECT DISTINCT doc_id, ({terms}) % {M} AS h FROM pos
+), perms(j, pa, pb) AS (VALUES {perm_rows}),
+sig AS (
+  SELECT doc_id, j,
+    ((h * pa::HUGEINT + pb::HUGEINT) % {M} // 2::HUGEINT)::BIGINT AS s0
+  FROM sh CROSS JOIN perms
+), sigm AS (
+  SELECT doc_id, j, min(s0) AS s FROM sig GROUP BY doc_id, j
+), sigs AS (
+  SELECT doc_id, list(s ORDER BY j) AS sg FROM sigm GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, bnd, sg[bnd*16 + 1 : bnd*16 + 16] AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bands x JOIN bands y ON x.bnd = y.bnd AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+  JOIN sh y ON y.doc_id = c.id_b AND y.h = x.h
+  GROUP BY c.id_a, c.id_b
+), ver AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  WHERE coalesce(i.i, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.9
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     cone1 = _cone_where(CONE)
     cone2 = _cone_where(CONE2)
@@ -779,7 +839,7 @@ def oracle_sql() -> dict[str, str]:
         # HUGEINT arithmetic reproduces the uint64 wrap exactly (ASCII docs,
         # so ord(substr) == the UTF-8 byte)
         "fingerprint": ('WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS p FROM documents WHERE length(text) >= 8), hashes AS (SELECT doc_id, (ord(substr(text, p + 0, 1))::HUGEINT * 1::HUGEINT + ord(substr(text, p + 1, 1))::HUGEINT * 257::HUGEINT + ord(substr(text, p + 2, 1))::HUGEINT * 66049::HUGEINT + ord(substr(text, p + 3, 1))::HUGEINT * 16974593::HUGEINT + ord(substr(text, p + 4, 1))::HUGEINT * 4362470401::HUGEINT + ord(substr(text, p + 5, 1))::HUGEINT * 1121154893057::HUGEINT + ord(substr(text, p + 6, 1))::HUGEINT * 288136807515649::HUGEINT + ord(substr(text, p + 7, 1))::HUGEINT * 74051159531521793::HUGEINT) % 18446744073709551616::HUGEINT AS h FROM pos), mins AS (SELECT doc_id, min(h) AS m FROM hashes GROUP BY doc_id) SELECT doc_id, (CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fp FROM mins'),
-        # minhash_dedup / simhash_dedup / ann_lsh / ann_ivf / embed_dedup:
-        # hash/quantizer-family specific, not SQL-expressible; driver
-        # records rows-only checks for these.
+        "minhash_dedup": _minhash_oracle_sql(),
+        # simhash_dedup / ann_lsh / ann_ivf / embed_dedup: hash/quantizer
+        # internals not SQL-expressible; driver records rows-only checks.
     }

@@ -178,14 +178,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     rows_per_band = num_perm // bands
     proj = _ensure_parallelism(df.select(id_col, text_col))
     sigs = proj.select(F.col(id_col), minhash_udf(num_perm, k)(F.col(text_col)).alias("_sig"))
-    band_cols = []
-    for b in range(bands):
-        band_cols.append(
-            F.xxhash64(F.concat_ws(",", *[
-                F.element_at("_sig", b * rows_per_band + i + 1).cast("string")
-                for i in range(rows_per_band)
-            ])).alias(f"_b{b}")
-        )
+    # band key = the signature slice itself (array<long>), NOT a hash of
+    # it: exact equivalence classes (no collision merges), and an external
+    # oracle can reproduce the grouping (a hash like xxhash64 couldn't be
+    # recomputed in ANSI SQL). Key width is rows_per_band longs — wider
+    # than a hash on the shuffle wire, but band rows are rows x bands of
+    # (id, key), negligible next to the corpus.
+    band_cols = [
+        F.slice("_sig", b * rows_per_band + 1, rows_per_band).alias(f"_b{b}")
+        for b in range(bands)
+    ]
     banded = sigs.select(id_col, *band_cols)
     stacked = banded.select(
         id_col,

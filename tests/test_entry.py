@@ -46,9 +46,9 @@ def test_queries_have_oracles_or_are_documented():
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     # every non-oracled query is one of the documented hash-family ops
+    # (minhash_dedup and fingerprint gained exact HUGEINT SQL oracles)
     assert set(qs) - set(oracles) == {
-        "minhash_dedup", "simhash_dedup", "ann_lsh", "ann_ivf",
-        "embed_dedup", "fingerprint"}
+        "simhash_dedup", "ann_lsh", "ann_ivf", "embed_dedup"}
 
 
 @pytest.mark.parametrize("name", SUBSET)
