@@ -671,6 +671,55 @@ WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
 """
 
 
+
+def _simhash_oracle_sql() -> str:
+    """ANSI-SQL replica of simhash_dedup(max_hamming=1, k=12): DISTINCT
+    12-byte rolling shingle hashes (HUGEINT mod 2^64), per-bit majority
+    simhash, 4x16-bit band candidate grouping, Hamming <= 1 verify, drop
+    id_b. This oracle caught a real engine bug (uint64 wraparound in the
+    majority score) during development."""
+    C = [pow(257, j, 1 << 64) for j in range(12)]
+    terms = " + ".join(
+        f"ord(substr(text, p + {j}, 1))::HUGEINT * {C[j]}::HUGEINT"
+        for j in range(12))
+    M = "18446744073709551616::HUGEINT"
+    bit_sums = ", ".join(
+        f"sum(((h // {1 << j}::HUGEINT) % 2::HUGEINT)::BIGINT) AS c{j}"
+        for j in range(64))
+    sh_build = " + ".join(
+        f"(CASE WHEN 2*c{j} > n THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
+        for j in range(64))
+    return f"""
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 12 + 2)) AS p
+  FROM documents WHERE length(text) >= 12
+), sh AS (
+  SELECT DISTINCT doc_id, ({terms}) % {M} AS h FROM pos
+), bits AS (
+  SELECT doc_id, count(*) AS n, {bit_sums} FROM sh GROUP BY doc_id
+), sim AS (
+  SELECT doc_id, ({sh_build}) AS u FROM bits
+), simi AS (
+  SELECT doc_id,
+    (CASE WHEN u >= 9223372036854775808::HUGEINT
+     THEN u - {M} ELSE u END)::BIGINT AS s, u
+  FROM sim
+), bands AS (
+  SELECT doc_id, s, bnd,
+    ((u // power(2, bnd*16)::HUGEINT) % 65536::HUGEINT)::BIGINT AS bh
+  FROM simi CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.s AS sa, y.s AS sb
+  FROM bands x JOIN bands y ON x.bnd = y.bnd AND x.bh = y.bh
+  WHERE x.doc_id < y.doc_id
+), ver AS (
+  SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     cone1 = _cone_where(CONE)
     cone2 = _cone_where(CONE2)
@@ -840,6 +889,7 @@ def oracle_sql() -> dict[str, str]:
         # so ord(substr) == the UTF-8 byte)
         "fingerprint": ('WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS p FROM documents WHERE length(text) >= 8), hashes AS (SELECT doc_id, (ord(substr(text, p + 0, 1))::HUGEINT * 1::HUGEINT + ord(substr(text, p + 1, 1))::HUGEINT * 257::HUGEINT + ord(substr(text, p + 2, 1))::HUGEINT * 66049::HUGEINT + ord(substr(text, p + 3, 1))::HUGEINT * 16974593::HUGEINT + ord(substr(text, p + 4, 1))::HUGEINT * 4362470401::HUGEINT + ord(substr(text, p + 5, 1))::HUGEINT * 1121154893057::HUGEINT + ord(substr(text, p + 6, 1))::HUGEINT * 288136807515649::HUGEINT + ord(substr(text, p + 7, 1))::HUGEINT * 74051159531521793::HUGEINT) % 18446744073709551616::HUGEINT AS h FROM pos), mins AS (SELECT doc_id, min(h) AS m FROM hashes GROUP BY doc_id) SELECT doc_id, (CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fp FROM mins'),
         "minhash_dedup": _minhash_oracle_sql(),
-        # simhash_dedup / ann_lsh / ann_ivf / embed_dedup: hash/quantizer
-        # internals not SQL-expressible; driver records rows-only checks.
+        "simhash_dedup": _simhash_oracle_sql(),
+        # ann_lsh / ann_ivf / embed_dedup: float hyperplane/centroid
+        # internals not SQL-reproducible; driver records rows-only checks.
     }

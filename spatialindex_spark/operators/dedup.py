@@ -88,7 +88,9 @@ def simhash_udf(k: int = 5):
         for i, t in enumerate(text.fillna("")):
             sh = _shingle_hashes(t, k)
             bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            score = bits.sum(axis=0) * 2 - len(sh)
+            # signed: the uint64 subtraction wrapped for minority bits,
+            # setting them anyway (found by the SQL oracle cross-check)
+            score = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)
             v = np.uint64(0)
             for j in np.nonzero(score > 0)[0]:
                 v |= np.uint64(1) << np.uint64(j)

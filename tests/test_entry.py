@@ -45,10 +45,9 @@ def test_queries_have_oracles_or_are_documented():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every non-oracled query is one of the documented hash-family ops
-    # (minhash_dedup and fingerprint gained exact HUGEINT SQL oracles)
-    assert set(qs) - set(oracles) == {
-        "simhash_dedup", "ann_lsh", "ann_ivf", "embed_dedup"}
+    # every non-oracled query uses float hyperplane/centroid internals
+    # (the hash-family dedup ops all have exact HUGEINT SQL oracles)
+    assert set(qs) - set(oracles) == {"ann_lsh", "ann_ivf", "embed_dedup"}
 
 
 @pytest.mark.parametrize("name", SUBSET)
