@@ -84,17 +84,28 @@ def minhash_udf(num_perm: int = 64, k: int = 5):
 def simhash_udf(k: int = 5):
     @pandas_udf("long")
     def _udf(text: pd.Series) -> pd.Series:
-        out = np.empty(len(text), dtype=np.int64)
-        for i, t in enumerate(text.fillna("")):
-            sh = _shingle_hashes(t, k)
-            bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            # signed: the uint64 subtraction wrapped for minority bits,
-            # setting them anyway (found by the SQL oracle cross-check)
-            score = bits.sum(axis=0).astype(np.int64) * 2 - len(sh)
-            v = np.uint64(0)
-            for j in np.nonzero(score > 0)[0]:
-                v |= np.uint64(1) << np.uint64(j)
-            out[i] = np.int64(v.astype(np.int64))
+        # batch-vectorized per-bit majority: concatenate every doc's unique
+        # shingle set, count ones per (doc, bit) with one reduceat per bit
+        # chunk — no per-row Python in the hot loop. Score accumulates
+        # SIGNED (the uint64 wrap here used to set minority bits; found by
+        # the SQL oracle cross-check).
+        shingle_sets = [_shingle_hashes(t, k) for t in text.fillna("")]
+        lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+        if len(lens) == 0:
+            return pd.Series([], dtype=np.int64)
+        flat = np.concatenate(shingle_sets)
+        offsets = np.zeros(len(lens), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        out = np.zeros(len(lens), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for j0 in range(0, 64, 8):  # 8-bit chunks bound the workspace
+                js = np.arange(j0, j0 + 8, dtype=np.uint64)
+                bits = ((flat[:, None] >> js[None, :]) & np.uint64(1)) \
+                    .astype(np.int64)
+                ones = np.add.reduceat(bits, offsets, axis=0)
+                score = 2 * ones - lens[:, None]
+                for jj in range(8):
+                    out |= (score[:, jj] > 0).astype(np.int64) << (j0 + jj)
         return pd.Series(out)
 
     return _udf
