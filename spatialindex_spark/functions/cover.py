@@ -312,13 +312,20 @@ def htm_polygon_ranges(poly: SphericalPolygon, level: int,
 # HPX coverings (stack-based DFS in ascending nested order)
 # ---------------------------------------------------------------------------
 
-def hpx_cone_ranges(omax: int, ra: float, dec: float, radius_deg: float) -> list[list[int]]:
+def hpx_cone_ranges(omax: int, ra: float, dec: float, radius_deg: float,
+                    exact_ends: bool = False) -> list[list[int]]:
     """hpxConeSearch (sptQueryLib.c:1311-1630).
 
     Zone logic per pixel: bounding-circle test against cos(r±dr[order]);
     zone 3 emits [pix<<2k, (pix+1)<<2k] (the reference's one-past-end form),
     zones 1-2 recurse, bottom level keeps single pixels. Emission order is
     ascending so the adjacent-merge check matches the reference exactly.
+
+    exact_ends=True emits the true subtree end ((pix+1)<<2k - 1) instead of
+    the reference's one-past-end quirk cell — REQUIRED whenever the ranges
+    feed certainty-sensitive consumers (count lower bounds): the quirk cell
+    belongs to the NEXT Z-order sibling and can lie entirely outside the
+    region. String-parity paths keep the default.
     """
     dtr = RAD_PER_DEG
     ux = math.cos(ra * dtr) * math.cos(dec * dtr)
@@ -357,7 +364,8 @@ def hpx_cone_ranges(omax: int, ra: float, dec: float, radius_deg: float) -> list
             if zone == 3:
                 sdist = 2 * (omax - o)
                 lo = pix << sdist
-                hi = (pix + 1) << sdist  # reference quirk: one past the end
+                # reference quirk: one past the end (see exact_ends)
+                hi = ((pix + 1) << sdist) - (1 if exact_ends else 0)
                 if ranges and lo == ranges[-1][1] + 1:
                     ranges[-1][1] = hi
                 else:

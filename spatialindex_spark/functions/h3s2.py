@@ -54,11 +54,6 @@ def _uv_to_st(u):
                     1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)))
 
 
-def _st_to_uv(s):
-    return np.where(s >= 0.5, (1.0 / 3.0) * (4.0 * s * s - 1.0),
-                    (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s)))
-
-
 def s2_id(x, y, z, level: int) -> np.ndarray:
     """S2-style cell id: (face << 2L) | interleave(i, j), i/j from the
     quadratic-projected st coordinates. int64, hierarchical by 2-bit suffix."""
@@ -79,10 +74,6 @@ def s2_id(x, y, z, level: int) -> np.ndarray:
 def s2_parent(ids: np.ndarray, level: int, parent_level: int) -> np.ndarray:
     """Ancestor cell at a coarser level (2 bits per level)."""
     return np.asarray(ids, dtype=np.int64) >> (2 * (level - parent_level))
-
-
-def s2_level_from_sorted(level: int) -> int:
-    return level
 
 
 def h3_id(ra, dec, res: int) -> np.ndarray:

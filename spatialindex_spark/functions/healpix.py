@@ -254,9 +254,12 @@ _NB_SWAPARRAY = np.array([
 
 
 def neighbors(order: int, pix: np.ndarray) -> np.ndarray:
-    """Exact ring-1 neighbors of NESTED pixels: (n, 8) int64 array, -1 where
-    a neighbor does not exist (the 8 corner-deficient pixels per face edge
-    meeting). Fully vectorized."""
+    """Exact ring-1 neighbors of NESTED pixels: (n, 8) int64 array. The 8
+    corner-deficient pixels (face-corner meetings) have only 7 distinct
+    neighbors; their missing slot carries a DUPLICATE of an existing
+    neighbor, not a -1 sentinel — harmless for join keys / set semantics,
+    but deduplicate before counting. Fully vectorized; exactness validated
+    against dense-sampled adjacency (test_operators)."""
     pix = np.atleast_1d(np.asarray(pix, dtype=np.int64))
     nside = np.int64(1) << order
     ix, iy, face = nest2xyf(order, pix)
@@ -305,3 +308,16 @@ def pix2vec(order: int, pix):
     z, phi = pix2loc(order, pix)
     sintheta = np.sqrt((1.0 - z) * (1.0 + z))
     return sintheta * np.cos(phi), sintheta * np.sin(phi), z
+
+
+def safe_ring1_rad(order: int) -> float:
+    """Largest angular distance (radians) guaranteed to leave two points in
+    the SAME or ring-1-adjacent cells at this order — the sound bound for
+    neighbor-cell join levels. NOTE: max_pix_rad (the largest pixel
+    circumradius) is NOT sound for this: points separated by ~0.66-1.0x
+    max_pix_rad can land in non-adjacent cells (measured: 4072/300k pairs at
+    0.9x, order 7). Empirical safe/max ratio converges to ~0.656 (the
+    narrowest pixel dimension) from above; 0.59x adds a sampling-safety
+    margin and is conservative at every order (measured table in
+    tests/fixtures/safe_radius.json; generator recipe in FIXTURES.md)."""
+    return 0.59 * max_pix_rad(order)

@@ -23,9 +23,14 @@ _tried = False
 
 
 def _build_dir() -> str:
+    # per-user dir with owner-only permissions: a fixed shared /tmp path
+    # would let another local user pre-plant a malicious .so that ctypes
+    # silently loads into the driver and every Spark worker
     d = os.environ.get("SPT_NATIVE_DIR") or os.path.join(
-        tempfile.gettempdir(), "spt_native")
-    os.makedirs(d, exist_ok=True)
+        tempfile.gettempdir(), f"spt_native_uid{os.getuid()}")
+    os.makedirs(d, mode=0o700, exist_ok=True)
+    if os.stat(d).st_uid != os.getuid():
+        raise RuntimeError(f"native build dir {d} is owned by another user")
     return d
 
 

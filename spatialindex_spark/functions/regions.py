@@ -187,9 +187,13 @@ def _ellipse_isect(v1: V3, v2: V3, e: SphericalEllipse) -> bool:
         return v_dot(v, e.cen) >= 0.0
 
     if c11 == 0.0:
-        if c21 == 0.0:
+        # v1 + v2 is itself a boundary solution on the edge (htm.c:548-561)
+        if e.a >= 90.0 or v_dot(e1, e.cen) >= 0.0:
+            return True
+        # the other solution is given by a linear equation
+        if c22 == 0.0 or abs(c22) < abs(2.0 * c21):
             return False
-        return e.a >= 90.0 or in_hemis(-0.0) or in_hemis(-c11 / (2.0 * c21))
+        return in_hemis(-2.0 * c21 / c22)
     if c22 == 0.0:
         if c21 == 0.0:
             return False

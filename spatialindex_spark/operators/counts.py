@@ -67,11 +67,21 @@ def region_count_bounds(counts: DataFrame, ra: float, dec: float,
     inner_radius = radius - 2.2 * cell_rad
     inner_ranges = []
     if inner_radius > 0:
-        inner = si.cone_search(ra, dec, inner_radius, mode=mode, level=level,
-                               encoding=0, colname="cell", compress=False,
-                               as_constraints=True)
-        if not inner.status:
-            inner_ranges = inner.ranges
+        if mode == SpatialIndex.HPX:
+            # exact_ends: the reference covering's one-past-end quirk cell
+            # belongs to the next Z-order sibling and can sit entirely
+            # OUTSIDE the cone — including it would inflate the "certain"
+            # lower bound above the true count
+            from ..functions.cover import hpx_cone_ranges
+
+            inner_ranges = hpx_cone_ranges(level, ra, dec, inner_radius,
+                                           exact_ends=True)
+        else:
+            inner = si.cone_search(ra, dec, inner_radius, mode=mode,
+                                   level=level, encoding=0, colname="cell",
+                                   compress=False, as_constraints=True)
+            if not inner.status:
+                inner_ranges = inner.ranges
 
     lvl_counts = counts.filter(F.col("level") == level)
 

@@ -34,16 +34,23 @@ from ..functions.healpix import max_pix_rad
 # ---------------------------------------------------------------------------
 
 def region_ranges_df(spark, regions: list[dict], level: int = 7,
-                     mode: int = SpatialIndex.HTM, anchor_shift: int = 8):
+                     mode: int = SpatialIndex.HTM, anchor_shift: int = 8,
+                     max_anchor_rows: int = 200_000):
     """regions: [{'region_id': .., 'kind': 'cone'|'poly', ...params}] ->
-    DataFrame (region_id, cell_lo, cell_hi, anchor) of covering ranges plus
-    a dict of exact-geometry params per region.
+    (DataFrame (region_id, cell_lo, cell_hi, anchor), geoms dict,
+    anchor_shift actually used).
 
     ``anchor`` is the coarse cell prefix (cell >> anchor_shift) each range
     overlaps, one row per (range, anchor). Joining on it turns the range join
     into a broadcast HASH equi-join with a residual BETWEEN — a
     BroadcastNestedLoopJoin over every (row, range) pair would evaluate
-    O(rows x ranges) predicates and dominates the job at scale."""
+    O(rows x ranges) predicates and dominates the job at scale.
+
+    anchor_shift auto-widens until the anchor row count fits
+    ``max_anchor_rows``: at deep levels a single covering range spans 4^k
+    cells, and a fixed shift would otherwise enumerate billions of driver
+    rows (wider anchors only grow the residual filter's false-positive
+    band, never lose matches)."""
     si = SpatialIndex()
     rows = []
     geoms = {}
@@ -74,12 +81,23 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
         if c is not None and c.status:
             raise ValueError(f"region {r['region_id']}: {c.error_message}")
         geoms[r["region_id"]] = geom
+        rows.append((r["region_id"], ranges))
+    # widen the anchor prefix until the exploded row count is bounded
+    def n_anchors(shift: int) -> int:
+        return sum((int(hi) >> shift) - (int(lo) >> shift) + 1
+                   for _, ranges in rows for lo, hi in ranges)
+
+    while n_anchors(anchor_shift) > max_anchor_rows and anchor_shift < 62:
+        anchor_shift += 2
+    out = []
+    for rid, ranges in rows:
         for lo, hi in ranges:
+            lo, hi = int(lo), int(hi)
             for anchor in range(lo >> anchor_shift, (hi >> anchor_shift) + 1):
-                rows.append((r["region_id"], lo, hi, anchor))
+                out.append((rid, lo, hi, anchor))
     df = spark.createDataFrame(
-        rows, "region_id long, cell_lo long, cell_hi long, anchor long")
-    return df, geoms
+        out, "region_id long, cell_lo long, cell_hi long, anchor long")
+    return df, geoms, anchor_shift
 
 
 def region_join(points: DataFrame, regions: list[dict], level: int = 7,
@@ -90,15 +108,17 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
 
     Plan: broadcast range-join on the cell covering (coarse superset) then
     exact per-region geometry. Output = points columns + region_id.
-    ``preplanned`` accepts a cached (ranges_df, geoms) pair from
-    region_ranges_df so repeated joins skip the driver-side covering work.
+    ``preplanned`` accepts a cached (ranges_df, geoms, anchor_shift) tuple
+    from region_ranges_df so repeated joins skip driver-side covering work.
     """
     spark = points.sparkSession
-    anchor_shift = 8
     if preplanned is not None:
-        ranges, geoms = preplanned
+        # (ranges_df, geoms, anchor_shift) from region_ranges_df — the shift
+        # travels with the plan so cached plans can't silently join on
+        # mismatched anchors
+        ranges, geoms, anchor_shift = preplanned
     else:
-        ranges, geoms = region_ranges_df(spark, regions, level, mode, anchor_shift)
+        ranges, geoms, anchor_shift = region_ranges_df(spark, regions, level, mode)
 
     # coalesce makes the cell key non-null so Catalyst's inferred
     # isnotnull(join key) filter constant-folds — without it the filter is
@@ -185,11 +205,14 @@ def check_hpx_cell_col(data: DataFrame, cell_col: str, cell_level: int) -> None:
 
 
 def pick_match_level(radius_deg: float, max_level: int = 20) -> int:
-    """Deepest HPX order whose max pixel radius still exceeds the match
-    radius — guarantees ring-1 neighbors cover the match disc."""
+    """Deepest HPX order whose SAFE ring-1 radius (healpix.safe_ring1_rad —
+    not max_pix_rad, which under-covers) still exceeds the match radius, so
+    ring-1 neighbors provably cover the match disc."""
+    from ..functions.healpix import safe_ring1_rad
+
     r = radius_deg * RAD_PER_DEG
     level = 0
-    while level < max_level and max_pix_rad(level + 1) > r:
+    while level < max_level and safe_ring1_rad(level + 1) >= r:
         level += 1
     return level
 
@@ -222,19 +245,29 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
         check_hpx_cell_col(right, cell_col, cell_level)
 
     from pyspark.sql.pandas.functions import pandas_udf
-    from ..functions.healpix import hpx_id as _hpx
+    from ..functions.healpix import hpx_id as _hpx, safe_ring1_rad
 
     lvl = level
+    # rings needed so ring-r adjacency provably covers radius_deg (chain
+    # argument: points <= r*safe apart connect through r adjacent cells).
+    # 1 whenever level came from pick_match_level; >1 only for radii beyond
+    # the order-0 safe radius (~28 deg) or a user-forced coarse level.
+    rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
 
     def _nb_lists(pix: np.ndarray) -> pd.Series:
-        nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
-        # row-wise dedup without a per-row unique() call: mask repeats in the
-        # sorted rows, then split the kept values by per-row counts
-        keep = np.ones(nb.shape, dtype=bool)
-        keep[:, 1:] = nb[:, 1:] != nb[:, :-1]
-        counts = keep.sum(axis=1)
-        flat = nb[keep]
-        return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
+        if rings == 1:
+            nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
+            # row-wise dedup without a per-row unique() call: mask repeats
+            # in the sorted rows, split kept values by per-row counts
+            keep = np.ones(nb.shape, dtype=bool)
+            keep[:, 1:] = nb[:, 1:] != nb[:, :-1]
+            counts = keep.sum(axis=1)
+            flat = nb[keep]
+            return pd.Series(np.split(flat, np.cumsum(counts)[:-1]))
+        rows = [np.atleast_1d(p) for p in pix]
+        for _ in range(rings):
+            rows = [np.unique(_hpx_neighbors(lvl, row)) for row in rows]
+        return pd.Series(rows)
 
     @pandas_udf("long")
     def cell_of(ra: pd.Series, dec: pd.Series) -> pd.Series:

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions.geometry import RAD_PER_DEG
-from ..functions.healpix import hpx_id, max_pix_rad
+from ..functions.healpix import hpx_id, max_pix_rad, safe_ring1_rad
 from .joins import _hpx_neighbors
 
 
@@ -60,7 +60,7 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         if max_radius_deg is not None:
             r = max_radius_deg * RAD_PER_DEG
             level = 0
-            while level < 13 and max_pix_rad(level + 1) > r:
+            while level < 13 and safe_ring1_rad(level + 1) >= r:
                 level += 1
         else:
             level = 5
@@ -170,7 +170,10 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
 
 
 def verified_radius_deg(level: int, rings: int = 1) -> float:
-    """Radius within which knn() results are guaranteed complete: ring r
-    covers at least (r) pixel in-radii around the query cell. Conservative
-    bound using the max pixel radius as the pixel extent."""
-    return rings * max_pix_rad(level) / RAD_PER_DEG
+    """Radius within which knn() results are guaranteed complete. Uses the
+    measured SAFE ring-1 radius (healpix.safe_ring1_rad), not max_pix_rad:
+    points at 0.66-1.0x max_pix_rad can land in non-adjacent cells, so the
+    old bound silently over-promised (candidates could be missed without
+    triggering the starved-query exact fallback). Chain argument: any point
+    within rings * safe is reachable through `rings` cell adjacencies."""
+    return rings * safe_ring1_rad(level) / RAD_PER_DEG

@@ -76,9 +76,14 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
     d = data.select(F.col(d_id), F.col(d_vec).alias("_dv"),
                     sig(F.col(d_vec)).alias("_bkt"))
 
-    probes = [F.col("_sig")]
-    if hamming_probe >= 1:
-        probes += [F.col("_sig").bitwiseXOR(F.lit(1 << j)) for j in range(bits)]
+    # every XOR mask with <= hamming_probe bits set (C(bits, d) probes per
+    # distance d — the documented knob really widens the search)
+    from itertools import combinations
+
+    masks = [0]
+    for d_ in range(1, hamming_probe + 1):
+        masks += [sum(1 << j for j in c) for c in combinations(range(bits), d_)]
+    probes = [F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks]
     q = (queries.select(F.col(q_id), F.col(q_vec).alias("_qv"),
                         sig(F.col(q_vec)).alias("_sig"))
          .withColumn("_bkt", F.explode(F.array(*probes)))

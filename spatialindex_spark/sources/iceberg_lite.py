@@ -59,12 +59,21 @@ class IcebergLiteTable:
 
     # -- bucket math --------------------------------------------------------
     def bucket_expr(self):
+        """Bucket id, failing LOUDLY on null or out-of-id-space cells: an
+        unclamped expression sent nulls to the last bucket (F.least skips
+        nulls) and below-range ids to negative buckets no write group ever
+        selected — silent row loss in a checksummed, resumable layout."""
         span = self.hi - self.lo
-        return F.least(
-            F.lit(self.num_buckets - 1),
-            ((F.col(self.cell_col) - F.lit(self.lo)) * self.num_buckets / F.lit(span))
-            .cast("long"),
-        )
+        cell = F.col(self.cell_col)
+        raw = ((cell - F.lit(self.lo)) * self.num_buckets / F.lit(span)) \
+            .cast("long")
+        bad = cell.isNull() | (cell < self.lo) | (cell >= self.hi)
+        return F.when(
+            bad,
+            F.raise_error(F.format_string(
+                f"cell id %s outside the {self.system} level-{self.level} "
+                f"id space [{self.lo}, {self.hi})", cell.cast("string")))
+        ).otherwise(F.least(F.lit(self.num_buckets - 1), raw))
 
     def bucket_of_cell(self, cell: int) -> int:
         span = self.hi - self.lo

@@ -481,3 +481,77 @@ def test_interval_point_join_matches_brute(spark):
     plan = interval_point_join(l, r, by="key", bucket="30 minutes") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_crossmatch_danger_band_radius_matches_brute(spark):
+    """Regression for the unsound ring-1 bound: radii in (safe, max_pix_rad]
+    of some order made the old level picker choose a level where true pairs
+    straddle NON-adjacent cells and were silently dropped. 0.86 deg sits in
+    order 6's danger band; the safe picker must return the complete pair
+    set."""
+    import math
+
+    rng = np.random.default_rng(77)
+    n = 1500
+    ra = 40.0 + rng.uniform(0, 8, n)
+    dec = -20.0 + rng.uniform(0, 8, n)
+    pts = spark.createDataFrame(
+        [(int(i), float(a), float(d)) for i, (a, d) in enumerate(zip(ra, dec))],
+        "pid long, ra double, dec double").localCheckpoint(eager=True)
+
+    from spatialindex_spark.operators.joins import crossmatch
+
+    r_deg = 0.86
+    got = set()
+    for row in crossmatch(pts, pts, r_deg).select("pid_l", "pid_r").collect():
+        got.add((row.pid_l, row.pid_r))
+    # driver brute force
+    x = np.cos(np.radians(ra)) * np.cos(np.radians(dec))
+    y = np.sin(np.radians(ra)) * np.cos(np.radians(dec))
+    z = np.sin(np.radians(dec))
+    dots = np.stack([x, y, z], 1) @ np.stack([x, y, z], 1).T
+    want = set(zip(*np.nonzero(dots >= math.cos(math.radians(r_deg)))))
+    want = {(int(a), int(b)) for a, b in want}
+    missing = want - got
+    assert not missing, f"{len(missing)} pairs dropped, e.g. {list(missing)[:3]}"
+    assert got == want
+
+
+def test_safe_ring1_radius_table():
+    """The 0.59 * max_pix_rad bound stays below the measured safe radius at
+    every order, and max_pix_rad itself provably violates adjacency."""
+    import json
+    import os
+
+    from spatialindex_spark.functions.healpix import (
+        hpx_id, max_pix_rad, neighbors, safe_ring1_rad)
+
+    with open(os.path.join(os.path.dirname(__file__), "fixtures",
+                           "safe_radius.json")) as f:
+        measured = {int(k): v for k, v in json.load(f).items()}
+    for order, safe in measured.items():
+        assert safe_ring1_rad(order) <= safe, order
+
+    # sampling check at order 7: zero violations at the safe bound, real
+    # violations at max_pix_rad (the old, unsound bound)
+    rng = np.random.default_rng(5)
+    n = 120_000
+    zc = rng.uniform(-1, 1, n); phi = rng.uniform(0, 2 * np.pi, n)
+    st = np.sqrt(1 - zc * zc)
+    p = np.stack([st * np.cos(phi), st * np.sin(phi), zc], 1)
+    a = rng.standard_normal((n, 3))
+    t = a - (a * p).sum(1)[:, None] * p
+    t /= np.linalg.norm(t, axis=1)[:, None]
+
+    def viol(r):
+        q = np.cos(r) * p + np.sin(r) * t
+        def cells(v):
+            ra = np.degrees(np.arctan2(v[:, 1], v[:, 0])) % 360
+            dec = np.degrees(np.arcsin(np.clip(v[:, 2], -1, 1)))
+            return hpx_id(7, ra, dec)
+        cp, cq = cells(p), cells(q)
+        nb = neighbors(7, cp)
+        return int((~((cp == cq) | (nb == cq[:, None]).any(1))).sum())
+
+    assert viol(safe_ring1_rad(7)) == 0
+    assert viol(max_pix_rad(7) * 0.98) > 0
