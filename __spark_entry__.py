@@ -265,16 +265,37 @@ def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", "rank")
 
 
-def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN (approximate — no SQL oracle; rows-only check)."""
-    from spatialindex_spark.operators.similarity import lsh_topk
+#: embeddings.parquet is dim-64 at every sf (TESTDATA.md); hardcoding the
+#: dim keeps oracle SQL and engine planes in lockstep and avoids an extra
+#: driver-side .first() job per query.
+_EMB_DIM = 64
+_ANN_K = 5
+_LSH_BITS = 8
+_LSH_PROBE = 3
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()[0])
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH ANN with a machine-checked recall signal: each approximate
+    top-k row carries a ``hit`` flag marking membership in the exact
+    top-k (the brute-force twin, computed in-query). The DuckDB oracle
+    replicates the ENTIRE pipeline — integer-quantized ternary-plane
+    bucketing (exact int64 arithmetic), Hamming<=3 multiprobe, cosine
+    re-rank — so a green hash certifies both bucket-spec parity and the
+    measured recall@k."""
+    from spatialindex_spark.operators.similarity import (
+        brute_force_topk, lsh_topk)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
     q = (emb.filter(F.col("vec_id") < 3)
             .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = lsh_topk(q, emb, k=5, dim=dim, bits=8)
-    return out.select("query_id", "vec_id", "rank")
+    approx = lsh_topk(q, emb, k=_ANN_K, dim=_EMB_DIM,
+                      bits=_LSH_BITS, hamming_probe=_LSH_PROBE)
+    exact = (brute_force_topk(q, emb, k=_ANN_K)
+             .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    return (approx.join(exact, ["query_id", "vec_id"], "left")
+            .select("query_id", "vec_id", "rank",
+                    F.coalesce("hit", F.lit(0)).alias("hit")))
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -408,26 +429,54 @@ def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("level").select("level", "total"))
 
 
+_IVF_NC = 16
+_IVF_NPROBE = 6
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (approximate; rows-only check)."""
-    from spatialindex_spark.operators.similarity import ivf_topk
+    """IVF ANN with a machine-checked recall signal (same ``hit`` contract
+    as ann_lsh). The DuckDB oracle replicates centroid selection (the
+    deterministic multiplicative id-hash — exact integer arithmetic),
+    nearest-centroid assignment, nprobe probing, and the cosine re-rank."""
+    from spatialindex_spark.operators.similarity import (
+        brute_force_topk, ivf_topk)
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .withColumn("embedding", F.col("embedding").cast("array<double>")))
-    dim = len(emb.select("embedding").first()[0])
     q = (emb.filter(F.col("vec_id") < 3)
             .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return ivf_topk(q, emb, k=5, dim=dim).select("query_id", "vec_id", "rank")
+    approx = ivf_topk(q, emb, k=_ANN_K, dim=_EMB_DIM,
+                      ncentroids=_IVF_NC, nprobe=_IVF_NPROBE)
+    exact = (brute_force_topk(q, emb, k=_ANN_K)
+             .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    return (approx.join(exact, ["query_id", "vec_id"], "left")
+            .select("query_id", "vec_id", "rank",
+                    F.coalesce("hit", F.lit(0)).alias("hit")))
 
 
 def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup removal (rows-only check)."""
+    """Embedding-cosine near-dup removal over a corpus with deterministic
+    planted near-duplicates (the raw table's max pair cosine is ~0.51, so
+    a 0.9-threshold dedup would be vacuous). Every vec_id % 20 == 0 row
+    gets a perturbed twin (elementwise integer-derived offsets — exact and
+    identical in Spark and DuckDB) at cosine ~0.99. The oracle computes
+    ground-truth all-pairs dedup, so a green hash PROVES the banded-LSH
+    candidate generation achieved recall 1.0 on the fixture (and no false
+    drops)."""
     from spatialindex_spark.operators.similarity import embedding_cosine_dedup
 
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-           .withColumn("embedding", F.col("embedding").cast("array<double>")))
-    dim = len(emb.select("embedding").first()[0])
-    return embedding_cosine_dedup(emb, dim=dim, threshold=0.95).select("vec_id")
+           .withColumn("embedding", F.col("embedding").cast("array<double>"))
+           .select("vec_id", "embedding"))
+    pert = F.transform(
+        "embedding",
+        lambda x, i: x + (((F.col("vec_id") * 7 + i * 13) % 11) - 5) / F.lit(200.0))
+    dups = (emb.filter(F.col("vec_id") % 20 == 0)
+            .withColumn("embedding", pert)
+            .withColumn("vec_id", F.col("vec_id") + 100000))
+    full = emb.unionByName(dups)
+    return embedding_cosine_dedup(full, dim=_EMB_DIM, threshold=0.9,
+                                  band_bits=6, nbands=4).select("vec_id")
 
 
 def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -720,6 +769,129 @@ WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
 """
 
 
+def _planes_values_sql(bits: int, dim: int = _EMB_DIM) -> str:
+    """Nonzero entries of the seeded ternary projection matrix as SQL VALUES
+    rows (j = bit, i = 1-based vector index, w in {-1, +1}). Same
+    ternary_planes() draw as the engine's quantized_signature_udf."""
+    from spatialindex_spark.operators.similarity import ternary_planes
+
+    P = ternary_planes(dim, bits)
+    return ", ".join(f"({j}, {i + 1}, {int(P[j, i])})"
+                     for j in range(bits) for i in range(dim)
+                     if P[j, i] != 0)
+
+
+def _sig_ctes_sql(bits: int) -> str:
+    """CTE chain computing each embedding's quantized ternary-LSH bucket —
+    pure integer arithmetic (floor(v*1024) is exact: 1024 is a power of
+    two), bit-identical to quantized_signature_udf."""
+    return (
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        f"planes(j, i, w) AS (VALUES {_planes_values_sql(bits)}), "
+        "proj AS (SELECT e.vec_id, p.j, "
+        "  sum(CAST(floor(e.v[p.i] * 1024) AS BIGINT) * p.w) AS s "
+        "  FROM e CROSS JOIN planes p GROUP BY 1, 2), "
+        "sig AS (SELECT vec_id, CAST(sum(CASE WHEN s > 0 "
+        "  THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS bkt "
+        "  FROM proj GROUP BY 1)"
+    )
+
+
+_ANN_EXACT_CTE = (
+    "exact AS (SELECT query_id, vec_id FROM ("
+    "  SELECT q.vec_id AS query_id, d.vec_id, "
+    "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+    "      list_cosine_similarity(q.v, d.v) DESC, d.vec_id ASC) AS xr "
+    f"  FROM e q, e d WHERE q.vec_id < 3) WHERE xr <= {_ANN_K})"
+)
+
+_ANN_TAIL = (
+    "SELECT s.query_id, s.vec_id, s.rank, "
+    "  CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit "
+    "FROM scored s LEFT JOIN exact x "
+    "  ON x.query_id = s.query_id AND x.vec_id = s.vec_id "
+    f"WHERE s.rank <= {_ANN_K}"
+)
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """Full SQL replica of lsh_topk(bits=8, hamming_probe=3) plus the
+    exact-top-k hit flag: quantized ternary buckets, XOR multiprobe,
+    cosine re-rank (rank ties break by vec_id, as in the engine)."""
+    from spatialindex_spark.operators.similarity import probe_masks
+
+    masks = ", ".join(f"({m})" for m in probe_masks(_LSH_BITS, _LSH_PROBE))
+    return (
+        f"WITH {_sig_ctes_sql(_LSH_BITS)}, "
+        f"masks(m) AS (VALUES {masks}), "
+        "qs AS (SELECT vec_id AS query_id, bkt FROM sig WHERE vec_id < 3), "
+        "probes AS (SELECT query_id, xor(bkt, CAST(m AS BIGINT)) AS pb "
+        "  FROM qs CROSS JOIN masks), "
+        "cand AS (SELECT p.query_id, s.vec_id "
+        "  FROM probes p JOIN sig s ON s.bkt = p.pb), "
+        "scored AS (SELECT c.query_id, c.vec_id, "
+        "  row_number() OVER (PARTITION BY c.query_id ORDER BY "
+        "    list_cosine_similarity(q.v, d.v) DESC, c.vec_id ASC) AS rank "
+        "  FROM cand c JOIN e q ON q.vec_id = c.query_id "
+        "  JOIN e d ON d.vec_id = c.vec_id), "
+        f"{_ANN_EXACT_CTE} {_ANN_TAIL}"
+    )
+
+
+def _ann_ivf_oracle_sql() -> str:
+    """Full SQL replica of ivf_topk(ncentroids=16, nprobe=6): centroids =
+    the 16 ids with the smallest multiplicative hash (exact integer math,
+    ties by id), assignment/probing rank centroids by (cosine DESC,
+    centroid index ASC) — matching the engine's stable argsort."""
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "cent AS (SELECT vec_id AS cid, v AS cv, "
+        "    row_number() OVER (ORDER BY "
+        "      ((vec_id % 1000003) * 2654435761) % 999999937 ASC, vec_id ASC) "
+        "      - 1 AS cidx "
+        f"  FROM e QUALIFY cidx < {_IVF_NC}), "
+        "assign AS (SELECT vec_id, cidx FROM ("
+        "  SELECT d.vec_id, c.cidx, row_number() OVER (PARTITION BY d.vec_id "
+        "    ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cidx ASC) AS rn "
+        "  FROM e d, cent c) WHERE rn = 1), "
+        "qprobe AS (SELECT query_id, cidx FROM ("
+        "  SELECT q.vec_id AS query_id, c.cidx, "
+        "    row_number() OVER (PARTITION BY q.vec_id "
+        "    ORDER BY list_cosine_similarity(q.v, c.cv) DESC, c.cidx ASC) AS rn "
+        f"  FROM e q, cent c WHERE q.vec_id < 3) WHERE rn <= {_IVF_NPROBE}), "
+        "cand AS (SELECT p.query_id, a.vec_id "
+        "  FROM qprobe p JOIN assign a ON a.cidx = p.cidx), "
+        "scored AS (SELECT c.query_id, c.vec_id, "
+        "  row_number() OVER (PARTITION BY c.query_id ORDER BY "
+        "    list_cosine_similarity(q.v, d.v) DESC, c.vec_id ASC) AS rank "
+        "  FROM cand c JOIN e q ON q.vec_id = c.query_id "
+        "  JOIN e d ON d.vec_id = c.vec_id), "
+        f"{_ANN_EXACT_CTE} {_ANN_TAIL}"
+    )
+
+
+def _embed_dedup_oracle_sql() -> str:
+    """Ground-truth all-pairs replica of the embed_dedup query: the same
+    deterministic planted twins (integer-derived elementwise offsets —
+    bit-identical float ops in both engines), losers = any higher id within
+    cosine 0.9 of a lower id. All-pairs is feasible at oracle scale (525
+    rows) and PROVES the engine's banded-LSH candidates reached recall 1.0."""
+    return (
+        "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "dup AS (SELECT b.vec_id + 100000 AS did, "
+        "    list_transform(range(0, 64), i -> "
+        "      b.v[i + 1] + ((b.vec_id * 7 + i * 13) % 11 - 5) / 200.0) AS v "
+        "  FROM base b WHERE b.vec_id % 20 = 0), "
+        "allv AS (SELECT vec_id, v FROM base "
+        "  UNION ALL SELECT did AS vec_id, v FROM dup), "
+        "losers AS (SELECT DISTINCT y.vec_id FROM allv x JOIN allv y "
+        "  ON x.vec_id < y.vec_id "
+        "  AND list_cosine_similarity(x.v, y.v) >= 0.9) "
+        "SELECT vec_id FROM allv "
+        "WHERE vec_id NOT IN (SELECT vec_id FROM losers)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     cone1 = _cone_where(CONE)
     cone2 = _cone_where(CONE2)
@@ -890,6 +1062,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": ('WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS p FROM documents WHERE length(text) >= 8), hashes AS (SELECT doc_id, (ord(substr(text, p + 0, 1))::HUGEINT * 1::HUGEINT + ord(substr(text, p + 1, 1))::HUGEINT * 257::HUGEINT + ord(substr(text, p + 2, 1))::HUGEINT * 66049::HUGEINT + ord(substr(text, p + 3, 1))::HUGEINT * 16974593::HUGEINT + ord(substr(text, p + 4, 1))::HUGEINT * 4362470401::HUGEINT + ord(substr(text, p + 5, 1))::HUGEINT * 1121154893057::HUGEINT + ord(substr(text, p + 6, 1))::HUGEINT * 288136807515649::HUGEINT + ord(substr(text, p + 7, 1))::HUGEINT * 74051159531521793::HUGEINT) % 18446744073709551616::HUGEINT AS h FROM pos), mins AS (SELECT doc_id, min(h) AS m FROM hashes GROUP BY doc_id) SELECT doc_id, (CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fp FROM mins'),
         "minhash_dedup": _minhash_oracle_sql(),
         "simhash_dedup": _simhash_oracle_sql(),
-        # ann_lsh / ann_ivf / embed_dedup: float hyperplane/centroid
-        # internals not SQL-reproducible; driver records rows-only checks.
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
+        "embed_dedup": _embed_dedup_oracle_sql(),
     }

@@ -3,23 +3,46 @@
 - ``brute_force_topk``: exact cosine top-k — the correctness baseline.
   Dot products run JVM-side via zip_with/aggregate (no Python in the loop);
   ranking via Window.
-- ``lsh_topk``: random-hyperplane LSH bucketing — the scale path. Each
+- ``lsh_topk``: sign-random-projection LSH bucketing — the scale path. Each
   vector gets a b-bit signature; candidates share a bucket (or a neighbor
-  bucket within Hamming 1 for recall); exact cosine re-rank afterwards.
-  Shuffle volume drops from O(Q x N) to O(Q x N / 2^b) per bucket.
-- ``ivf_topk``: IVF-style coarse quantizer — k-means-lite centroids sampled
-  deterministically, vectors assigned to nearest centroid (pandas UDF,
-  one pass), queries probe ``nprobe`` nearest centroids.
+  bucket within ``hamming_probe`` bit flips for recall); exact cosine
+  re-rank afterwards. Shuffle volume drops from O(Q x N) to
+  O(Q x N x probes / 2^b).
+- ``ivf_topk``: IVF-style coarse quantizer — centroids drawn by a
+  deterministic multiplicative id-hash (spans the whole id space, unlike a
+  head-rows ``limit()`` which is one shard's distribution at scale),
+  vectors assigned to nearest centroid (pandas UDF, one pass), queries
+  probe ``nprobe`` nearest lists.
 - ``embedding_cosine_dedup``: near-duplicate vectors (cosine >= threshold)
-  removed via LSH buckets + exact verify.
+  removed via banded LSH candidate buckets + exact verify (same band
+  recall structure as MinHash-LSH: miss prob = (1-(1-p)^band_bits)^nbands).
+
+Signatures default to **integer-quantized ternary projections**: vectors
+are quantized to floor(v * 1024) (power-of-two scale — the float64
+multiply and floor are exact) and projected onto seeded Achlioptas sparse
+hyperplanes with entries in {-1, 0, +1} (Achlioptas 2003, database-friendly
+random projections). The projection is then pure int64 arithmetic —
+order-independent and bit-reproducible in ANSI SQL, which is what lets the
+driver's DuckDB oracle replicate the *entire* ANN/dedup pipeline (bucket
+assignment included) and machine-check recall@k. Dense float hyperplanes
+(``signature_udf``) remain available but are not SQL-reproducible.
 """
 
 from __future__ import annotations
+
+from itertools import combinations
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
+
+#: power of two => float64 multiply + floor are exact, so numpy and any
+#: ANSI-SQL engine quantize to identical integers.
+QUANT_SCALE = 1024
+
+#: default seed for hyperplane draws (shared with the SQL oracle builder).
+PLANE_SEED = 987
 
 
 def _cosine_col(a: str, b: str):
@@ -46,12 +69,44 @@ def brute_force_topk(queries: DataFrame, data: DataFrame, k: int,
             .select(q_id, d_id, "cosine", "rank"))
 
 
+def ternary_planes(dim: int, bits: int, seed: int = PLANE_SEED) -> np.ndarray:
+    """Achlioptas sparse random projection matrix: entries -1/0/+1 with
+    probability 1/6, 2/3, 1/6 (sqrt(3) scale factor dropped — signs are
+    scale-invariant). Integer entries make the projection exact int64
+    arithmetic, reproducible in SQL."""
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 6, size=(bits, dim))
+    return (np.where(u == 0, -1, 0) + np.where(u == 5, 1, 0)).astype(np.int64)
+
+
+def quantized_signature_udf(dim: int, bits: int = 12, seed: int = PLANE_SEED):
+    """b-bit LSH signature of floor(vec * QUANT_SCALE) · ternary planes.
+
+    Bit j of the result is 1 iff the (exact, integer) projection onto plane
+    j is > 0. Bit-identical between numpy and any engine with 64-bit
+    integer arithmetic — the DuckDB CORRECTNESS oracle replicates it.
+    """
+    P = ternary_planes(dim, bits, seed)
+    W = (np.int64(1) << np.arange(bits, dtype=np.int64))
+
+    @pandas_udf("long")
+    def _udf(vec: pd.Series) -> pd.Series:
+        M = np.stack(vec.values).astype(np.float64)
+        Q = np.floor(M * QUANT_SCALE).astype(np.int64)
+        proj = Q @ P.T  # exact: |Q| <= 2^20, |P| <= 1, dim <= 2^12 << 2^63
+        return pd.Series(((proj > 0).astype(np.int64) * W).sum(axis=1))
+
+    return _udf
+
+
 def _hyperplanes(dim: int, bits: int) -> np.ndarray:
-    rng = np.random.default_rng(987)
+    rng = np.random.default_rng(PLANE_SEED)
     return rng.standard_normal((bits, dim))
 
 
 def signature_udf(dim: int, bits: int = 12):
+    """Dense Gaussian hyperplane signature (float path; NOT SQL-reproducible
+    — kept for comparison, the quantized ternary path is the default)."""
     H = _hyperplanes(dim, bits)
 
     @pandas_udf("long")
@@ -66,23 +121,30 @@ def signature_udf(dim: int, bits: int = 12):
     return _udf
 
 
-def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
-             bits: int = 10, hamming_probe: int = 1,
-             q_id: str = "query_id", q_vec: str = "embedding",
-             d_id: str = "vec_id", d_vec: str = "embedding") -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane buckets, queries probe all
-    buckets within ``hamming_probe`` bit flips, exact cosine re-rank."""
-    sig = signature_udf(dim, bits)
-    d = data.select(F.col(d_id), F.col(d_vec).alias("_dv"),
-                    sig(F.col(d_vec)).alias("_bkt"))
-
-    # every XOR mask with <= hamming_probe bits set (C(bits, d) probes per
-    # distance d — the documented knob really widens the search)
-    from itertools import combinations
-
+def probe_masks(bits: int, hamming_probe: int) -> list[int]:
+    """Every XOR mask with <= hamming_probe bits set — C(bits, d) probes per
+    Hamming distance d. Shared with the SQL oracle builder."""
     masks = [0]
     for d_ in range(1, hamming_probe + 1):
         masks += [sum(1 << j for j in c) for c in combinations(range(bits), d_)]
+    return masks
+
+
+def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
+             bits: int = 10, hamming_probe: int = 1,
+             q_id: str = "query_id", q_vec: str = "embedding",
+             d_id: str = "vec_id", d_vec: str = "embedding",
+             quantized: bool = True, seed: int = PLANE_SEED) -> DataFrame:
+    """Approximate cosine top-k: sign-random-projection buckets, queries
+    probe all buckets within ``hamming_probe`` bit flips, exact cosine
+    re-rank. ``quantized=True`` (default) uses the SQL-reproducible
+    integer ternary signature."""
+    sig = (quantized_signature_udf(dim, bits, seed) if quantized
+           else signature_udf(dim, bits))
+    d = data.select(F.col(d_id), F.col(d_vec).alias("_dv"),
+                    sig(F.col(d_vec)).alias("_bkt"))
+
+    masks = probe_masks(bits, hamming_probe)
     probes = [F.col("_sig").bitwiseXOR(F.lit(m)) for m in masks]
     q = (queries.select(F.col(q_id), F.col(q_vec).alias("_qv"),
                         sig(F.col(q_vec)).alias("_sig"))
@@ -96,29 +158,46 @@ def lsh_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
             .select(q_id, d_id, "cosine", "rank"))
 
 
+def centroid_hash_col(id_col: str):
+    """Deterministic multiplicative hash over a numeric id column —
+    reproducible in ANSI SQL (no xxhash64 on the oracle side) and spread
+    across the whole id space, so the centroid sample is not biased toward
+    whatever partition happens to be read first. Kept within int64:
+    (id % 1000003) * 2654435761 <= ~2.7e15 << 2^63."""
+    return ((F.col(id_col).cast("long") % F.lit(1000003))
+            * F.lit(2654435761)) % F.lit(999999937)
+
+
 def ivf_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
              ncentroids: int = 16, nprobe: int = 4,
              q_id: str = "query_id", q_vec: str = "embedding",
              d_id: str = "vec_id", d_vec: str = "embedding") -> DataFrame:
-    """IVF-style ANN: deterministic sampled centroids; data assigned to the
-    nearest centroid once; queries probe the ``nprobe`` nearest lists."""
-    sample = np.stack([r[0] for r in
-                       data.select(d_vec).limit(ncentroids * 20).collect()])
-    rng = np.random.default_rng(55)
-    cent = sample[rng.choice(len(sample), ncentroids, replace=False)]
-    cent = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    """IVF-style ANN: centroids are the ``ncentroids`` rows with the
+    smallest deterministic id-hash (a TakeOrdered over a 2-column
+    projection — scales, unlike limit() head rows); data assigned to the
+    nearest centroid once; queries probe the ``nprobe`` nearest lists.
+    Ties in centroid ranking break by centroid index (stable argsort) so
+    the SQL oracle can reproduce the assignment exactly."""
+    cent_rows = (data.select(F.col(d_id).alias("_cid"), F.col(d_vec).alias("_cv"))
+                 .withColumn("_h", centroid_hash_col("_cid"))
+                 .orderBy("_h", "_cid")
+                 .limit(ncentroids)
+                 .collect())
+    cent = np.stack([np.asarray(r["_cv"], dtype=np.float64) for r in cent_rows])
+    cent = cent / np.maximum(np.linalg.norm(cent, axis=1, keepdims=True), 1e-12)
 
     @pandas_udf("int")
     def assign(vec: pd.Series) -> pd.Series:
-        M = np.stack(vec.values)
+        M = np.stack(vec.values).astype(np.float64)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        # argmax == first max => ties break toward the lower centroid index
         return pd.Series(np.argmax(M @ cent.T, axis=1).astype(np.int32))
 
     @pandas_udf("array<int>")
     def probe(vec: pd.Series) -> pd.Series:
-        M = np.stack(vec.values)
+        M = np.stack(vec.values).astype(np.float64)
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        top = np.argsort(-(M @ cent.T), axis=1)[:, :nprobe]
+        top = np.argsort(-(M @ cent.T), axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype(np.int32).tolist() for row in top])
 
     d = data.select(F.col(d_id), F.col(d_vec).alias("_dv"), assign(F.col(d_vec)).alias("_list"))
@@ -133,14 +212,34 @@ def ivf_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
 
 def embedding_cosine_dedup(df: DataFrame, dim: int, threshold: float = 0.98,
                            id_col: str = "vec_id", vec_col: str = "embedding",
-                           bits: int = 10) -> DataFrame:
+                           band_bits: int = 6, nbands: int = 4,
+                           seed: int = PLANE_SEED) -> DataFrame:
     """Drop near-duplicate vectors (cosine >= threshold), keeping min id.
-    Same-bucket candidate pairs only — the standard LSH dedup shuffle shape."""
-    sig = signature_udf(dim, bits)
-    s = df.select(F.col(id_col), F.col(vec_col).alias("_v"), sig(F.col(vec_col)).alias("_bkt"))
-    a = s.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_bkt")
-    b = s.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_bkt")
-    pairs = (a.join(b, "_bkt").filter(F.col("id_a") < F.col("id_b"))
+
+    Banded LSH candidates (same recall structure as MinHash-LSH): the
+    signature has nbands*band_bits ternary-projection bits; two vectors are
+    candidates iff at least one band of ``band_bits`` bits matches. For a
+    pair at angle theta the per-bit flip probability is ~theta/pi, so the
+    miss probability is (1 - (1-p)^band_bits)^nbands — e.g. at cosine 0.99
+    (p ~ 0.045), 4 bands of 6 bits miss ~3e-3 of true pairs. Candidate
+    pairs are verified with the exact JVM cosine. Shuffle volume is
+    O(rows x nbands), never all-pairs."""
+    total_bits = band_bits * nbands
+    sig = quantized_signature_udf(dim, total_bits, seed)
+    mask = (1 << band_bits) - 1
+    s = df.select(F.col(id_col), F.col(vec_col).alias("_v"),
+                  sig(F.col(vec_col)).alias("_sig"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("b"),
+                 F.shiftright("_sig", b * band_bits).bitwiseAND(F.lit(mask)).alias("h"))
+        for b in range(nbands)])
+    s = s.withColumn("_band", F.explode(bands)).drop("_sig")
+    a = s.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_band")
+    b = s.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_band")
+    # no pair-level distinct: a pair matching in m <= nbands bands gets its
+    # (cheap, JVM) cosine evaluated m times, which beats shuffling the
+    # vectors again for dedup; losers are distinct'd on the bare id.
+    pairs = (a.join(b, "_band").filter(F.col("id_a") < F.col("id_b"))
              .withColumn("cosine", _cosine_col("_va", "_vb"))
              .filter(F.col("cosine") >= threshold))
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()

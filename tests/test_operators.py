@@ -210,7 +210,7 @@ def test_ann_lsh_recall(spark):
     from spatialindex_spark.operators.similarity import brute_force_topk, lsh_topk
 
     exact = brute_force_topk(q, df, k=3).toPandas()
-    approx = lsh_topk(q, df, k=3, dim=16, bits=6).toPandas()
+    approx = lsh_topk(q, df, k=3, dim=16, bits=6, hamming_probe=2).toPandas()
     # top-1 self-match must always be found
     for qid in range(5):
         assert approx[(approx.query_id == qid) & (approx["rank"] == 1)].vec_id.iloc[0] == qid
