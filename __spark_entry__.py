@@ -327,7 +327,8 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.operators.text import fingerprint_udf
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fp"))
+    return (docs.filter(F.octet_length("text") >= 8)  # oracle excludes short docs
+            .select("doc_id", fingerprint_udf(8)(F.col("text")).alias("fp")))
 
 
 def _q_ellipse_htm(spark: SparkSession, sf_dir: str) -> DataFrame:

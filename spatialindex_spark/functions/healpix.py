@@ -310,6 +310,23 @@ def pix2vec(order: int, pix):
     return sintheta * np.cos(phi), sintheta * np.sin(phi), z
 
 
+#: measured minimum angular distance (radians) at which two points can land
+#: in NON-adjacent cells, per order — dense-sampled over every base face and
+#: ring geometry (copy of tests/fixtures/safe_radius.json; generator recipe
+#: in FIXTURES.md; a pytest asserts the two stay in sync). Crossmatch
+#: completeness rests on safe_ring1_rad, so the operative 0.59*max_pix_rad
+#: bound is ASSERTED against this table at call time rather than trusted as
+#: a single global constant (ADVICE r1 #5).
+MEASURED_NONADJ_RAD = {
+    0: 0.841068470041533, 1: 0.3813125876317472, 2: 0.18510127768588894,
+    3: 0.090265895410002, 4: 0.04487066729281175, 5: 0.022138896822712327,
+    6: 0.011062834346155799, 7: 0.005537564622756561,
+    8: 0.0027371586344136648, 9: 0.0013709794698225962,
+    10: 0.0006847783702417714, 11: 0.00034247856510504285,
+    12: 0.00017136662435776614, 13: 8.592136441361713e-05,
+}
+
+
 def safe_ring1_rad(order: int) -> float:
     """Largest angular distance (radians) guaranteed to leave two points in
     the SAME or ring-1-adjacent cells at this order — the sound bound for
@@ -318,6 +335,13 @@ def safe_ring1_rad(order: int) -> float:
     max_pix_rad can land in non-adjacent cells (measured: 4072/300k pairs at
     0.9x, order 7). Empirical safe/max ratio converges to ~0.656 (the
     narrowest pixel dimension) from above; 0.59x adds a sampling-safety
-    margin and is conservative at every order (measured table in
-    tests/fixtures/safe_radius.json; generator recipe in FIXTURES.md)."""
-    return 0.59 * max_pix_rad(order)
+    margin below the measured non-adjacency threshold — checked against the
+    per-order measured table here, so an order whose geometry violated the
+    margin would fail loudly instead of silently dropping matched pairs."""
+    bound = 0.59 * max_pix_rad(order)
+    measured = MEASURED_NONADJ_RAD.get(order)
+    if measured is not None and bound > measured:
+        raise AssertionError(
+            f"safe_ring1_rad unsound at order {order}: 0.59*max_pix_rad="
+            f"{bound} exceeds measured non-adjacency threshold {measured}")
+    return bound

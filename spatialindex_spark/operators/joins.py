@@ -62,7 +62,16 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
             geom = c.geom
             ranges = c.ranges
         elif r["kind"] == "ellipse":
-            # ellipse regions: HTM covering + quadratic-form exact test
+            # ellipse regions: HTM covering + quadratic-form exact test.
+            # The covering is HTM-only, so an HPX-mode join would match HTM
+            # cell ids against an HPX cell column and silently exclude true
+            # member rows (the exact filter only sees covering survivors) —
+            # refuse loudly instead (ADVICE r1 #1).
+            if mode != SpatialIndex.HTM:
+                raise ValueError(
+                    "ellipse regions support only mode=SpatialIndex.HTM "
+                    "(no HPX ellipse covering is implemented; the exact "
+                    "quadratic filter runs only on covering survivors)")
             from ..functions.regions import SphericalEllipse, htm_ellipse_ranges
             from ..functions.geometry import sc_to_v3
 

@@ -593,3 +593,64 @@ def test_knn_starved_query_widens_exactly(spark):
     import spatialindex_spark.operators.knn as knn_mod
     src = inspect.getsource(knn_mod)
     assert "crossJoin" not in src and "cross_join" not in src
+
+
+def test_safe_radius_table_in_sync():
+    """The package's embedded measured non-adjacency table must equal the
+    fixture it was copied from, and the operative 0.59 bound must sit below
+    the measured threshold at every covered order."""
+    import json
+    import os
+
+    from spatialindex_spark.functions.healpix import (
+        MEASURED_NONADJ_RAD, max_pix_rad, safe_ring1_rad)
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "safe_radius.json")
+    fixture = {int(k): v for k, v in json.load(open(path)).items()}
+    assert fixture == MEASURED_NONADJ_RAD
+    for order in MEASURED_NONADJ_RAD:
+        assert 0.59 * max_pix_rad(order) <= MEASURED_NONADJ_RAD[order]
+        safe_ring1_rad(order)  # must not raise
+
+
+def test_region_join_ellipse_rejects_hpx(spark):
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.operators.joins import region_ranges_df
+
+    with pytest.raises(ValueError, match="HTM"):
+        region_ranges_df(
+            spark,
+            [{"region_id": 1, "kind": "ellipse", "ra": 200.0, "dec": 10.0,
+              "a": 8.0, "b": 4.0, "angle": 30.0}],
+            level=7, mode=SpatialIndex.HPX)
+
+
+def test_simhash_band_pigeonhole_guard(spark):
+    from spatialindex_spark.operators.dedup import simhash_dedup
+
+    df = spark.createDataFrame([(1, "x" * 40)], "doc_id long, text string")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_dedup(df, band_bits=32, max_hamming=3)
+    with pytest.raises(ValueError, match="divide"):
+        simhash_dedup(df, band_bits=24)
+
+
+def test_short_docs_never_dedup_candidates(spark):
+    """Docs shorter than the shingle width must survive dedup untouched
+    (no shingles => never candidates), matching the SQL oracle's
+    length >= k exclusion. 'ab' and 'ab   ' used to be Jaccard-1.0 via
+    space padding."""
+    from spatialindex_spark.operators.dedup import (
+        minhash_lsh_dedup, simhash_dedup)
+
+    rows = [(1, "ab"), (2, "ab   "), (3, "xy"),
+            (4, "a normal length document " * 4),
+            (5, "a normal length document " * 4 + "tail")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_mh = sorted(r.doc_id for r in
+                     minhash_lsh_dedup(df, threshold=0.7).collect())
+    assert kept_mh == [1, 2, 3, 4]
+    kept_sh = sorted(r.doc_id for r in
+                     simhash_dedup(df, max_hamming=3, k=12).collect())
+    assert set(kept_sh) >= {1, 2, 3}
