@@ -419,6 +419,67 @@ def _q_count_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.createDataFrame([(ok,)], "bracket_ok int")
 
 
+def _q_count_bounds_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 polygon-count bounds (reference htm_tree_s2cpoly_range,
+    htm.c:2115-2292): [lower, upper] from the counts table alone must
+    bracket the exact scan count (also emitted and value-checked)."""
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_bounds_frame, region_geom_pred)
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "htm7", level=7, min_level=7)
+    region = {"kind": "poly", "ra": POLY_RA, "dec": POLY_DEC}
+    b = region_count_bounds_frame(counts, region, level=7).collect()[0]
+    exact = df.filter(region_geom_pred(region)).count()
+    ok = int(b["lower"] <= exact <= b["upper"])
+    return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
+
+
+def _q_count_bounds_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ellipse-count bounds (reference htm_tree_s2ellipse_range,
+    htm.c:2059-2113): bracket invariant + exact count."""
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_bounds_frame, region_geom_pred)
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "htm7", level=7, min_level=7)
+    region = {"kind": "ellipse", "ra": 200.0, "dec": 10.0,
+              "a": 8.0, "b": 4.0, "angle": 30.0}
+    b = region_count_bounds_frame(counts, region, level=7).collect()[0]
+    exact = df.filter(region_geom_pred(region)).count()
+    ok = int(b["lower"] <= exact <= b["upper"])
+    return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
+
+
+def _q_count_fast_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 INSIDE fast path for a polygon region: interior cells from the
+    counts table (zero row reads), exact geometry only over the boundary
+    shell — must equal the brute scan count."""
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_fast_region)
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "htm7", level=7, min_level=7)
+    region = {"kind": "poly", "ra": POLY_RA, "dec": POLY_DEC}
+    return region_count_fast_region(df, counts, region, level=7,
+                                    cell_col="htm7")
+
+
+def _q_count_fast_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 INSIDE fast path over the nested-HPX cell column (the r1 fast
+    path was HTM-only): cone count = interior HPX cells from the counts
+    table + exact-geometry boundary shell."""
+    from spatialindex_spark.functions.constraints import SpatialIndex as SIc
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_fast_region)
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "hpx7", level=7, min_level=7)
+    region = {"kind": "cone", **CONE2}
+    return region_count_fast_region(df, counts, region, level=7,
+                                    cell_col="hpx7", mode=SIc.HPX)
+
+
 def _q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 parent rollup invariant: every level's counts sum to the table
     total (oracle: counts per level == row count)."""
@@ -606,6 +667,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_hpx": _q_polygon_hpx,
         "cone_base4": _q_cone_base4,
         "count_bounds": _q_count_bounds,
+        "count_bounds_poly": _q_count_bounds_poly,
+        "count_bounds_ellipse": _q_count_bounds_ellipse,
+        "count_fast_poly": _q_count_fast_poly,
+        "count_fast_hpx": _q_count_fast_hpx,
         "cell_rollup": _q_cell_rollup,
         "ann_ivf": _q_ann_ivf,
         "embed_dedup": _q_embed_dedup,
@@ -1041,6 +1106,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id"
         ),
         "count_bounds": "SELECT 1 AS bracket_ok",
+        "count_bounds_poly": (
+            f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
+            f"FROM sky WHERE {poly}"
+        ),
+        "count_bounds_ellipse": (
+            f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
+            f"FROM sky WHERE " + _ellipse_where()
+        ),
+        "count_fast_poly": (
+            f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {poly}"
+        ),
+        "count_fast_hpx": (
+            f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone2}"
+        ),
         "cell_rollup": (
             "SELECT lv AS level, (SELECT count(*) FROM orders) AS total "
             "FROM (SELECT unnest([4,5,6,7]) AS lv) ORDER BY lv"

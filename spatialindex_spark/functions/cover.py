@@ -308,6 +308,13 @@ def htm_polygon_ranges(poly: SphericalPolygon, level: int,
     return _htm_cover(lambda t: _cpoly_cov(t, poly), level, maxranges)
 
 
+def htm_polygon_ranges_split(poly: SphericalPolygon, level: int):
+    """(inside_ranges, boundary_ranges) for a convex-polygon covering —
+    the polygon analogue of the reference's count-tree walk
+    (htm_tree_s2cpoly_range, htm.c:2115-2292)."""
+    return _htm_cover_split(lambda t: _cpoly_cov(t, poly), level)
+
+
 # ---------------------------------------------------------------------------
 # HPX coverings (stack-based DFS in ascending nested order)
 # ---------------------------------------------------------------------------

@@ -237,6 +237,15 @@ def htm_ellipse_ranges(ellipse: SphericalEllipse, level: int,
     return _htm_cover(lambda t: _ellipse_cov(t, ellipse), level, maxranges)
 
 
+def htm_ellipse_ranges_split(ellipse: SphericalEllipse, level: int):
+    """(inside_ranges, boundary_ranges) for an ellipse covering — the
+    ellipse analogue of the reference's count-tree walk
+    (htm_tree_s2ellipse_range, htm.c:2059-2113)."""
+    from .cover import _htm_cover_split
+
+    return _htm_cover_split(lambda t: _ellipse_cov(t, ellipse), level)
+
+
 # ---------------------------------------------------------------------------
 # polygon constructors
 # ---------------------------------------------------------------------------

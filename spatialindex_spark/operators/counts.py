@@ -37,94 +37,185 @@ def cell_count_tree(df: DataFrame, cell_col: str = "spt_ind",
     return out.select("level", "cell", "cnt")
 
 
+def _region_geom(region: dict):
+    """Normalized geometry objects for a region spec
+    ({'kind': 'cone'|'poly'|'ellipse', ...} — same shape as region_join)."""
+    import math
+
+    from ..functions.geometry import RAD_PER_DEG, sc_to_v3
+
+    kind = region["kind"]
+    if kind == "cone":
+        c = sc_to_v3(region["ra"], region["dec"])
+        return ("cone", c, math.cos(region["radius"] * RAD_PER_DEG))
+    if kind == "poly":
+        from ..functions.cover import polygon_normals
+        from ..functions.regions import SphericalPolygon
+
+        verts = [sc_to_v3(r, d) for r, d in zip(region["ra"], region["dec"])]
+        return ("poly", SphericalPolygon(verts),
+                polygon_normals(region["ra"], region["dec"]))
+    if kind == "ellipse":
+        from ..functions.regions import SphericalEllipse
+
+        e = SphericalEllipse.from_center(
+            sc_to_v3(region["ra"], region["dec"]), region["a"], region["b"],
+            region.get("angle", 0.0))
+        return ("ellipse", e, None)
+    raise ValueError(f"unknown region kind {kind!r}")
+
+
+def region_geom_pred(region: dict, xcol: str = "x", ycol: str = "y",
+                     zcol: str = "z"):
+    """Exact JVM Column membership predicate for a region spec (same
+    half-space / quadratic forms as region_join's broadcast geometry)."""
+    kind, g, extra = _region_geom(region)
+    x, y, z = F.col(xcol), F.col(ycol), F.col(zcol)
+    if kind == "cone":
+        return x * g.x + y * g.y + z * g.z >= F.lit(extra)
+    if kind == "poly":
+        pred = F.lit(True)
+        for n in extra:
+            pred = pred & (x * n.x + y * n.y + z * n.z >= 0)
+        return pred
+    e = g
+    return ((x * e.cen.x + y * e.cen.y + z * e.cen.z >= 0)
+            & (e.xx * x * x + e.yy * y * y + e.zz * z * z
+               + 2 * e.xy * x * y + 2 * e.xz * x * z + 2 * e.yz * y * z <= 0))
+
+
+def region_split_ranges(region: dict, level: int,
+                        mode: int = SpatialIndex.HTM):
+    """(inside_ranges, boundary_ranges) at ``level`` for a region spec.
+
+    HTM: the covering DFS's own full/partial classification — the exact
+    distributed analogue of the reference count-tree walks
+    (htm_tree_s2circle_range / s2cpoly_range / s2ellipse_range,
+    htm.c:1943-2292), for all three region kinds.
+
+    HPX (cone/poly): enumerate the (superset) covering's cells and classify
+    each by its center: every point of a cell lies within max_pix_rad of
+    the center (hpxMaxPixRad is the global circumradius bound), so a center
+    further than max_pix_rad inside every bounding surface makes the cell
+    certainly interior. Sound, never claims a partial cell as full."""
+    import math
+
+    import numpy as np
+
+    kind, g, extra = _region_geom(region)
+    if mode == SpatialIndex.HTM:
+        from ..functions.cover import (htm_circle_ranges_split,
+                                       htm_polygon_ranges_split)
+
+        if kind == "cone":
+            return htm_circle_ranges_split(
+                region["ra"], region["dec"], region["radius"], level)
+        if kind == "poly":
+            return htm_polygon_ranges_split(g, level)
+        from ..functions.regions import htm_ellipse_ranges_split
+
+        return htm_ellipse_ranges_split(g, level)
+
+    if mode != SpatialIndex.HPX:
+        raise ValueError(f"unknown mode {mode}")
+    if kind == "ellipse":
+        raise ValueError("ellipse regions support only mode=SpatialIndex.HTM")
+    from ..functions.cover import _ranges_add, hpx_cone_ranges, \
+        hpx_polygon_ranges
+    from ..functions.healpix import max_pix_rad, pix2vec
+
+    if kind == "cone":
+        loose = hpx_cone_ranges(level, region["ra"], region["dec"],
+                                region["radius"], exact_ends=True)
+    else:
+        loose = hpx_polygon_ranges(level, region["ra"], region["dec"],
+                                   exact_circle=True)
+    if not loose:
+        return [], []
+    pix = np.concatenate([np.arange(lo, hi + 1, dtype=np.int64)
+                          for lo, hi in loose])
+    cx, cy, cz = pix2vec(level, pix)
+    mpr = max_pix_rad(level)
+    if kind == "cone":
+        # center within (radius - mpr) of the cone axis => whole cell inside
+        dot = cx * g.x + cy * g.y + cz * g.z
+        rad = math.acos(max(-1.0, min(1.0, extra)))  # radius in radians
+        full = dot >= math.cos(max(rad - mpr, 0.0)) if rad > mpr \
+            else np.zeros(len(pix), dtype=bool)
+    else:
+        # center at angular distance >= mpr inside EVERY edge plane
+        smpr = math.sin(mpr)
+        full = np.ones(len(pix), dtype=bool)
+        for n in extra:
+            full &= (cx * n.x + cy * n.y + cz * n.z) >= smpr
+    inside: list[list[int]] = []
+    boundary: list[list[int]] = []
+    for p, f in zip(pix.tolist(), full.tolist()):
+        _ranges_add(inside if f else boundary, p, p)
+    return inside, boundary
+
+
+def region_count_bounds_frame(counts: DataFrame, region: dict,
+                              level: int = 7,
+                              mode: int = SpatialIndex.HTM) -> DataFrame:
+    """[lower, upper] region-count bounds from the counts table alone, zero
+    point reads (A4), for cone / convex-polygon / ellipse regions: lower =
+    counts over certainly-interior cells, upper = + boundary cells."""
+    inside, boundary = region_split_ranges(region, level, mode)
+    from ..functions.cover import ranges_predicate
+
+    lvl_counts = counts.filter(F.col("level") == level)
+    lower = lvl_counts.filter(ranges_predicate(F.col("cell"), inside)).agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("lower"))
+    upper = (lvl_counts
+             .filter(ranges_predicate(F.col("cell"), inside)
+                     | ranges_predicate(F.col("cell"), boundary))
+             .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("upper")))
+    return lower.crossJoin(upper)
+
+
 def region_count_bounds(counts: DataFrame, ra: float, dec: float,
                         radius: float, level: int = 7,
                         mode: int = SpatialIndex.HTM) -> DataFrame:
-    """[lower, upper] cone-count bounds from the counts table alone.
+    """Cone convenience wrapper over region_count_bounds_frame (A4).
+    Mirrors htm_tree_s2circle_range semantics (htm.c:1943-2057) at cell
+    granularity."""
+    return region_count_bounds_frame(
+        counts, {"kind": "cone", "ra": ra, "dec": dec, "radius": radius},
+        level, mode)
 
-    The covering's INSIDE ranges (uncompressed) are fully inside the cone,
-    so their counts are certain; INTERSECT boundary cells may or may not
-    contribute. Mirrors htm_tree_s2circle_range semantics (htm.c:1943-2057)
-    at cell granularity."""
-    si = SpatialIndex()
-    loose = si.cone_search(ra, dec, radius, mode=mode, level=level,
-                           encoding=0, colname="cell", compress=False,
-                           as_constraints=True)
-    # inner covering: cells whose entire trixel/pixel is inside = covering
-    # of the cone shrunk by the max cell radius at this level
-    from ..functions.healpix import max_pix_rad
-    from ..functions.geometry import RAD_PER_DEG
-    import math
 
-    if mode == SpatialIndex.HPX:
-        cell_rad = max_pix_rad(level) / RAD_PER_DEG
-    else:
-        # HTM L0 triangle bounding radius is ~90 deg; halves per level
-        cell_rad = 90.0 / (1 << level)
-    # fully-inside needs shrink by the cell DIAMETER (any cell touching the
-    # shrunk cone then lies wholly inside the original); 2.2x bounding
-    # radius is a conservative diameter bound for HTM's irregular trixels
-    inner_radius = radius - 2.2 * cell_rad
-    inner_ranges = []
-    if inner_radius > 0:
-        if mode == SpatialIndex.HPX:
-            # exact_ends: the reference covering's one-past-end quirk cell
-            # belongs to the next Z-order sibling and can sit entirely
-            # OUTSIDE the cone — including it would inflate the "certain"
-            # lower bound above the true count
-            from ..functions.cover import hpx_cone_ranges
-
-            inner_ranges = hpx_cone_ranges(level, ra, dec, inner_radius,
-                                           exact_ends=True)
-        else:
-            inner = si.cone_search(ra, dec, inner_radius, mode=mode,
-                                   level=level, encoding=0, colname="cell",
-                                   compress=False, as_constraints=True)
-            if not inner.status:
-                inner_ranges = inner.ranges
-
-    lvl_counts = counts.filter(F.col("level") == level)
-
+def region_count_fast_region(df: DataFrame, counts: DataFrame, region: dict,
+                             level: int = 7, cell_col: str = "spt_ind",
+                             mode: int = SpatialIndex.HTM) -> DataFrame:
+    """Exact region count with the reference's INSIDE fast path
+    (htm.c:1666-1669), as ONE lazy single-row DataFrame (column ``n``):
+    cells wholly inside the region are summed from the per-cell counts
+    table with ZERO row reads; only boundary cells run the exact geometric
+    predicate. Supports cone / convex-polygon / ellipse regions and both
+    HTM and HPX cell columns (ellipse is HTM-only). At 100 TB this turns a
+    count over a 10-degree region from a scan of every covered row into a
+    metadata lookup plus a thin shell scan."""
     from ..functions.cover import ranges_predicate
 
-    def pred(ranges):
-        return ranges_predicate(F.col("cell"), ranges)
-
-    upper = lvl_counts.filter(pred(loose.ranges)).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("upper"))
-    lower = lvl_counts.filter(pred(inner_ranges)).agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("lower"))
-    return lower.crossJoin(upper)
+    inside, boundary = region_split_ranges(region, level, mode)
+    interior = (counts.filter(F.col("level") == level)
+                .filter(ranges_predicate(F.col("cell"), inside))
+                .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_interior")))
+    shell = (df.filter(ranges_predicate(F.col(cell_col), boundary))
+             .filter(region_geom_pred(region))
+             .agg(F.count(F.lit(1)).alias("_shell")))
+    return interior.crossJoin(shell).select(
+        (F.col("_interior") + F.col("_shell")).alias("n"))
 
 
 def region_count_fast_frame(df: DataFrame, counts: DataFrame, ra: float,
                             dec: float, radius: float, level: int = 7,
                             cell_col: str = "spt_ind") -> DataFrame:
-    """Exact cone count with the reference's INSIDE fast path
-    (htm.c:1666-1669), as ONE lazy single-row DataFrame (column ``n``):
-    cells wholly inside the cone are summed from the per-cell counts table
-    with ZERO row reads; only boundary cells run the exact geometric
-    predicate. At 100 TB this turns a count over a 10-degree region from a
-    scan of every covered row into a metadata lookup plus a thin shell
-    scan."""
-    import math
-
-    from ..functions.cover import htm_circle_ranges_split, ranges_predicate
-    from ..functions.geometry import RAD_PER_DEG, sc_to_v3
-
-    inside, boundary = htm_circle_ranges_split(ra, dec, radius, level)
-
-    interior = (counts.filter(F.col("level") == level)
-                .filter(ranges_predicate(F.col("cell"), inside))
-                .agg(F.coalesce(F.sum("cnt"), F.lit(0)).alias("_interior")))
-    c = sc_to_v3(ra, dec)
-    geom = (F.col("x") * c.x + F.col("y") * c.y + F.col("z") * c.z
-            >= math.cos(radius * RAD_PER_DEG))
-    shell = (df.filter(ranges_predicate(F.col(cell_col), boundary))
-             .filter(geom)
-             .agg(F.count(F.lit(1)).alias("_shell")))
-    return interior.crossJoin(shell).select(
-        (F.col("_interior") + F.col("_shell")).alias("n"))
+    """Cone/HTM convenience wrapper over region_count_fast_region."""
+    return region_count_fast_region(
+        df, counts, {"kind": "cone", "ra": ra, "dec": dec, "radius": radius},
+        level, cell_col)
 
 
 def region_count_fast(df: DataFrame, counts: DataFrame, ra: float, dec: float,

@@ -654,3 +654,77 @@ def test_short_docs_never_dedup_candidates(spark):
     kept_sh = sorted(r.doc_id for r in
                      simhash_dedup(df, max_hamming=3, k=12).collect())
     assert set(kept_sh) >= {1, 2, 3}
+
+
+def test_region_split_soundness():
+    """region_split_ranges soundness, no Spark needed: a point in a
+    certainly-interior cell must satisfy the exact region predicate, and
+    every region point's cell must be in inside+boundary (covering
+    completeness) — for cone/poly x HTM/HPX and ellipse x HTM."""
+    import math
+
+    from spatialindex_spark.functions.constraints import SpatialIndex as SIc
+    from spatialindex_spark.functions.geometry import RAD_PER_DEG, sc_to_v3
+    from spatialindex_spark.functions.healpix import hpx_id
+    from spatialindex_spark.functions.htm import htm_id
+    from spatialindex_spark.functions.cover import polygon_normals
+    from spatialindex_spark.operators.counts import region_split_ranges
+
+    rng = np.random.default_rng(42)
+    n = 60_000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    x = np.cos(np.radians(ra)) * np.cos(np.radians(dec))
+    y = np.sin(np.radians(ra)) * np.cos(np.radians(dec))
+    z = np.sin(np.radians(dec))
+    level = 5
+
+    def member(region):
+        if region["kind"] == "cone":
+            c = sc_to_v3(region["ra"], region["dec"])
+            return (x * c.x + y * c.y + z * c.z
+                    >= math.cos(region["radius"] * RAD_PER_DEG))
+        if region["kind"] == "poly":
+            m = np.ones(n, dtype=bool)
+            for nm in polygon_normals(region["ra"], region["dec"]):
+                m &= (x * nm.x + y * nm.y + z * nm.z) >= 0
+            return m
+        from spatialindex_spark.functions.regions import SphericalEllipse
+
+        e = SphericalEllipse.from_center(
+            sc_to_v3(region["ra"], region["dec"]), region["a"], region["b"],
+            region.get("angle", 0.0))
+        return ((x * e.cen.x + y * e.cen.y + z * e.cen.z >= 0)
+                & (e.xx * x * x + e.yy * y * y + e.zz * z * z
+                   + 2 * e.xy * x * y + 2 * e.xz * x * z
+                   + 2 * e.yz * y * z <= 0))
+
+    def in_ranges(cells, ranges):
+        m = np.zeros(len(cells), dtype=bool)
+        for lo, hi in ranges:
+            m |= (cells >= lo) & (cells <= hi)
+        return m
+
+    cases = [
+        ({"kind": "cone", "ra": 129.4, "dec": 43.7, "radius": 12.0}, SIc.HTM),
+        ({"kind": "cone", "ra": 34.0, "dec": 45.0, "radius": 9.0}, SIc.HPX),
+        ({"kind": "poly", "ra": [120.0, 150.0, 150.0, 120.0],
+          "dec": [30.0, 30.0, 55.0, 55.0]}, SIc.HTM),
+        ({"kind": "poly", "ra": [120.0, 150.0, 150.0, 120.0],
+          "dec": [30.0, 30.0, 55.0, 55.0]}, SIc.HPX),
+        ({"kind": "ellipse", "ra": 200.0, "dec": 10.0, "a": 8.0, "b": 4.0,
+          "angle": 30.0}, SIc.HTM),
+    ]
+    for region, mode in cases:
+        inside, boundary = region_split_ranges(region, level, mode)
+        cells = (htm_id(x, y, z, level) if mode == SIc.HTM
+                 else hpx_id(level, ra, dec))
+        m = member(region)
+        full = in_ranges(cells, inside)
+        covered = full | in_ranges(cells, boundary)
+        # soundness: every point in a "certainly interior" cell is a member
+        assert not np.any(full & ~m), (region["kind"], mode)
+        # completeness: every member's cell is covered
+        assert not np.any(m & ~covered), (region["kind"], mode)
+        # non-triviality: the interior actually contributes for these sizes
+        assert full.sum() > 0, (region["kind"], mode)
