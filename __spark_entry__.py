@@ -542,19 +542,37 @@ def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Engine-defined S2/H3-style encodes: invariants oracle-checked
-    (count + bounds are SQL-expressible even though the encode is not)."""
+    """S2/H3 encodes: invariants oracle-checked (count + bounds are
+    SQL-expressible even though the encode is not). Covers BOTH the Z-order
+    variant (s2_7) and the true Hilbert S2 encode (s2h at levels 7 and 10,
+    library bit layout): every face in [0,5] (unsigned top-3-bits) and
+    every level-10 id inside its level-7 parent's leaf range — the
+    parent/child-containment-along-the-curve invariant."""
     from spatialindex_spark.functions.udfs import s2_udf, h3_udf
 
     df = _orders_sky(spark, sf_dir)
     df = (df.withColumn("s2_7", s2_udf(7)("x", "y", "z"))
+            .withColumn("s2h_7", s2_udf(7, curve="hilbert")("x", "y", "z"))
+            .withColumn("s2h_10", s2_udf(10, curve="hilbert")("x", "y", "z"))
             .withColumn("h3_7", h3_udf(7)("ra", "dec")))
+    # uint64 semantics via shiftrightunsigned; parent lsb at 2*(30-7)
+    lsb7 = 1 << (2 * (30 - 7))
+    parent_lo = F.col("s2h_7") - F.lit(lsb7) + 1
+    parent_hi = F.col("s2h_7") + F.lit(lsb7) - 1
+    # ids are uint64 bit patterns in signed longs; within one face the sign
+    # is constant, so BETWEEN on the signed value is order-correct here
+    contained = F.col("s2h_10").between(parent_lo, parent_hi)
+    face_ok = F.shiftrightunsigned("s2h_7", 61) <= 5
     return df.agg(
         F.count(F.lit(1)).alias("n"),
         (F.min("s2_7") >= 0).cast("int").alias("s2_min_ok"),
         (F.max("s2_7") < 6 * (4 ** 7)).cast("int").alias("s2_max_ok"),
         (F.count(F.when(F.shiftright(F.col("h3_7"), 56) == 7, 1))
          == F.count(F.lit(1))).cast("int").alias("h3_res_ok"),
+        (F.count(F.when(face_ok, 1)) == F.count(F.lit(1)))
+        .cast("int").alias("s2h_face_ok"),
+        (F.count(F.when(contained, 1)) == F.count(F.lit(1)))
+        .cast("int").alias("s2h_contain_ok"),
     )
 
 
@@ -1126,7 +1144,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s2_h3_cells": (
             "SELECT count(*) AS n, 1 AS s2_min_ok, 1 AS s2_max_ok, "
-            "1 AS h3_res_ok FROM orders"
+            "1 AS h3_res_ok, 1 AS s2h_face_ok, 1 AS s2h_contain_ok "
+            "FROM orders"
         ),
         "angsep": (
             f"{_SKY_CTE} SELECT o_orderkey, round(degrees(atan2("

@@ -67,10 +67,18 @@ def hpx_udf(level: int):
     return _udf
 
 
-def s2_udf(level: int):
+def s2_udf(level: int, curve: str = "zorder"):
+    """S2 encode: curve="hilbert" gives true S2 cell ids (library-compatible
+    bit layout, Hilbert locality); "zorder" keeps the engine's original
+    Z-order variant (plain hierarchical int64, always positive)."""
+    if curve == "hilbert":
+        from .h3s2 import s2_cell_id as _enc
+    else:
+        _enc = _s2_id
+
     @pandas_udf("long")
     def _udf(x: pd.Series, y: pd.Series, z: pd.Series) -> pd.Series:
-        return pd.Series(_s2_id(x.values, y.values, z.values, level))
+        return pd.Series(_enc(x.values, y.values, z.values, level))
 
     return _udf
 
