@@ -150,3 +150,37 @@ def test_cell_equijoin_is_sort_merge_for_large_sides(spark):
         assert "SortMergeJoin" in plan, plan[:1500]
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_minhash_verify_stage_never_shuffles_text(spark):
+    """VERDICT r1 #2 'Done' criterion: the minhash verify stage must not
+    ship the text column through any exchange and must not re-shingle in
+    Python. The full dedup plan (signatures -> bands -> candidate pairs ->
+    array_intersect verify) may evaluate the one shingle+sig UDF, but the
+    raw text column must not appear in any Exchange, and no second Python
+    eval (the old jaccard_udf) may exist downstream of the band shuffle."""
+    from spatialindex_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_verified_pairs, pick_bands)
+
+    docs = spark.createDataFrame(
+        [(i, f"document body {i % 7} " * 12) for i in range(200)],
+        "doc_id long, text string")
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).localCheckpoint(eager=True)
+    verified = minhash_verified_pairs(docs, pairs, "text", "doc_id", 5, 0.9)
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, f"text column crosses a shuffle: {line}"
+    # the only Python evals are the shingle UDF over the broadcast-semi-
+    # joined PARTICIPANTS (one per join side); the old per-pair jaccard_udf
+    # took TWO text columns — assert no eval consumes two text args, and
+    # every eval sits above the participants broadcast join (never a bare
+    # corpus scan feeding Python)
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python never
+    for line in plan.splitlines():
+        if "ArrowEvalPython" in line:
+            assert line.count("text") <= 1, f"per-pair text UDF: {line}"
+    assert "BroadcastHashJoin" in plan  # participants semi-join shape
+    # no cartesian/nested-loop anywhere in band+verify
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
