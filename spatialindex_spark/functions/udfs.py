@@ -188,6 +188,7 @@ def register_all(spark, level: int = 7) -> None:
     spark.udf.register(f"htm{level}", htm_udf(level))
     spark.udf.register(f"hpx{level}", hpx_udf(level))
     spark.udf.register(f"s2{level}", s2_udf(level))
+    spark.udf.register(f"s2h{level}", s2_udf(level, curve="hilbert"))
     spark.udf.register(f"h3{level}", h3_udf(level))
     spark.udf.register("htm_idtodec", htm_idtodec_udf)
     spark.udf.register("htm_level", htm_level_udf)

@@ -6,6 +6,8 @@ HTM + HPX, levels 4-14. Strings must match byte-for-byte (modulo the CLI's
 leading whitespace, stripped at capture time).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -135,3 +137,40 @@ def test_covering_contains_member_points(golden_cells):
     arr = np.array(c.ranges)
     for cell in cells:
         assert ((arr[:, 0] <= cell) & (cell <= arr[:, 1])).any()
+
+
+def test_fresh_random_constraint_parity_vs_reference_binary():
+    """Beyond the 72 static golden strings: every run draws NEW random
+    cones (both systems, several levels) and compares constraint strings
+    byte-for-byte against the compiled reference CLI. Skips when the
+    sandbox binary is absent (recipe in FIXTURES.md)."""
+    import random
+    import subprocess
+
+    import pytest as _pytest
+
+    binpath = "/tmp/refbuild/sptQuery"
+    if not os.path.exists(binpath):
+        _pytest.skip("reference binary not built in this sandbox")
+
+    from spatialindex_spark import SpatialIndex
+
+    si = SpatialIndex()
+    rng = random.Random()  # fresh seed each run — that is the point
+    for _ in range(10):
+        ra = round(rng.uniform(0, 360), 3)
+        dec = round(rng.uniform(-85, 85), 3)
+        r = round(rng.uniform(0.05, 3.0), 3)
+        lvl = rng.choice([5, 7, 10, 14])
+        mode_s = rng.choice(["HTM", "HPX"])
+        ref = subprocess.run(
+            [binpath, mode_s, str(lvl), "-c", str(ra), str(dec), str(r)],
+            capture_output=True, text=True).stdout
+        mode = SpatialIndex.HTM if mode_s == "HTM" else SpatialIndex.HPX
+        col = "htmind" if mode_s == "HTM" else "hpxind"
+        c = si.cone_search(ra, dec, r, mode=mode, level=lvl, encoding=0,
+                           colname=col)
+        ref_lines = [ln.split(">", 1)[1].strip()
+                     for ln in ref.strip().splitlines() if "CONSTRAINT>" in ln]
+        mine = [c["index_constraint"].strip(), c["geom_constraint"].strip()]
+        assert ref_lines == mine, (mode_s, ra, dec, r, lvl)

@@ -45,9 +45,9 @@ def test_queries_have_oracles_or_are_documented():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
-    # every non-oracled query uses float hyperplane/centroid internals
-    # (the hash-family dedup ops all have exact HUGEINT SQL oracles)
-    assert set(qs) - set(oracles) == {"ann_lsh", "ann_ivf", "embed_dedup"}
+    # round 2: EVERY query has a value oracle (the ANN family got full SQL
+    # pipeline replicas via the integer-quantized ternary LSH)
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize("name", SUBSET)
