@@ -215,16 +215,17 @@ def s2_cell_center(ids) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         i = (i << 1) | (ij >> 1)
         j = (j << 1) | (ij & 1)
         orient = orient ^ _POS_TO_ORIENT[p]
-    # center of the level-cell: keep the top 'level' bits, add half a cell
-    shift = 2 * 0  # noqa: F841 (clarity)
+    # center of the level-cell in leaf st units: leaf cells center at
+    # i + 0.5; coarser cells center at i0 + 2^(drop-1) EXACTLY (adding the
+    # extra half-leaf would bias the center by 2^-31 of the face)
     drop = S2_LEAF - level
-    i = ((i >> drop) << drop) + (np.int64(1) << np.maximum(drop - 1, 0)) \
-        * (drop > 0)
-    j = ((j >> drop) << drop) + (np.int64(1) << np.maximum(drop - 1, 0)) \
-        * (drop > 0)
+    i0 = (i >> drop) << drop
+    j0 = (j >> drop) << drop
+    half = np.where(drop > 0, (np.int64(1) << np.maximum(drop - 1, 0))
+                    .astype(np.float64), 0.5)
     n = float(1 << S2_LEAF)
-    s = (i + 0.5) / n
-    t = (j + 0.5) / n
+    s = (i0 + half) / n
+    t = (j0 + half) / n
     x, y, z = _face_uv_to_xyz_s2(face, _st_to_uv(s), _st_to_uv(t))
     norm = np.sqrt(x * x + y * y + z * z)
     return x / norm, y / norm, z / norm

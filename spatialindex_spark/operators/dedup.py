@@ -59,18 +59,25 @@ def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
 def _batch_signatures(texts, num_perm: int, k: int,
                       a: np.ndarray, b: np.ndarray):
     """Shared batch kernel: per-doc (sorted-unique shingle array, minhash
-    signature). Vectorized across the whole Arrow batch: concatenate every
-    doc's shingle set, apply all permutations, then per-doc minimums via
-    np.minimum.reduceat (one pass per permutation chunk, no doc loop).
-    Caller must exclude docs with no shingles (len(text) < k)."""
+    signature list-or-None). Vectorized across the whole Arrow batch:
+    concatenate every doc's shingle set, apply all permutations, then
+    per-doc minimums via np.minimum.reduceat (one pass per permutation
+    chunk, no doc loop). Docs with NO shingles (shorter than k bytes) get a
+    None signature — a zero-length reduceat segment would otherwise return
+    the NEXT doc's first values (or raise on a trailing empty), silently
+    corrupting signatures."""
     shingle_sets = [_shingle_hashes(t, k) for t in texts]
-    lens = np.array([len(s) for s in shingle_sets])
-    if len(lens) == 0:
-        return [], np.empty((0, num_perm), dtype=np.int64)
-    flat = np.concatenate(shingle_sets) if lens.sum() else np.zeros(1, np.uint64)
-    offsets = np.zeros(len(lens), dtype=np.int64)
-    np.cumsum(lens[:-1], out=offsets[1:])
-    sigs = np.empty((len(lens), num_perm), dtype=np.int64)
+    lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
+    out: list = [None] * len(shingle_sets)
+    ne = np.nonzero(lens > 0)[0]
+    if len(ne) == 0:
+        return shingle_sets, out
+    sets_ne = [shingle_sets[i] for i in ne]
+    flat = np.concatenate(sets_ne)
+    lens_ne = lens[ne]
+    offsets = np.zeros(len(ne), dtype=np.int64)
+    np.cumsum(lens_ne[:-1], out=offsets[1:])
+    sigs = np.empty((len(ne), num_perm), dtype=np.int64)
     chunk = max(1, (8 << 20) // max(len(flat), 1))  # ~8M u64 workspace
     with np.errstate(over="ignore"):
         for p0 in range(0, num_perm, chunk):
@@ -78,16 +85,20 @@ def _batch_signatures(texts, num_perm: int, k: int,
             vals = flat[:, None] * a[None, p0:p1] + b[None, p0:p1]  # wraps
             sigs[:, p0:p1] = (np.minimum.reduceat(vals, offsets, axis=0)
                               >> np.uint64(1)).astype(np.int64)
-    return shingle_sets, sigs
+    for row_idx, i in enumerate(ne):
+        out[i] = sigs[row_idx].tolist()
+    return shingle_sets, out
 
 
 def minhash_udf(num_perm: int = 64, k: int = 5):
+    """Minhash signature per doc; NULL for docs with no shingles (shorter
+    than k bytes) — such docs can never be dedup candidates."""
     a, b = _minhash_params(num_perm)
 
     @pandas_udf("array<long>")
     def _udf(text: pd.Series) -> pd.Series:
         _, sigs = _batch_signatures(text.fillna(""), num_perm, k, a, b)
-        return pd.Series([row.tolist() for row in sigs])
+        return pd.Series(sigs)
 
     return _udf
 
@@ -118,39 +129,53 @@ def simhash_udf(k: int = 5):
         # the SQL oracle cross-check).
         shingle_sets = [_shingle_hashes(t, k) for t in text.fillna("")]
         lens = np.array([len(s) for s in shingle_sets], dtype=np.int64)
-        if len(lens) == 0:
-            return pd.Series([], dtype=np.int64)
-        flat = np.concatenate(shingle_sets)
-        offsets = np.zeros(len(lens), dtype=np.int64)
-        np.cumsum(lens[:-1], out=offsets[1:])
-        out = np.zeros(len(lens), dtype=np.int64)
+        # docs with no shingles (< k bytes) get NULL — a zero-length
+        # reduceat segment would alias the next doc's bits
+        ne = np.nonzero(lens > 0)[0]
+        result: list = [None] * len(shingle_sets)
+        if len(ne) == 0:
+            return pd.Series(result, dtype=object)
+        sets_ne = [shingle_sets[i] for i in ne]
+        lens_ne = lens[ne]
+        flat = np.concatenate(sets_ne)
+        offsets = np.zeros(len(ne), dtype=np.int64)
+        np.cumsum(lens_ne[:-1], out=offsets[1:])
+        out = np.zeros(len(ne), dtype=np.int64)
         with np.errstate(over="ignore"):
             for j0 in range(0, 64, 8):  # 8-bit chunks bound the workspace
                 js = np.arange(j0, j0 + 8, dtype=np.uint64)
                 bits = ((flat[:, None] >> js[None, :]) & np.uint64(1)) \
                     .astype(np.int64)
                 ones = np.add.reduceat(bits, offsets, axis=0)
-                score = 2 * ones - lens[:, None]
+                score = 2 * ones - lens_ne[:, None]
                 for jj in range(8):
                     out |= (score[:, jj] > 0).astype(np.int64) << (j0 + jj)
-        return pd.Series(out)
+        for row_idx, i in enumerate(ne):
+            result[i] = int(out[row_idx])
+        return pd.Series(result, dtype=object)
 
     return _udf
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input is visibly narrower than the
-    cluster has slots, so the (expensive) signature UDF parallelizes. Uses
-    inputFiles() (plan metadata, no job, no RDD-DAG conversion — df.rdd
-    forces plan translation) as the width proxy: a production-scale scan
-    has >= parallelism files -> no-op, no shuffle; a driver-built test
-    frame (no files) is tiny, so the repartition costs nothing."""
+    """Round-robin repartition when the input is narrower than the cluster
+    has slots, so the (expensive) signature UDF parallelizes. Two-tier
+    check: inputFiles() (plan metadata, no job) proves width for free when
+    there are many files; otherwise the accurate partition count decides —
+    a handful of LARGE splittable files still yields many scan partitions
+    and must NOT trigger a corpus shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
     try:
         nfiles = len(df.inputFiles())
     except Exception:
         nfiles = 0
     if nfiles >= target:
+        return df  # plan metadata alone proves width — no conversion needed
+    # few/no files does NOT imply narrow (large files split into many scan
+    # partitions; non-file sources have no files at all): fall back to the
+    # accurate partition count. The .rdd conversion runs once per operator
+    # call at plan-build time, only on this already-ambiguous path.
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 
@@ -183,20 +208,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     if normalize:
         t = F.lower(F.regexp_replace(t, r"\s+", " "))
-    h = F.xxhash64(t)
-    # partition by (hash, normalized text), not hash alone: above ~10^9 docs
-    # the 64-bit birthday bound makes a collision material, and a collision
-    # under hash-only grouping silently drops a NON-duplicate. The row
-    # already carries the text through the shuffle (windows move whole
-    # rows), so the extra key costs nothing; the hash still provides the
-    # uniform partitioning.
-    w = Window.partitionBy("_h", "_t").orderBy(F.col(id_col).asc())
+    # group on TWO independent 64-bit hashes (seeded differently): above
+    # ~1e9 docs a single 64-bit birthday collision is material and would
+    # silently drop a NON-duplicate; a simultaneous 128-bit collision is
+    # beyond-cosmic. Two 8-byte keys beat shipping a second full-width
+    # normalized-text copy through the window shuffle.
+    w = Window.partitionBy("_h", "_h2").orderBy(F.col(id_col).asc())
     return (
-        df.withColumn("_t", t)
-        .withColumn("_h", h)
+        df.withColumn("_h", F.xxhash64(t))
+        .withColumn("_h2", F.xxhash64(F.lit("dedup2"), t))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_h", "_t", "_rn")
+        .drop("_h", "_h2", "_rn")
     )
 
 
@@ -243,6 +266,7 @@ def _band_pairs(sigs: DataFrame, id_col: str, num_perm: int,
     than a hash on the shuffle wire, but band rows are rows x bands of
     (id, key), negligible next to the corpus."""
     rows_per_band = num_perm // bands
+    sigs = sigs.filter(F.col("_sig").isNotNull())
     stacked = sigs.select(
         id_col,
         F.explode(F.array(*[
@@ -269,7 +293,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     pairs deduped across bands."""
     if bands is None:
         bands = pick_bands(num_perm, threshold)
-    sigs = _minhash_frame(df, text_col, id_col, num_perm, k).drop("_sh")
+    sigs = _minhash_frame(df, text_col, id_col, num_perm, k)
     return _band_pairs(sigs, id_col, num_perm, bands)
 
 
@@ -306,13 +330,25 @@ def minhash_verified_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
                     .distinct())
     P = (df.select(id_col, text_col)
          .join(F.broadcast(participants), id_col)
-         .select(F.col(id_col), shingles_udf(k)(F.col(text_col)).alias("_sh")))
-    sa = P.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
-    sb = P.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+         .select(F.col(id_col).alias("_pid"),
+                 shingles_udf(k)(F.col(text_col)).alias("_sh")))
+    # ONE derivation of P (one corpus rescan, one shingle pass): explode
+    # each pair into its two sides, join P once, pivot the two shingle
+    # arrays back onto the pair row (joining P separately per side would
+    # re-execute the scan + UDF once per side)
+    tagged = pairs.select(
+        "id_a", "id_b",
+        F.explode(F.array("id_a", "id_b")).alias("_pid"))
+    both = (tagged.join(P, "_pid")
+            .groupBy("id_a", "id_b")
+            .agg(F.first(F.when(F.col("_pid") == F.col("id_a"),
+                                F.col("_sh")), ignorenulls=True).alias("_sha"),
+                 F.first(F.when(F.col("_pid") == F.col("id_b"),
+                                F.col("_sh")), ignorenulls=True).alias("_shb")))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
     return (
-        pairs.join(sa, "id_a").join(sb, "id_b")
+        both
         .withColumn("jaccard",
                     F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
         .filter(F.col("jaccard") >= threshold)
@@ -369,7 +405,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # docs shorter than k bytes have no shingles and are never candidates
     # (matches the SQL oracle's length >= k exclusion)
     proj = proj.filter(F.octet_length(F.col(text_col)) >= k)
-    sh = proj.select(F.col(id_col), simhash_udf(k)(F.col(text_col)).alias("_sh"))
+    sh = (proj.select(F.col(id_col),
+                      simhash_udf(k)(F.col(text_col)).alias("_sh"))
+          .filter(F.col("_sh").isNotNull()))
     stacked = sh.select(
         id_col, "_sh",
         F.explode(F.array(*[

@@ -14,12 +14,15 @@ analogue:
    rank <= k;
 4. queries that do NOT hold k candidates within the *verified* radius
    (sparse regions, k above local density) iteratively widen: each round
-   doubles the ring radius and probes ONLY the starved queries' NEW shell
-   cells (disc(2r) minus disc(r)) through the same broadcast hash
-   equi-join. The terminal state (disc covers the sphere) degenerates to
-   an equi-join against every cell id — still a hash join, NEVER a
-   full-table CartesianProduct/BroadcastNestedLoopJoin (test_plans
-   asserts this even with a starved query in the fixture).
+   targets 4x the verified radius, probing ONLY the starved queries' NEW
+   shell cells through the same broadcast hash equi-join. When the ring
+   disc at the current level would exceed a bounded cell budget, the probe
+   level COARSENS instead (the data key is a shiftright of the fine cell),
+   so the broadcast never exceeds starved x budget rows; the terminal
+   full-sphere state is a 12-key level-0 equi-join — NEVER a full-table
+   CartesianProduct/BroadcastNestedLoopJoin and never a cell blow-up
+   (tests assert exactness on starved fixtures at fine levels and the
+   absence of any cross join).
 
 The ring radius guarantees correctness: ring r covers every point within
 r * safe_ring1_rad, so a query stops expanding once it holds k candidates
@@ -82,7 +85,7 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         tiebreak: str | None = None,
         cell_col: str | None = None,
         cell_level: int | None = None,
-        max_rounds: int = 8) -> DataFrame:
+        max_rounds: int = 16) -> DataFrame:
     """k nearest data rows per query point.
 
     queries: small-ish DataFrame with ``query_id`` + ra/dec.
@@ -134,12 +137,20 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
         + F.sin(rad(F.col("_qdec"))) * F.sin(rad(F.col(dd)))
     )
 
-    def probe(qdf: DataFrame, r_lo: int, r_hi: int) -> DataFrame:
+    def probe(qdf: DataFrame, r_lo: int, r_hi: int,
+              at_level: int) -> DataFrame:
+        """Candidates in the shell disc(r_hi) \\ disc(r_lo) at ``at_level``
+        (<= lvl): the data-side key is a shiftright of the level-``lvl``
+        cell (nested parent = child >> 2/level), so a coarser probe never
+        rescans through Python and never enumerates fine cells."""
+        key = (F.col("_mc") if at_level == lvl
+               else F.shiftright(F.col("_mc"), 2 * (lvl - at_level)))
         qk = qdf.select(
             F.col(query_id), "_qra", "_qdec",
-            F.explode(_shell_cells_udf(lvl, r_lo, r_hi)("_qra", "_qdec"))
-            .alias("_mc"))
-        p = (dk.join(F.broadcast(qk), "_mc").drop("_mc")
+            F.explode(_shell_cells_udf(at_level, r_lo, r_hi)("_qra", "_qdec"))
+            .alias("_pk"))
+        p = (dk.withColumn("_pk", key)
+             .join(F.broadcast(qk), "_pk").drop("_pk", "_mc")
              .withColumn("dist_deg", F.degrees(F.acos(
                  F.least(F.greatest(dot, F.lit(-1.0)), F.lit(1.0))))))
         if max_radius_deg is not None:
@@ -155,40 +166,82 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     # released before returning — repeated knn() calls must not accumulate
     # CacheManager entries.
     from pyspark import StorageLevel
-    pairs = probe(qmeta, 0, rings).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = probe(qmeta, 0, rings, lvl).persist(StorageLevel.MEMORY_AND_DISK)
     first_cache = pairs
 
-    total_cells = 12 << (2 * lvl)
-    # ring radius past which the verified radius covers the whole sphere
-    full_r = max(rings, math.ceil(math.pi / safe_ring1_rad(lvl)))
+    # widening state: verified radius in radians + the level/rings that
+    # realize it. Each round TARGETS 4x the verified radius and, when the
+    # ring disc at the current level would exceed CELL_BUDGET cells per
+    # starved query, COARSENS the probe level instead of enumerating more
+    # cells (the broadcast stays bounded: starved x <=CELL_BUDGET rows).
+    # Level-0 fits any radius (<= ~169 cells), so the terminal full-sphere
+    # probe is a 12-key equi-join — never a cell blow-up, never a cross join.
+    CELL_BUDGET = 4096
+    probe_level = lvl
+    probe_r = rings
+    vrad = rings * safe_ring1_rad(lvl)
 
-    cur = rings
+    def plan_round(target_rad: float) -> tuple[int, int]:
+        """Coarsest-necessary (level, rings) whose disc covers target_rad
+        within CELL_BUDGET cells."""
+        for cand in range(probe_level, -1, -1):
+            r_need = max(1, math.ceil(target_rad / safe_ring1_rad(cand)))
+            if (2 * r_need + 1) ** 2 <= CELL_BUDGET or cand == 0:
+                return cand, r_need
+        raise AssertionError("unreachable")
+
     for _ in range(max_rounds):
-        if cur >= full_r:
-            break  # disc covers the sphere: complete by construction
-        vr = verified_radius_deg(lvl, cur)
-        counts = (pairs.filter(F.col("dist_deg") <= vr)
+        vr_deg = vrad / RAD_PER_DEG
+        counts = (pairs.filter(F.col("dist_deg") <= vr_deg)
                   .groupBy(query_id).agg(F.count(F.lit(1)).alias("_n")))
         starved = (qmeta.join(counts, query_id, "left")
                    .filter(F.coalesce(F.col("_n"), F.lit(0)) < k)
                    .drop("_n"))
-        if max_radius_deg is not None and vr >= max_radius_deg:
+        if vrad >= math.pi:
+            break  # disc covers the sphere: complete by construction
+        if max_radius_deg is not None and vr_deg >= max_radius_deg:
             break  # the bounded search disc is already fully verified
         if starved.limit(1).count() == 0:
             break
-        new_r = cur * 2
-        # jump straight to the terminal full-sphere probe once the next
-        # disc would cover >= 1/4 of all cells — saves adjacency-closure
-        # work and a round of jobs
-        if (2 * new_r + 1) ** 2 * 4 >= total_cells:
-            new_r = full_r
-        new_r = min(new_r, full_r)
-        delta = probe(starved, cur, new_r)
+        target = min(vrad * 4.0, math.pi)
+        new_level, new_r = plan_round(target)
+        if new_level == probe_level:
+            # same level: probe only the NEW shell (disjoint by
+            # construction, pairs accumulate)
+            delta = probe(starved, probe_r, new_r, new_level)
+            pairs = pairs.unionByName(delta.select(*pairs.columns))
+        else:
+            # coarser level: cells overlap the finer ones spatially, so
+            # REPLACE the starved queries' pairs wholesale with the full
+            # coarse disc (supersedes everything they had) — no duplicate
+            # (query, row) candidates can survive
+            keep = pairs.join(F.broadcast(starved.select(query_id)),
+                              query_id, "left_anti")
+            repl = probe(starved, 0, new_r, new_level)
+            pairs = keep.unionByName(repl.select(*pairs.columns))
         # single-chain union, lineage truncated every round (Spark 4.1
         # iterative-loop pathology: see operators/graph.py)
-        pairs = (pairs.unionByName(delta.select(*pairs.columns))
-                 .localCheckpoint(eager=True))
-        cur = new_r
+        pairs = pairs.localCheckpoint(eager=True)
+        probe_level, probe_r = new_level, new_r
+        vrad = new_r * safe_ring1_rad(new_level)
+    else:
+        # loop exhausted without reaching a provably-complete state: raise
+        # ONLY if some query is still starved (silent partial results are
+        # the failure mode this loop exists to prevent)
+        bounded_done = (max_radius_deg is not None
+                        and vrad / RAD_PER_DEG >= max_radius_deg)
+        if vrad < math.pi and not bounded_done:
+            vr_deg = vrad / RAD_PER_DEG
+            counts = (pairs.filter(F.col("dist_deg") <= vr_deg)
+                      .groupBy(query_id).agg(F.count(F.lit(1)).alias("_n")))
+            still = (qmeta.join(counts, query_id, "left")
+                     .filter(F.coalesce(F.col("_n"), F.lit(0)) < k))
+            if still.limit(1).count() > 0:
+                raise RuntimeError(
+                    f"knn widening exhausted max_rounds={max_rounds} before "
+                    f"the verified radius covered the sphere (level {lvl}); "
+                    f"raise max_rounds — results would otherwise be "
+                    f"silently partial")
 
     order = [F.col("dist_deg").asc()]
     if tiebreak:

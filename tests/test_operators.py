@@ -767,3 +767,32 @@ def test_ann_lsh_recall_on_clustered_vectors(spark):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.9, f"clustered recall {hits}/{total}"
+
+
+def test_knn_starved_deep_level_exact(spark):
+    """Starved widening at a DEEP level (10): the ring disc at level 10
+    can't reach the far side of the sky within the cell budget, so the
+    probe must coarsen levels instead of enumerating millions of cells —
+    and still return the exact top-k."""
+    rng = np.random.default_rng(99)
+    n = 30
+    ra = rng.uniform(200.0, 201.0, n)
+    dec = rng.uniform(-31.0, -30.0, n)
+    data = spark.createDataFrame(
+        [(int(i), float(r), float(d)) for i, (r, d) in enumerate(zip(ra, dec))],
+        "pid long, ra double, dec double")
+    q = spark.createDataFrame([(1, 20.0, 40.0)],
+                              "query_id long, ra double, dec double")
+
+    from spatialindex_spark.operators.knn import knn
+
+    got = knn(q, data, k=5, level=10, rings=1, tiebreak="pid") \
+        .select("pid", "knn_rank").toPandas()
+
+    from spatialindex_spark.functions.geometry import radec_to_xyz
+
+    x, y, z = radec_to_xyz(ra, dec)
+    qx, qy, qz = radec_to_xyz(np.array([20.0]), np.array([40.0]))
+    d = np.arccos(np.clip(x * qx + y * qy + z * qz, -1, 1))
+    order = np.lexsort((np.arange(n), d))[:5]
+    assert got.sort_values("knn_rank").pid.tolist() == [int(i) for i in order]
