@@ -1,23 +1,20 @@
-"""H3-style and S2-style cell encodes (north-rule ⊕ P12 — no reference impl).
+"""H3-style and S2 cell encodes (north-rule ⊕ P12 — no reference impl).
 
-These are from-scratch, documented encodings that follow the same column
-pattern as ``htm<L>``/``hpx<L>`` (int64, hierarchical, Z-ordered children)
-so every downstream operator (range partitioning, coverings by prefix,
-neighbor rings) works identically over them. They are *engine-defined*:
-
-- ``s2_id``: S2-style — project onto the 6 cube faces, quadratic UV
-  correction (the S2 "quadratic projection"), then bit-interleave (i, j)
-  into a quadtree cell path: ``id = (face << 2L) | interleave(i, j)``.
-  Matches S2's cell hierarchy semantics (face + Hilbert-free Z-order; we
-  use Z-order rather than the Hilbert curve and document that choice —
-  locality is provided downstream by range-partitioning on the id).
+- ``s2_cell_id``: TRUE S2 cell ids — canonical face/uv charts, quadratic
+  st projection, Hilbert-curve position via the published orientation
+  lookup tables, library-compatible 64-bit layout (face bits + position
+  bits + trailing marker). Parent/range/level/center inverses included.
+- ``s2_id``: the original Z-order variant (plain hierarchical int64,
+  always positive — convenient as a range-partitioning key), kept as an
+  option behind ``s2_udf(level, curve="zorder")``.
 - ``h3_id``: H3-style — icosahedral-inspired aperture-4 hierarchy packed
   as ``(res << 56) | (base_cell << 48) | path``; base cells are the 12
   HEALPix faces (a rhombic base grid), per-res 2-bit child digits. True
   H3 is aperture-7 hexagonal; this engine analogue keeps H3's API shape
-  (res, base cell, child path) while staying exactly invertible.
+  (res, base cell, child path) while staying exactly invertible, and is
+  documented as an analogue, not an interop claim.
 
-Both are numpy-vectorized and exposed as pandas UDFs in udfs.py.
+All numpy-vectorized and exposed as pandas UDFs in udfs.py.
 """
 
 from __future__ import annotations

@@ -408,22 +408,42 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     sh = (proj.select(F.col(id_col),
                       simhash_udf(k)(F.col(text_col)).alias("_sh"))
           .filter(F.col("_sh").isNotNull()))
-    stacked = sh.select(
-        id_col, "_sh",
+    losers = hamming_dedup_losers(sh, "_sh", id_col, band_bits, max_hamming)
+    return df.join(losers, id_col, "left_anti")
+
+
+def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
+                         band_bits: int = 16,
+                         max_hamming: int = 3) -> DataFrame:
+    """Higher ids within ``max_hamming`` of a lower id, for ANY int64
+    hash-fingerprint column — the banded-Hamming core shared by
+    simhash_dedup (text) and phash_image_dedup (images). Candidates share
+    at least one of the 64/band_bits bit-bands (guaranteed by pigeonhole
+    when bands > max_hamming — validated), verified by exact JVM
+    bit_count(xor). Shuffle volume O(rows x bands)."""
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits={band_bits} must divide 64")
+    nbands = 64 // band_bits
+    if nbands <= max_hamming:
+        raise ValueError(
+            f"{nbands} bands cannot guarantee recall at Hamming radius "
+            f"{max_hamming} (need 64/band_bits > max_hamming by pigeonhole)")
+    stacked = hashed.select(
+        id_col, F.col(hash_col).alias("_hh"),
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftrightunsigned("_sh", b * band_bits)
+                     F.shiftrightunsigned(hash_col, b * band_bits)
                      .bitwiseAND(F.lit((1 << band_bits) - 1)).alias("bh"))
             for b in range(nbands)
         ])).alias("_k"),
-    ).select(id_col, "_sh", "_k.band", "_k.bh")
+    ).select(id_col, "_hh", "_k.band", "_k.bh")
     pairs = (
-        _bucket_pairs(stacked, ["band", "bh"], id_col, payload=["_sh"])
+        _bucket_pairs(stacked, ["band", "bh"], id_col, payload=["_hh"])
         .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"),
-                F.col("_a._sh").alias("sh_a"), F.col("_b._sh").alias("sh_b"))
+                F.col("_a._hh").alias("h_a"), F.col("_b._hh").alias("h_b"))
         .distinct()
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .withColumn("hamming",
+                    F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return pairs.select(F.col("id_b").alias(id_col)).distinct()

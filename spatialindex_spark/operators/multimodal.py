@@ -179,3 +179,23 @@ def audio_features(df: DataFrame, rate: int = 8000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select(*cols).mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+def phash_image_dedup(df, phash_col: str = "phash",
+                      id_col: str = "image_id", band_bits: int = 16,
+                      max_hamming: int = 4):
+    """Near-duplicate IMAGE removal over the ingest-time perceptual-hash
+    column (keep min id): banded-Hamming candidates + exact bit_count(xor)
+    verify, sharing the simhash core (dedup.hamming_dedup_losers). Images
+    re-encoded through a lossy codec land within a few phash bits of the
+    original (test_phash_similarity_property), so re-encodes/resizes dedup
+    without touching pixel bytes — the shuffle carries only (id, phash),
+    never the image payload. Shuffle volume O(rows x 64/band_bits)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hamming_dedup_losers
+
+    hashed = df.select(F.col(id_col), F.col(phash_col))
+    losers = hamming_dedup_losers(hashed, phash_col, id_col,
+                                  band_bits, max_hamming)
+    return df.join(losers, id_col, "left_anti")

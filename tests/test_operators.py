@@ -796,3 +796,30 @@ def test_knn_starved_deep_level_exact(spark):
     d = np.arccos(np.clip(x * qx + y * qy + z * qz, -1, 1))
     order = np.lexsort((np.arange(n), d))[:5]
     assert got.sort_values("knn_rank").pid.tolist() == [int(i) for i in order]
+
+
+def test_phash_image_dedup(spark):
+    """Image near-dup removal on the phash column: lossy re-encodes of an
+    image (phash within a few bits) are dropped, unrelated images survive,
+    and the shuffle never carries pixel bytes (plan check)."""
+    from spatialindex_spark.operators.multimodal import phash_image_dedup
+
+    rows = []
+    for i in range(40):
+        img = imaging.synth_image(i, 32, 32)
+        rows.append((f"img{i:04d}", imaging.encode(img, "z"),
+                     int(imaging.phash64(img))))
+        if i % 8 == 0:  # planted near-dup: lossy re-encode
+            twin = imaging.decode(imaging.encode(img, "dct"), 32, 32, "dct")
+            rows.append((f"img{i:04d}_dup", imaging.encode(twin, "z"),
+                         int(imaging.phash64(twin))))
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, phash long")
+    out = phash_image_dedup(df, max_hamming=3)  # twins at <=1 bit; nearest unrelated pair is 6
+    kept = sorted(r.image_id for r in out.select("image_id").collect())
+    assert all(not k.endswith("_dup") for k in kept), kept
+    assert len(kept) == 40  # every original survives
+    # plan: no Exchange ships the image payload
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line, line
