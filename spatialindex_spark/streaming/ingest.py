@@ -86,3 +86,35 @@ def stream_running_cell_totals(stream: DataFrame, level: int = 7,
             .applyInPandasWithState(update, "spt_ind long, total long",
                                     "total long", "update",
                                     GroupStateTimeout.NoTimeout))
+
+
+def stream_exact_dedup(stream: DataFrame, text_col: str = "text",
+                       ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup for continuously-ingested training text: keep
+    the first arrival of each normalized-content hash, drop replays that
+    arrive within the watermark horizon. State is ONE (hash, hash2) pair
+    per distinct doc inside the horizon (dropDuplicatesWithinWatermark
+    evicts expired keys), so memory is bounded by ingest rate x horizon —
+    the standard shape for dedup-on-ingest at firehose scale. The same
+    two-independent-hash key as batch exact_dedup (128-bit collision
+    safety; the text itself never enters state)."""
+    t = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    withkeys = (stream
+                .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                .withColumn("_h", F.xxhash64(t))
+                .withColumn("_h2", F.xxhash64(F.lit("dedup2"), t)))
+    return (withkeys.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(["_h", "_h2"])
+            .drop("_h", "_h2"))
+
+
+def stream_phash_dedup(stream: DataFrame, phash_col: str = "phash",
+                       ts_col: str = "ts",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming EXACT-phash image dedup (drops byte-different re-encodes
+    whose perceptual hash is identical — the common case for replayed
+    uploads; near-dup radii need the batch phash_image_dedup pass)."""
+    return (stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark([phash_col]))

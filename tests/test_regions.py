@@ -231,3 +231,36 @@ def test_streaming_region_filter_and_stateful_totals(spark, tmp_path):
     assert sum(t1.values()) == 500
     assert all(t2[k] == 2 * v for k, v in t1.items())
     assert sum(t2.values()) == 1000
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Streaming dedup-on-ingest: replayed documents (same normalized text,
+    later timestamps within the watermark) are dropped; first arrivals and
+    distinct docs pass. State holds only the two 64-bit hashes per doc."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from spatialindex_spark.streaming.ingest import stream_exact_dedup
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    for i in range(200):
+        rows.append((i, f"document body number {i % 120}",
+                     t0 + datetime.timedelta(seconds=i)))
+    # 120 distinct texts; ids 120..199 are replays of 0..79
+    src = str(tmp_path / "docs_in")
+    spark.createDataFrame(rows, "doc_id long, text string, ts timestamp") \
+        .write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    out = stream_exact_dedup(stream, watermark="1 hour")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("t_dedup").start())
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT count(*) n, count(DISTINCT text) d "
+                        "FROM t_dedup").collect()[0]
+        assert got["n"] == 120 and got["d"] == 120
+    finally:
+        q.stop()
