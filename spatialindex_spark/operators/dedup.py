@@ -256,7 +256,7 @@ def _minhash_frame(df: DataFrame, text_col: str, id_col: str,
 
 
 def _band_pairs(sigs: DataFrame, id_col: str, num_perm: int,
-                bands: int) -> DataFrame:
+                bands: int, distinct: bool = True) -> DataFrame:
     """Candidate pairs (id_a < id_b) from banded signature slices.
 
     Band key = the signature slice itself (array<long>), NOT a hash of
@@ -276,11 +276,13 @@ def _band_pairs(sigs: DataFrame, id_col: str, num_perm: int,
             for b in range(bands)
         ])).alias("_k"),
     ).select(id_col, "_k.band", "_k.bh")
-    return (
-        _bucket_pairs(stacked, ["band", "bh"], id_col)
-        .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"))
-        .distinct()
-    )
+    out = (_bucket_pairs(stacked, ["band", "bh"], id_col)
+           .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b")))
+    # a pair matching in m bands appears m times; distinct costs a full
+    # shuffle, so pipelines whose downstream tolerates duplicates (the
+    # dedup verify: per-dup cheap JVM jaccard, losers distinct'd at the
+    # end) skip it
+    return out.distinct() if distinct else out
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
@@ -295,6 +297,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         bands = pick_bands(num_perm, threshold)
     sigs = _minhash_frame(df, text_col, id_col, num_perm, k)
     return _band_pairs(sigs, id_col, num_perm, bands)
+
+
+def _candidate_pairs_with_dups(df: DataFrame, text_col: str, id_col: str,
+                               num_perm: int, bands: int, k: int) -> DataFrame:
+    """Internal: banded candidates WITHOUT the cross-band distinct (one
+    fewer shuffle; the dedup verify tolerates duplicate pairs)."""
+    sigs = _minhash_frame(df, text_col, id_col, num_perm, k)
+    return _band_pairs(sigs, id_col, num_perm, bands, distinct=False)
 
 
 def jaccard_udf(k: int = 5):
@@ -314,8 +324,9 @@ def jaccard_udf(k: int = 5):
 def minhash_verified_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
                            id_col: str, k: int,
                            threshold: float) -> DataFrame:
-    """Exact-Jaccard-verified pairs from banded candidates — LAZY (exposed
-    so plan tests can assert the verify stage's shape).
+    """Exact-Jaccard-verified pairs from banded candidates (exposed so plan
+    tests can assert the verify stage's shape; the tiny participant-shingle
+    frame is materialized eagerly, everything else stays lazy).
 
     Scale shape (VERDICT r1 'What's wrong' #2 — the old verify joined the
     TEXT column onto every candidate pair and re-shingled per pair in a
@@ -328,27 +339,21 @@ def minhash_verified_pairs(df: DataFrame, pairs: DataFrame, text_col: str,
     participants = (pairs.select(F.col("id_a").alias(id_col))
                     .union(pairs.select(F.col("id_b").alias(id_col)))
                     .distinct())
+    # ONE corpus rescan + ONE shingle pass: P is tiny (participants only),
+    # so it is materialized eagerly (localCheckpoint) and the two pair-side
+    # joins read the materialized rows instead of re-executing the scan +
+    # UDF once per side. (A lazy explode/pivot alternative also gives one
+    # scan but adds a pairs-grain shuffle that measured 1.8x slower.)
     P = (df.select(id_col, text_col)
          .join(F.broadcast(participants), id_col)
-         .select(F.col(id_col).alias("_pid"),
-                 shingles_udf(k)(F.col(text_col)).alias("_sh")))
-    # ONE derivation of P (one corpus rescan, one shingle pass): explode
-    # each pair into its two sides, join P once, pivot the two shingle
-    # arrays back onto the pair row (joining P separately per side would
-    # re-execute the scan + UDF once per side)
-    tagged = pairs.select(
-        "id_a", "id_b",
-        F.explode(F.array("id_a", "id_b")).alias("_pid"))
-    both = (tagged.join(P, "_pid")
-            .groupBy("id_a", "id_b")
-            .agg(F.first(F.when(F.col("_pid") == F.col("id_a"),
-                                F.col("_sh")), ignorenulls=True).alias("_sha"),
-                 F.first(F.when(F.col("_pid") == F.col("id_b"),
-                                F.col("_sh")), ignorenulls=True).alias("_shb")))
+         .select(F.col(id_col), shingles_udf(k)(F.col(text_col)).alias("_sh"))
+         .localCheckpoint(eager=True))
+    sa = P.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    sb = P.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = (F.size("_sha") + F.size("_shb")).cast("double") - inter
     return (
-        both
+        pairs.join(sa, "id_a").join(sb, "id_b")
         .withColumn("jaccard",
                     F.when(union > 0, inter / union).otherwise(F.lit(1.0)))
         .filter(F.col("jaccard") >= threshold)
@@ -371,8 +376,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         bands = pick_bands(num_perm, threshold)
     # candidate pairs (ids only, small): one corpus signature pass;
     # localCheckpoint truncates so the verify stage doesn't re-run it
-    pairs = minhash_lsh_pairs(df, text_col, id_col, num_perm, bands, k,
-                              threshold=threshold).localCheckpoint(eager=True)
+    pairs = _candidate_pairs_with_dups(df, text_col, id_col, num_perm,
+                                       bands, k).localCheckpoint(eager=True)
     verified = (
         minhash_verified_pairs(df, pairs, text_col, id_col, k, threshold)
         .localCheckpoint(eager=True)

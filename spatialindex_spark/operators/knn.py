@@ -91,12 +91,14 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     queries: small-ish DataFrame with ``query_id`` + ra/dec.
     data:    large DataFrame with ra/dec (+ any payload columns).
 
-    Guarantee: every neighbor within ``verified_radius(level, r)`` of a
-    query is found, where r is that query's final ring radius; the widening
-    loop grows r (x2 per round, starved queries only) until the query holds
-    k verified candidates or the disc covers the sphere, so results are
-    exact for every query (not just dense ones). Choose ``max_radius_deg``
-    to pick the level automatically and bound the search.
+    Guarantee: every neighbor within the query's final verified radius is
+    found; the widening loop grows the radius (x4 per round, starved
+    queries only, coarsening the probe level under a bounded cell budget)
+    until the query holds k verified candidates or the disc covers the
+    sphere, so results are exact for every query (not just dense ones) —
+    or it RAISES if max_rounds is exhausted first (never silently
+    partial). Choose ``max_radius_deg`` to pick the level automatically
+    and bound the search.
 
     When ``data`` carries an ingest-time nested-HPX cell column
     (``cell_col`` at ``cell_level``), the match key is a shiftright of it —

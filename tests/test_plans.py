@@ -180,7 +180,8 @@ def test_minhash_verify_stage_never_shuffles_text(spark):
     for line in plan.splitlines():
         if "ArrowEvalPython" in line:
             assert line.count("text") <= 1, f"per-pair text UDF: {line}"
-    assert "BroadcastHashJoin" in plan  # participants semi-join shape
-    # no cartesian/nested-loop anywhere in band+verify
+    # no cartesian/nested-loop anywhere in band+verify (the participant
+    # semi-join is materialized inside the checkpointed P; the remaining
+    # pair joins are equi-joins that AQE broadcast-converts at runtime)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
