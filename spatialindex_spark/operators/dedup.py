@@ -299,14 +299,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return _band_pairs(sigs, id_col, num_perm, bands)
 
 
-def _candidate_pairs_with_dups(df: DataFrame, text_col: str, id_col: str,
-                               num_perm: int, bands: int, k: int) -> DataFrame:
-    """Internal: banded candidates WITHOUT the cross-band distinct (one
-    fewer shuffle; the dedup verify tolerates duplicate pairs)."""
-    sigs = _minhash_frame(df, text_col, id_col, num_perm, k)
-    return _band_pairs(sigs, id_col, num_perm, bands, distinct=False)
-
-
 def jaccard_udf(k: int = 5):
     @pandas_udf("double")
     def _udf(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -374,10 +366,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     dedup where chains A~B~C collapse to one row."""
     if bands is None:
         bands = pick_bands(num_perm, threshold)
-    # candidate pairs (ids only, small): one corpus signature pass;
-    # localCheckpoint truncates so the verify stage doesn't re-run it
-    pairs = _candidate_pairs_with_dups(df, text_col, id_col, num_perm,
-                                       bands, k).localCheckpoint(eager=True)
+    # candidate pairs (ids only, small): one corpus signature pass, no
+    # cross-band distinct (the verify tolerates duplicate pairs and losers
+    # are distinct'd at the end); localCheckpoint truncates so the verify
+    # stage doesn't re-run the signature pass
+    pairs = _band_pairs(_minhash_frame(df, text_col, id_col, num_perm, k),
+                        id_col, num_perm, bands,
+                        distinct=False).localCheckpoint(eager=True)
     verified = (
         minhash_verified_pairs(df, pairs, text_col, id_col, k, threshold)
         .localCheckpoint(eager=True)
@@ -397,15 +392,9 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Recall guarantee is pigeonhole: two hashes within max_hamming Hamming
     distance share an unchanged band only if there are MORE bands than
-    flipped bits — validated here (band_bits=32 with the default
-    max_hamming=3 would silently miss in-radius near-dups)."""
-    if 64 % band_bits != 0:
-        raise ValueError(f"band_bits={band_bits} must divide 64")
-    nbands = 64 // band_bits
-    if nbands <= max_hamming:
-        raise ValueError(
-            f"{nbands} bands cannot guarantee recall at Hamming radius "
-            f"{max_hamming} (need 64/band_bits > max_hamming by pigeonhole)")
+    flipped bits — validated by _validate_bands (band_bits=32 with the
+    default max_hamming=3 would silently miss in-radius near-dups)."""
+    _validate_bands(band_bits, max_hamming)  # fail before any UDF work
     proj = _ensure_parallelism(df.select(id_col, text_col))
     # docs shorter than k bytes have no shingles and are never candidates
     # (matches the SQL oracle's length >= k exclusion)
@@ -417,6 +406,19 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(losers, id_col, "left_anti")
 
 
+def _validate_bands(band_bits: int, max_hamming: int) -> int:
+    """Banded-Hamming recall precondition (pigeonhole): 64/band_bits bands
+    guarantee an unchanged shared band only when bands > max_hamming."""
+    if 64 % band_bits != 0:
+        raise ValueError(f"band_bits={band_bits} must divide 64")
+    nbands = 64 // band_bits
+    if nbands <= max_hamming:
+        raise ValueError(
+            f"{nbands} bands cannot guarantee recall at Hamming radius "
+            f"{max_hamming} (need 64/band_bits > max_hamming by pigeonhole)")
+    return nbands
+
+
 def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
                          band_bits: int = 16,
                          max_hamming: int = 3) -> DataFrame:
@@ -426,13 +428,7 @@ def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
     at least one of the 64/band_bits bit-bands (guaranteed by pigeonhole
     when bands > max_hamming — validated), verified by exact JVM
     bit_count(xor). Shuffle volume O(rows x bands)."""
-    if 64 % band_bits != 0:
-        raise ValueError(f"band_bits={band_bits} must divide 64")
-    nbands = 64 // band_bits
-    if nbands <= max_hamming:
-        raise ValueError(
-            f"{nbands} bands cannot guarantee recall at Hamming radius "
-            f"{max_hamming} (need 64/band_bits > max_hamming by pigeonhole)")
+    nbands = _validate_bands(band_bits, max_hamming)
     stacked = hashed.select(
         id_col, F.col(hash_col).alias("_hh"),
         F.explode(F.array(*[

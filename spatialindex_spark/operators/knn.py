@@ -126,11 +126,9 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     if use_cell:
         dk = data.withColumn("_mc", hpx_cell_key(cell_col, cell_level, lvl))
     else:
-        @pandas_udf("long")
-        def cell_udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
-            return pd.Series(hpx_id(lvl, ra.values, dec.values))
+        from ..functions.udfs import hpx_udf
 
-        dk = data.withColumn("_mc", cell_udf(F.col(dr), F.col(dd)))
+        dk = data.withColumn("_mc", hpx_udf(lvl)(F.col(dr), F.col(dd)))
 
     rad = F.radians
     dot = (
