@@ -208,6 +208,32 @@ def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("knn_rank"))
 
 
+def _q_knn_starved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 widening path under oracle check: at level 7 a ring-1 disc holds
+    ~0.07 customers on average, so EVERY query is starved and the iterative
+    shell widening (x4 radius per round, probe-level coarsening under the
+    cell budget) must converge to the exact top-k — verified against the
+    same SQL window oracle as the dense-path knn."""
+    from spatialindex_spark.operators.knn import knn
+
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    q = spark.createDataFrame(KNN_QUERIES, "query_id long, ra double, dec double")
+    out = knn(q, cust, k=10, level=7, rings=1, tiebreak="c_custkey")
+    return out.select("query_id", "c_custkey", "knn_rank")
+
+
+def _q_minhash_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH dedup with transitive clustering: verified near-dup
+    pairs are collapsed with distributed connected components and one
+    representative (min id) survives per component. Oracle replicates the
+    full pipeline plus a recursive-CTE component closure."""
+    from spatialindex_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (minhash_lsh_dedup(docs, threshold=0.9, transitive=True)
+            .select("doc_id"))
+
+
 def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.operators.joins import region_join
 
@@ -665,10 +691,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_join": _q_region_join,
         "crossmatch": _q_crossmatch,
         "knn": _q_knn,
+        "knn_starved": _q_knn_starved,
         "tile_assign": _q_tile_assign,
         "cell_counts": _q_cell_counts,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
+        "minhash_transitive": _q_minhash_transitive,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
@@ -745,7 +773,7 @@ def _ellipse_where() -> str:
 
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(transitive: bool = False) -> str:
     """ANSI-SQL replica of minhash_lsh_dedup(threshold=0.9, defaults):
     DISTINCT 5-byte rolling shingle hashes (HUGEINT mod 2^64), the same 64
     multiply-shift permutations (constants from the engine's seeded RNG),
@@ -763,7 +791,7 @@ def _minhash_oracle_sql() -> str:
         f"ord(substr(text, p + {j}, 1))::HUGEINT * {C[j]}::HUGEINT"
         for j in range(5))
     M = "18446744073709551616::HUGEINT"
-    return f"""
+    body = f"""
 WITH pos AS (
   SELECT doc_id, text, unnest(range(1, length(text) - 5 + 2)) AS p
   FROM documents WHERE length(text) >= 5
@@ -799,9 +827,22 @@ sig AS (
   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   WHERE coalesce(i.i, 0)::DOUBLE / (sa.n + sb.n - coalesce(i.i, 0)) >= 0.9
 )
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
+{{tail}}
 """
+    tail = """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)""" if not transitive else """,
+sym AS (SELECT id_a AS u, id_b AS v FROM ver
+        UNION SELECT id_b, id_a FROM ver),
+reach(id, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.id),
+comp AS (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE m < id)"""
+    return body.replace("{tail}", tail).replace(
+        "WITH pos AS", "WITH RECURSIVE pos AS" if transitive else "WITH pos AS")
 
 
 
@@ -848,9 +889,22 @@ WITH pos AS (
 ), ver AS (
   SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1
 )
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
+{{tail}}
 """
+    tail = """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)""" if not transitive else """,
+sym AS (SELECT id_a AS u, id_b AS v FROM ver
+        UNION SELECT id_b, id_a FROM ver),
+reach(id, lbl) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.id),
+comp AS (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE m < id)"""
+    return body.replace("{tail}", tail).replace(
+        "WITH pos AS", "WITH RECURSIVE pos AS" if transitive else "WITH pos AS")
 
 
 def _planes_values_sql(bits: int, dim: int = _EMB_DIM) -> str:
@@ -1022,6 +1076,18 @@ def oracle_sql() -> dict[str, str]:
             "  FROM q, csky c"
             f") WHERE knn_rank <= {KNN_K}"
         ),
+        "knn_starved": (
+            f"{_CUST_CTE}, q(query_id, qra, qdec) AS (VALUES {knn_q_values}) "
+            "SELECT query_id, c_custkey, knn_rank FROM ("
+            "  SELECT q.query_id, c.c_custkey, "
+            "    row_number() OVER (PARTITION BY q.query_id ORDER BY "
+            "      degrees(acos(least(greatest("
+            "        cos(radians(q.qdec))*cos(radians(c.dec))*cos(radians(q.qra)-radians(c.ra))"
+            "        + sin(radians(q.qdec))*sin(radians(c.dec)), -1.0), 1.0))) ASC"
+            "    ) AS knn_rank "
+            "  FROM q, csky c"
+            ") WHERE knn_rank <= 10"
+        ),
         "tile_assign": f"{_SKY_CTE} SELECT * FROM ({tile_union}) ORDER BY tile_id",
         "cell_counts": "SELECT count(*) AS total_rows FROM orders",
         "exact_dedup": (
@@ -1160,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
         # so ord(substr) == the UTF-8 byte)
         "fingerprint": ('WITH pos AS (SELECT doc_id, text, unnest(range(1, length(text) - 8 + 2)) AS p FROM documents WHERE length(text) >= 8), hashes AS (SELECT doc_id, (ord(substr(text, p + 0, 1))::HUGEINT * 1::HUGEINT + ord(substr(text, p + 1, 1))::HUGEINT * 257::HUGEINT + ord(substr(text, p + 2, 1))::HUGEINT * 66049::HUGEINT + ord(substr(text, p + 3, 1))::HUGEINT * 16974593::HUGEINT + ord(substr(text, p + 4, 1))::HUGEINT * 4362470401::HUGEINT + ord(substr(text, p + 5, 1))::HUGEINT * 1121154893057::HUGEINT + ord(substr(text, p + 6, 1))::HUGEINT * 288136807515649::HUGEINT + ord(substr(text, p + 7, 1))::HUGEINT * 74051159531521793::HUGEINT) % 18446744073709551616::HUGEINT AS h FROM pos), mins AS (SELECT doc_id, min(h) AS m FROM hashes GROUP BY doc_id) SELECT doc_id, (CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - 18446744073709551616::HUGEINT ELSE m END)::BIGINT AS fp FROM mins'),
         "minhash_dedup": _minhash_oracle_sql(),
+        "minhash_transitive": _minhash_oracle_sql(transitive=True),
         "simhash_dedup": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
