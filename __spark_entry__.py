@@ -341,6 +341,23 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens_est")
 
 
+def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (LLM pretraining op): documents
+    sharded by pmod(doc_id, 4), packed into 256-token context windows by a
+    window cumulative sum — bin placement is value-checked against the
+    identical SQL window in DuckDB."""
+    from spatialindex_spark.operators.packing import pack_sequences
+    from spatialindex_spark.operators.text import with_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = with_token_count(docs).withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(4)).cast("long"))
+    packed = pack_sequences(docs, tokens_col="ws_tokens", ctx_len=256,
+                            shard_col="shard")
+    return packed.select("doc_id", "shard", "pack_offset", "bin_start",
+                         "bin_end", "bin_offset")
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.operators.text import with_lang_id
 
@@ -477,6 +494,26 @@ def _q_count_bounds_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
 
 
+def _q_count_bounds_ellipse_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ellipse-count bounds over the nested-HPX cell column: the HPX
+    covering is the ellipse's bounding cone (radius a); interior cells come
+    from the inscribed-cone test (center within b - max_pix_rad). Bracket
+    invariant + exact count, same oracle as the HTM variant."""
+    from spatialindex_spark.functions.constraints import SpatialIndex as SIc
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_bounds_frame, region_geom_pred)
+
+    df = _orders_sky(spark, sf_dir)
+    counts = cell_count_tree(df, "hpx7", level=7, min_level=7)
+    region = {"kind": "ellipse", "ra": 200.0, "dec": 10.0,
+              "a": 8.0, "b": 4.0, "angle": 30.0}
+    b = region_count_bounds_frame(counts, region, level=7,
+                                  mode=SIc.HPX).collect()[0]
+    exact = df.filter(region_geom_pred(region)).count()
+    ok = int(b["lower"] <= exact <= b["upper"])
+    return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
+
+
 def _q_count_fast_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 INSIDE fast path for a polygon region: interior cells from the
     counts table (zero row reads), exact geometry only over the boundary
@@ -580,7 +617,9 @@ def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = (df.withColumn("s2_7", s2_udf(7)("x", "y", "z"))
             .withColumn("s2h_7", s2_udf(7, curve="hilbert")("x", "y", "z"))
             .withColumn("s2h_10", s2_udf(10, curve="hilbert")("x", "y", "z"))
-            .withColumn("h3_7", h3_udf(7)("ra", "dec")))
+            .withColumn("h3_7", h3_udf(7, grid="hpx")("ra", "dec"))
+            .withColumn("h3x_7", h3_udf(7)("ra", "dec"))
+            .withColumn("h3x_9", h3_udf(9)("ra", "dec")))
     # uint64 semantics via shiftrightunsigned; parent lsb at 2*(30-7)
     lsb7 = 1 << (2 * (30 - 7))
     parent_lo = F.col("s2h_7") - F.lit(lsb7) + 1
@@ -589,6 +628,26 @@ def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is constant, so BETWEEN on the signed value is order-correct here
     contained = F.col("s2h_10").between(parent_lo, parent_hi)
     face_ok = F.shiftrightunsigned("s2h_7", 61) <= 5
+    # true aperture-7 hex ids (h3s2.h3_hex_id layout): mode nibble 1 at
+    # bits 59-62, res at 55-58, base < 980 at 45-54, digits<=6 down to the
+    # id's res, all-7s padding below — every one construction-guaranteed,
+    # so the oracle emits constant 1s
+    def _lit(v):
+        return F.lit(v).cast("long")
+
+    def _hex_ok(col, res):
+        ok = (F.col(col) > 0) \
+            & (F.shiftright(F.col(col), 59).bitwiseAND(_lit(15)) == 1) \
+            & (F.shiftright(F.col(col), 55).bitwiseAND(_lit(15)) == res) \
+            & (F.shiftright(F.col(col), 45).bitwiseAND(_lit(1023)) < 980) \
+            & (F.col(col).bitwiseAND(_lit((1 << (3 * (15 - res))) - 1))
+               == (1 << (3 * (15 - res))) - 1)
+        for rr in range(1, res + 1):
+            ok = ok & (F.shiftright(F.col(col), 3 * (15 - rr))
+                       .bitwiseAND(_lit(7)) <= 6)
+        return ok
+    hex_ok = _hex_ok("h3x_7", 7) & _hex_ok("h3x_9", 9)
+    hex_base = F.shiftright(F.col("h3x_7"), 45).bitwiseAND(_lit(1023))
     return df.agg(
         F.count(F.lit(1)).alias("n"),
         (F.min("s2_7") >= 0).cast("int").alias("s2_min_ok"),
@@ -599,6 +658,11 @@ def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int").alias("s2h_face_ok"),
         (F.count(F.when(contained, 1)) == F.count(F.lit(1)))
         .cast("int").alias("s2h_contain_ok"),
+        (F.count(F.when(hex_ok, 1)) == F.count(F.lit(1)))
+        .cast("int").alias("h3x_ok"),
+        # sky-uniform rows must spread across many of the 280 face-local
+        # base cells (full-sky coverage signal, not just bit-shape)
+        (F.countDistinct(hex_base) >= 20).cast("int").alias("h3x_spread_ok"),
     )
 
 
@@ -702,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
+        "seq_pack": _q_seq_pack,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
@@ -715,6 +780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_bounds": _q_count_bounds,
         "count_bounds_poly": _q_count_bounds_poly,
         "count_bounds_ellipse": _q_count_bounds_ellipse,
+        "count_bounds_ellipse_hpx": _q_count_bounds_ellipse_hpx,
         "count_fast_poly": _q_count_fast_poly,
         "count_fast_hpx": _q_count_fast_hpx,
         "cell_rollup": _q_cell_rollup,
@@ -863,7 +929,7 @@ def _simhash_oracle_sql() -> str:
     sh_build = " + ".join(
         f"(CASE WHEN 2*c{j} > n THEN {1 << j}::HUGEINT ELSE 0::HUGEINT END)"
         for j in range(64))
-    return f"""
+    body = f"""
 WITH pos AS (
   SELECT doc_id, text, unnest(range(1, length(text) - 12 + 2)) AS p
   FROM documents WHERE length(text) >= 12
@@ -889,22 +955,10 @@ WITH pos AS (
 ), ver AS (
   SELECT id_a, id_b FROM cand WHERE bit_count(xor(sa, sb)) <= 1
 )
-{{tail}}
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)
 """
-    tail = """
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT DISTINCT id_b FROM ver)""" if not transitive else """,
-sym AS (SELECT id_a AS u, id_b AS v FROM ver
-        UNION SELECT id_b, id_a FROM ver),
-reach(id, lbl) AS (
-  SELECT u, u FROM sym
-  UNION
-  SELECT s.v, r.lbl FROM reach r JOIN sym s ON s.u = r.id),
-comp AS (SELECT id, min(lbl) AS m FROM reach GROUP BY id)
-SELECT doc_id FROM documents
-WHERE doc_id NOT IN (SELECT id FROM comp WHERE m < id)"""
-    return body.replace("{tail}", tail).replace(
-        "WITH pos AS", "WITH RECURSIVE pos AS" if transitive else "WITH pos AS")
+    return body
 
 
 def _planes_values_sql(bits: int, dim: int = _EMB_DIM) -> str:
@@ -1125,6 +1179,20 @@ def oracle_sql() -> dict[str, str]:
             "           ceil(length(text) / 4.0)::BIGINT) AS bpe_tokens_est "
             "FROM documents"
         ),
+        "seq_pack": (
+            "WITH t AS (SELECT doc_id, doc_id % 4 AS shard, "
+            "  len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT AS n "
+            "FROM documents), "
+            "o AS (SELECT doc_id, shard, n, "
+            "  coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+            "FROM t) "
+            "SELECT doc_id, shard, off AS pack_offset, "
+            "  (off // 256)::BIGINT AS bin_start, "
+            "  ((off + greatest(n, 1) - 1) // 256)::BIGINT AS bin_end, "
+            "  (off % 256)::BIGINT AS bin_offset "
+            "FROM o"
+        ),
         "lang_id": (
             "WITH tok AS (SELECT doc_id, "
             "  string_split_regex(lower(trim(text)), '\\s+') AS ts FROM documents), "
@@ -1198,6 +1266,10 @@ def oracle_sql() -> dict[str, str]:
             f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
             f"FROM sky WHERE " + _ellipse_where()
         ),
+        "count_bounds_ellipse_hpx": (
+            f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
+            f"FROM sky WHERE " + _ellipse_where()
+        ),
         "count_fast_poly": (
             f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {poly}"
         ),
@@ -1210,7 +1282,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "s2_h3_cells": (
             "SELECT count(*) AS n, 1 AS s2_min_ok, 1 AS s2_max_ok, "
-            "1 AS h3_res_ok, 1 AS s2h_face_ok, 1 AS s2h_contain_ok "
+            "1 AS h3_res_ok, 1 AS s2h_face_ok, 1 AS s2h_contain_ok, "
+            "1 AS h3x_ok, 1 AS h3x_spread_ok "
             "FROM orders"
         ),
         "angsep": (

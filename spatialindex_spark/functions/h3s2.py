@@ -7,12 +7,23 @@
 - ``s2_id``: the original Z-order variant (plain hierarchical int64,
   always positive — convenient as a range-partitioning key), kept as an
   option behind ``s2_udf(level, curve="zorder")``.
-- ``h3_id``: H3-style — icosahedral-inspired aperture-4 hierarchy packed
-  as ``(res << 56) | (base_cell << 48) | path``; base cells are the 12
-  HEALPix faces (a rhombic base grid), per-res 2-bit child digits. True
-  H3 is aperture-7 hexagonal; this engine analogue keeps H3's API shape
-  (res, base cell, child path) while staying exactly invertible, and is
-  documented as an analogue, not an interop claim.
+- ``h3_hex_id``: TRUE aperture-7 hexagonal hierarchy on the icosahedron
+  (the real H3 algorithm shape, from the published H3 design docs):
+  gnomonic projection onto the nearest icosahedron face, hexagonal
+  lattice with Class II/III orientation alternation (the aperture-7
+  rotation asin(sqrt(3/28)) ≈ 19.1°), res-0 unit = tan(face-to-vertex
+  angle)/2 (equals H3's published RES0_U_GNOMONIC = 0.3819660112…),
+  per-res 3-bit digits derived by the published _upAp7/_upAp7r axial
+  rounding, H3's digit numbering (CENTER/K/J/JK/I/IK/IJ), and an
+  H3-shaped 64-bit layout. Engine-defined, NOT bit-interoperable with
+  libh3: the grid is face-local (cells clip at icosahedron-face Voronoi
+  borders instead of stitching via libh3's 122-base-cell tables, so base
+  cells are (face, i, j) packed in 10 bits — the 7 base bits plus the 3
+  spare mode-dependent bits) and the icosahedron is golden-ratio
+  canonical rather than Dymaxion-oriented. All hierarchy/inverse
+  operations included: parent, center, res, descendant id range.
+- ``h3_id``: the original HEALPix-based aperture-4 analogue, kept as an
+  option behind ``h3_udf(res, grid="hpx")``.
 
 All numpy-vectorized and exposed as pandas UDFs in udfs.py.
 """
@@ -260,3 +271,258 @@ def h3_parent(ids, parent_res: int) -> np.ndarray:
     res, base, path = h3_to_components(ids)
     shift = 2 * (res - parent_res)
     return (np.int64(parent_res) << 56) | (base << 48) | (path >> shift)
+
+
+# ---------------------------------------------------------------------------
+# True aperture-7 hexagonal grid on the icosahedron ("hex" H3 variant).
+# Public algorithm: Uber H3 design docs (h3geo.org) — gnomonic face
+# projection, Class II/III aperture-7 substitution, axial up/down rounding.
+# Engine-defined ids (face-local grid); see module docstring.
+# ---------------------------------------------------------------------------
+
+H3_HEX_MAX_RES = 15
+_AP7_ROT = float(np.arcsin(np.sqrt(3.0 / 28.0)))  # Class III rotation
+_SQRT7 = float(np.sqrt(7.0))
+_SQRT3 = float(np.sqrt(3.0))
+
+
+def _build_icosa():
+    """Golden-ratio icosahedron: 20 face centers + per-face tangent bases.
+    Deterministic (sorted vertex construction); computed once at import."""
+    phi = (1.0 + 5.0 ** 0.5) / 2.0
+    v = []
+    for a in (-1.0, 1.0):
+        for b in (-phi, phi):
+            v += [(0.0, a, b), (a, b, 0.0), (b, 0.0, a)]
+    verts = np.array(v, dtype=np.float64)
+    verts /= np.linalg.norm(verts, axis=1)[:, None]
+    dots = verts @ verts.T
+    edge_cos = np.sort(dots, axis=1)[:, -2].min()
+    faces = []
+    for i in range(12):
+        for j in range(i + 1, 12):
+            for k in range(j + 1, 12):
+                if (dots[i, j] > edge_cos - 1e-9 and dots[i, k] > edge_cos - 1e-9
+                        and dots[j, k] > edge_cos - 1e-9):
+                    faces.append((i, j, k))
+    assert len(faces) == 20
+    centers = np.array([verts[list(f)].mean(axis=0) for f in faces])
+    centers /= np.linalg.norm(centers, axis=1)[:, None]
+    e1 = np.empty_like(centers)
+    e2 = np.empty_like(centers)
+    for fi, f in enumerate(faces):
+        w = verts[f[0]] - centers[fi] * (verts[f[0]] @ centers[fi])
+        e1[fi] = w / np.linalg.norm(w)
+        e2[fi] = np.cross(centers[fi], e1[fi])
+    theta_v = float(np.arccos(np.clip(verts[faces[0][0]] @ centers[0], -1, 1)))
+    return centers, e1, e2, theta_v
+
+
+_ICO_C, _ICO_E1, _ICO_E2, _ICO_THETA_V = _build_icosa()
+#: res-0 hex unit in gnomonic tangent coords; equals H3's RES0_U_GNOMONIC.
+_HEX_U0 = float(np.tan(_ICO_THETA_V)) / 2.0
+
+#: H3 digit numbering: CENTER=0 K=1 J=2 JK=3 I=4 IK=5 IJ=6, as axial
+#: (i-k, j-k) unit vectors; 3x3 lookup on (di+1, dj+1), -1 = invalid.
+_DIGIT_LUT = -np.ones(9, dtype=np.int64)   # flat (di+1)*3 + (dj+1)
+for _d, (_di, _dj) in enumerate(
+        [(0, 0), (-1, -1), (0, 1), (-1, 0), (1, 0), (0, -1), (1, 1)]):
+    _DIGIT_LUT[(_di + 1) * 3 + (_dj + 1)] = _d
+#: inverse: digit -> (di, dj)
+_DIGIT_AXIAL = np.array(
+    [(0, 0), (-1, -1), (0, 1), (-1, 0), (1, 0), (0, -1), (1, 1)],
+    dtype=np.int64)
+
+
+def _hex_round(a, b):
+    """Cube rounding of fractional axial coords (120° basis)."""
+    c = -a - b
+    ra, rb, rc = np.round(a), np.round(b), np.round(c)
+    da, db, dc = np.abs(ra - a), np.abs(rb - b), np.abs(rc - c)
+    fix_a = (da > db) & (da > dc)
+    fix_b = ~fix_a & (db > dc)
+    ra = np.where(fix_a, -rb - rc, ra)
+    rb = np.where(fix_b, -ra - rc, rb)
+    return ra.astype(np.int64), rb.astype(np.int64)
+
+
+def _xyz_to_face_2d(x, y, z):
+    """Nearest icosahedron face + gnomonic tangent-plane coords."""
+    p = np.stack([x, y, z], axis=1)
+    face = np.argmax(p @ _ICO_C.T, axis=1)
+    c = _ICO_C[face]
+    q = p / np.einsum("ij,ij->i", p, c)[:, None]
+    v = q - c
+    return (face.astype(np.int64),
+            np.einsum("ij,ij->i", v, _ICO_E1[face]),
+            np.einsum("ij,ij->i", v, _ICO_E2[face]))
+
+
+def _grid_axial(x2d, y2d, res):
+    """Containing hex cell (axial ints) at res: scale 1/sqrt(7)^res, odd
+    res rotated +19.1° (Class III)."""
+    ang = _AP7_ROT * (res % 2)
+    s = _HEX_U0 / _SQRT7 ** res
+    ca, sa = np.cos(ang), np.sin(ang)
+    xr = (ca * x2d + sa * y2d) / s    # rotate by -ang, then scale
+    yr = (-sa * x2d + ca * y2d) / s
+    b = 2.0 * yr / _SQRT3             # 120° axial basis: e_i=(1,0),
+    a = xr + 0.5 * b                  # e_j=(-1/2, sqrt3/2)
+    return _hex_round(a, b)
+
+
+def _axial_to_2d(i, j, res):
+    """Hex cell center -> gnomonic tangent coords (inverse of _grid_axial)."""
+    ang = _AP7_ROT * (res % 2)
+    s = _HEX_U0 / _SQRT7 ** res
+    xr = (i - 0.5 * j) * s
+    yr = (_SQRT3 / 2.0) * j * s
+    ca, sa = np.cos(ang), np.sin(ang)
+    return ca * xr - sa * yr, sa * xr + ca * yr
+
+
+def _round_div7(a):
+    """round(a/7) for int64 a, exact: ties are impossible (2a+7 is odd, so
+    never a multiple of 14) and numpy // is floor division, so
+    round(a/7) == floor(a/7 + 1/2) == (2a+7)//14. Pure integer arithmetic
+    (~10x the float-divide + np.round path)."""
+    return (2 * a + 7) // 14
+
+
+def _up_ap7(i, j):
+    """Aperture-7 parent, ccw variant (child Class III, odd res)."""
+    return _round_div7(3 * i - j), _round_div7(i + 2 * j)
+
+
+def _up_ap7r(i, j):
+    """Aperture-7 parent, cw variant (child Class II, even res)."""
+    return _round_div7(2 * i + j), _round_div7(3 * j - i)
+
+
+def _down_ap7(i, j):
+    """Parent center in child axial coords, ccw (exact int inverse)."""
+    return 2 * i + j, -i + 3 * j
+
+
+def _down_ap7r(i, j):
+    return 3 * i - j, i + 2 * j
+
+
+# H3-shaped 64-bit layout (engine variant): bit63=0, mode=1 at bits 59-62,
+# res at bits 55-58, base cell (face*49 + (i0+3)*7 + (j0+3), < 980) at bits
+# 45-54, fifteen 3-bit digits at bits 0-44 (digit for res r at bits
+# 3*(15-r)); digits past res are 7 (unused marker), exactly as in H3.
+_H3_MODE_SHIFT = 59
+_H3_RES_SHIFT = 55
+_H3_BASE_SHIFT = 45
+
+
+def _sevens_below(res):
+    """All-7s digit padding below the res digit block (closed form)."""
+    return (np.int64(1) << (3 * (H3_HEX_MAX_RES - res))) - 1
+
+
+
+def h3_hex_id(ra, dec, res: int) -> np.ndarray:
+    """True aperture-7 hexagonal cell id (see module docstring). Always a
+    positive int64 (bit 63 = 0) — safe as a range-partitioning key."""
+    if not 0 <= res <= H3_HEX_MAX_RES:
+        raise ValueError(f"res must be in [0, {H3_HEX_MAX_RES}]")
+    ra = np.radians(np.asarray(ra, dtype=np.float64))
+    dec = np.radians(np.asarray(dec, dtype=np.float64))
+    cd = np.cos(dec)
+    face, x2d, y2d = _xyz_to_face_2d(np.cos(ra) * cd, np.sin(ra) * cd,
+                                     np.sin(dec))
+    i, j = _grid_axial(x2d, y2d, res)
+    digits = np.zeros(len(i), dtype=np.int64)
+    # digits past res are all 7s: every bit below the res digit block
+    pad = _sevens_below(np.int64(res))
+    for rr in range(res, 0, -1):
+        up = _up_ap7 if rr % 2 == 1 else _up_ap7r
+        down = _down_ap7 if rr % 2 == 1 else _down_ap7r
+        pi, pj = up(i, j)
+        ci, cj = down(pi, pj)
+        d = _DIGIT_LUT[(i - ci) * 3 + (j - cj) + 4]
+        if np.any(d < 0):
+            raise AssertionError("aperture-7 digit out of unit range")
+        digits |= d << (3 * (H3_HEX_MAX_RES - rr))
+        i, j = pi, pj
+    if np.any((np.abs(i) > 3) | (np.abs(j) > 3)):
+        raise AssertionError("res-0 cell outside face bound")
+    base = face * 49 + (i + 3) * 7 + (j + 3)
+    return ((np.int64(1) << _H3_MODE_SHIFT)
+            | (np.int64(res) << _H3_RES_SHIFT)
+            | (base << _H3_BASE_SHIFT) | digits | pad)
+
+
+def h3_hex_res(ids) -> np.ndarray:
+    return (np.asarray(ids, dtype=np.int64) >> _H3_RES_SHIFT) & 0xF
+
+
+def h3_hex_base(ids) -> np.ndarray:
+    return (np.asarray(ids, dtype=np.int64) >> _H3_BASE_SHIFT) & 0x3FF
+
+
+def h3_hex_parent(ids, parent_res: int) -> np.ndarray:
+    """Ancestor id: truncate digits below parent_res to 7, set res field.
+    Exact (pure bit arithmetic on the digit path)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    res = h3_hex_res(ids)
+    if np.any(res < parent_res):
+        raise ValueError("parent_res must be <= id res")
+    pad = _sevens_below(np.int64(parent_res))
+    keep = ~pad
+    low45 = (np.int64(1) << 45) - 1
+    return ((ids & ~low45 & ~(np.int64(0xF) << _H3_RES_SHIFT))
+            | (np.int64(parent_res) << _H3_RES_SHIFT)
+            | (ids & low45 & keep) | pad)
+
+
+def h3_hex_range(ids, child_res: int) -> tuple[np.ndarray, np.ndarray]:
+    """[lo, hi] id range of res=child_res descendants (digit-path prefix
+    interval) — the covering-join primitive: a child id c at child_res
+    descends from id iff lo <= c <= hi."""
+    ids = np.asarray(ids, dtype=np.int64)
+    res = h3_hex_res(ids)
+    if np.any(res > child_res):
+        raise ValueError("child_res must be >= id res")
+    low45 = (np.int64(1) << 45) - 1
+    head = (ids & ~low45 & ~(np.int64(0xF) << _H3_RES_SHIFT)) \
+        | (np.int64(child_res) << _H3_RES_SHIFT)
+    pad = _sevens_below(np.int64(child_res))      # digits past child_res
+    own = _sevens_below(res)                      # bits below the id's res
+    sub = own & ~pad        # digit slots between res+1 and child_res
+    prefix = ids & low45 & ~own
+    return head | prefix | pad, head | prefix | sub | pad
+
+
+def h3_hex_center(ids) -> tuple[np.ndarray, np.ndarray]:
+    """(ra, dec) degrees of each cell center: digit walk down from the
+    base cell, inverse gnomonic on the home face."""
+    ids = np.asarray(ids, dtype=np.int64)
+    res = h3_hex_res(ids)
+    base = h3_hex_base(ids)
+    face = base // 49
+    i = (base % 49) // 7 - 3
+    j = base % 7 - 3
+    max_res = int(res.max()) if len(res) else 0
+    for rr in range(1, max_res + 1):
+        act = rr <= res
+        down = _down_ap7 if rr % 2 == 1 else _down_ap7r
+        ci, cj = down(i, j)
+        d = (ids >> (3 * (H3_HEX_MAX_RES - rr))) & 7
+        d = np.where(act, d, 0)
+        i = np.where(act, ci + _DIGIT_AXIAL[d, 0], i)
+        j = np.where(act, cj + _DIGIT_AXIAL[d, 1], j)
+    # per-res scale differs per row: recompute 2d per distinct res value
+    x2d = np.zeros(len(ids), dtype=np.float64)
+    y2d = np.zeros(len(ids), dtype=np.float64)
+    for r0 in np.unique(res):
+        m = res == r0
+        x2d[m], y2d[m] = _axial_to_2d(i[m], j[m], int(r0))
+    c = _ICO_C[face]
+    p = c + x2d[:, None] * _ICO_E1[face] + y2d[:, None] * _ICO_E2[face]
+    p /= np.linalg.norm(p, axis=1)[:, None]
+    ra = np.degrees(np.arctan2(p[:, 1], p[:, 0])) % 360.0
+    dec = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
+    return ra, dec

@@ -83,10 +83,18 @@ def s2_udf(level: int, curve: str = "zorder"):
     return _udf
 
 
-def h3_udf(res: int):
+def h3_udf(res: int, grid: str = "hex"):
+    """H3 encode: grid="hex" gives the true aperture-7 hexagonal hierarchy
+    (h3s2.h3_hex_id — real H3 algorithm, engine-defined face-local ids);
+    "hpx" keeps the original HEALPix aperture-4 analogue."""
+    if grid == "hex":
+        from .h3s2 import h3_hex_id as _enc
+    else:
+        _enc = _h3_id
+
     @pandas_udf("long")
     def _udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
-        return pd.Series(_h3_id(ra.values, dec.values, res))
+        return pd.Series(_enc(ra.values, dec.values, res))
 
     return _udf
 
@@ -161,7 +169,8 @@ def spt_index_udf(level: int, systems: tuple = ("htm", "hpx")):
             elif sysname == "s2":
                 out[f"s2{level}"] = _s2_id(x, y, z, level)
             elif sysname == "h3":
-                out[f"h3{level}"] = _h3_id(rav, decv, level)
+                from .h3s2 import h3_hex_id
+                out[f"h3{level}"] = h3_hex_id(rav, decv, level)
         return pd.DataFrame(out)
 
     return _udf

@@ -118,8 +118,6 @@ def region_split_ranges(region: dict, level: int,
 
     if mode != SpatialIndex.HPX:
         raise ValueError(f"unknown mode {mode}")
-    if kind == "ellipse":
-        raise ValueError("ellipse regions support only mode=SpatialIndex.HTM")
     from ..functions.cover import _ranges_add, hpx_cone_ranges, \
         hpx_polygon_ranges
     from ..functions.healpix import max_pix_rad, pix2vec
@@ -127,6 +125,10 @@ def region_split_ranges(region: dict, level: int,
     if kind == "cone":
         loose = hpx_cone_ranges(level, region["ra"], region["dec"],
                                 region["radius"], exact_ends=True)
+    elif kind == "ellipse":
+        # superset: the ellipse's bounding cone (radius = semi-major a)
+        loose = hpx_cone_ranges(level, region["ra"], region["dec"],
+                                region["a"], exact_ends=True)
     else:
         loose = hpx_polygon_ranges(level, region["ra"], region["dec"],
                                    exact_circle=True)
@@ -141,6 +143,14 @@ def region_split_ranges(region: dict, level: int,
         dot = cx * g.x + cy * g.y + cz * g.z
         rad = math.acos(max(-1.0, min(1.0, extra)))  # radius in radians
         full = dot >= math.cos(max(rad - mpr, 0.0)) if rad > mpr \
+            else np.zeros(len(pix), dtype=bool)
+    elif kind == "ellipse":
+        # sound under-claim: cell ⊆ cone(center, b) ⊆ ellipse when the
+        # cell center is within (b - mpr) of the ellipse center; elongated
+        # ellipses keep major-axis cells as boundary (bracket stays valid)
+        dot = cx * g.cen.x + cy * g.cen.y + cz * g.cen.z
+        b_rad = region["b"] * math.pi / 180.0
+        full = dot >= math.cos(max(b_rad - mpr, 0.0)) if b_rad > mpr \
             else np.zeros(len(pix), dtype=bool)
     else:
         # center at angular distance >= mpr inside EVERY edge plane

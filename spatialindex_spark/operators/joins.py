@@ -62,23 +62,26 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
             geom = c.geom
             ranges = c.ranges
         elif r["kind"] == "ellipse":
-            # ellipse regions: HTM covering + quadratic-form exact test.
-            # The covering is HTM-only, so an HPX-mode join would match HTM
-            # cell ids against an HPX cell column and silently exclude true
-            # member rows (the exact filter only sees covering survivors) —
-            # refuse loudly instead (ADVICE r1 #1).
-            if mode != SpatialIndex.HTM:
-                raise ValueError(
-                    "ellipse regions support only mode=SpatialIndex.HTM "
-                    "(no HPX ellipse covering is implemented; the exact "
-                    "quadratic filter runs only on covering survivors)")
+            # ellipse regions: covering + quadratic-form exact test. HTM
+            # mode walks the trixel tree with the true ellipse-trixel
+            # classifier; HPX mode covers the ellipse's BOUNDING CONE
+            # (radius = semi-major axis a, a guaranteed superset since the
+            # ellipse is inscribed in it) — over-coverage is ~a/b extra
+            # candidate rows, all pruned by the same exact quadratic
+            # filter, so the join result is identical across modes.
             from ..functions.regions import SphericalEllipse, htm_ellipse_ranges
             from ..functions.geometry import sc_to_v3
 
             ell = SphericalEllipse.from_center(
                 sc_to_v3(r["ra"], r["dec"]), r["a"], r["b"],
                 r.get("angle", 0.0))
-            ranges = htm_ellipse_ranges(ell, level)
+            if mode == SpatialIndex.HTM:
+                ranges = htm_ellipse_ranges(ell, level)
+            else:
+                from ..functions.cover import hpx_cone_ranges
+
+                ranges = hpx_cone_ranges(level, r["ra"], r["dec"], r["a"],
+                                         exact_ends=True)
             geom = {"ellipse": ell}
             c = None
         else:

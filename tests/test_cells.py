@@ -142,3 +142,62 @@ def test_s2_hilbert_adjacency_and_hierarchy():
         par = s2_cell_parent(ids, 2)
         lo, hi = s2_cell_range(par)
         assert np.all((u >= lo.view(np.uint64)) & (u <= hi.view(np.uint64)))
+
+
+def test_h3_hex_aperture7_properties():
+    """True aperture-7 hex grid: (a) center roundtrip re-encodes to the
+    same cell (face-interior cells exactly; border cells may re-project
+    onto the neighbor face — measure >= 99.9%); (b) parent truncation is
+    transitive and exact; (c) descendant id ranges contain children and
+    sibling ranges are disjoint; (d) each parent has at most 7 children
+    and 7 is the modal count (the aperture); (e) ids positive (bit63=0)."""
+    import collections
+
+    import numpy as np
+
+    from spatialindex_spark.functions.h3s2 import (
+        h3_hex_base, h3_hex_center, h3_hex_id, h3_hex_parent, h3_hex_range,
+        h3_hex_res)
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+
+    ids9 = h3_hex_id(ra, dec, 9)
+    assert (ids9 > 0).all()
+    assert (h3_hex_res(ids9) == 9).all()
+    assert (h3_hex_base(ids9) < 980).all()
+
+    # (a) roundtrip
+    cra, cdec = h3_hex_center(ids9)
+    again = h3_hex_id(cra, cdec, 9)
+    assert (again == ids9).mean() >= 0.999
+
+    # (b) parent truncation: transitive, res field correct
+    p7 = h3_hex_parent(ids9, 7)
+    assert (h3_hex_res(p7) == 7).all()
+    assert (h3_hex_parent(ids9, 4) == h3_hex_parent(p7, 4)).all()
+
+    # (c) ranges: contain the children; sibling ranges disjoint
+    lo, hi = h3_hex_range(p7, 9)
+    assert ((ids9 >= lo) & (ids9 <= hi)).all()
+    u = np.unique(p7)
+    lo_u, hi_u = h3_hex_range(u, 9)
+    o = np.argsort(lo_u)
+    assert (lo_u[o][1:] > hi_u[o][:-1]).all()
+
+    # (d) aperture: children-per-parent <= 7, modal count 7 (dense res pair)
+    ids3 = h3_hex_id(ra, dec, 3)
+    p2 = h3_hex_parent(ids3, 2)
+    kids = collections.defaultdict(set)
+    for c, p in zip(ids3.tolist(), p2.tolist()):
+        kids[p].add(c)
+    counts = np.array([len(v) for v in kids.values()])
+    assert counts.max() <= 7
+    assert np.bincount(counts).argmax() == 7
+
+    # distinct-cell ratio across one res step ~ 7 (unsaturated pair)
+    n1 = len(np.unique(h3_hex_id(ra, dec, 1)))
+    n2 = len(np.unique(h3_hex_id(ra, dec, 2)))
+    assert 5.0 <= n2 / n1 <= 9.0

@@ -614,16 +614,48 @@ def test_safe_radius_table_in_sync():
         safe_ring1_rad(order)  # must not raise
 
 
-def test_region_join_ellipse_rejects_hpx(spark):
+def test_region_join_ellipse_hpx(spark, small_images):
+    """HPX-mode ellipse regions cover via the bounding cone (radius = a):
+    (1) covering completeness — every ellipse member's HPX cell falls in
+    the ranges; (2) the Spark join result is identical to HTM mode."""
     from spatialindex_spark.functions.constraints import SpatialIndex
-    from spatialindex_spark.operators.joins import region_ranges_df
+    from spatialindex_spark.functions.cover import hpx_cone_ranges
+    from spatialindex_spark.functions.geometry import sc_to_v3
+    from spatialindex_spark.functions.healpix import hpx_id
+    from spatialindex_spark.functions.regions import SphericalEllipse
+    from spatialindex_spark.operators.joins import region_join
 
-    with pytest.raises(ValueError, match="HTM"):
-        region_ranges_df(
-            spark,
-            [{"region_id": 1, "kind": "ellipse", "ra": 200.0, "dec": 10.0,
-              "a": 8.0, "b": 4.0, "angle": 30.0}],
-            level=7, mode=SpatialIndex.HPX)
+    reg = {"region_id": 9, "kind": "ellipse", "ra": 129.4, "dec": 43.7,
+           "a": 5.0, "b": 2.5, "angle": 20.0}
+    ell = SphericalEllipse.from_center(
+        sc_to_v3(reg["ra"], reg["dec"]), reg["a"], reg["b"], reg["angle"])
+
+    # (1) numpy completeness on a dense sample around the region
+    rng = np.random.default_rng(3)
+    n = 40_000
+    ra = reg["ra"] + rng.uniform(-8, 8, n)
+    dec = reg["dec"] + rng.uniform(-8, 8, n)
+    x = np.cos(np.radians(ra)) * np.cos(np.radians(dec))
+    y = np.sin(np.radians(ra)) * np.cos(np.radians(dec))
+    z = np.sin(np.radians(dec))
+    inside = ell.contains_cols(x, y, z)
+    cells = hpx_id(7, ra[inside], dec[inside])
+    ranges = hpx_cone_ranges(7, reg["ra"], reg["dec"], reg["a"],
+                             exact_ends=True)
+    covered = np.zeros(len(cells), dtype=bool)
+    for lo, hi in ranges:
+        covered |= (cells >= lo) & (cells <= hi)
+    assert covered.all(), "HPX ellipse covering dropped a true member"
+
+    # (2) cross-mode equality on the image table
+    pts_hpx = small_images.withColumn("spt_ind", F.col("hpx7"))
+    got_hpx = {r.image_id for r in
+               region_join(pts_hpx, [reg], level=7, mode=SpatialIndex.HPX)
+               .select("image_id").collect()}
+    got_htm = {r.image_id for r in
+               region_join(small_images, [reg], level=7)
+               .select("image_id").collect()}
+    assert got_hpx == got_htm
 
 
 def test_simhash_band_pigeonhole_guard(spark):
@@ -660,7 +692,7 @@ def test_region_split_soundness():
     """region_split_ranges soundness, no Spark needed: a point in a
     certainly-interior cell must satisfy the exact region predicate, and
     every region point's cell must be in inside+boundary (covering
-    completeness) — for cone/poly x HTM/HPX and ellipse x HTM."""
+    completeness) — for cone/poly/ellipse x HTM/HPX."""
     import math
 
     from spatialindex_spark.functions.constraints import SpatialIndex as SIc
@@ -714,6 +746,8 @@ def test_region_split_soundness():
           "dec": [30.0, 30.0, 55.0, 55.0]}, SIc.HPX),
         ({"kind": "ellipse", "ra": 200.0, "dec": 10.0, "a": 8.0, "b": 4.0,
           "angle": 30.0}, SIc.HTM),
+        ({"kind": "ellipse", "ra": 200.0, "dec": 10.0, "a": 8.0, "b": 4.0,
+          "angle": 30.0}, SIc.HPX),
     ]
     for region, mode in cases:
         inside, boundary = region_split_ranges(region, level, mode)
@@ -823,3 +857,30 @@ def test_phash_image_dedup(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes" not in line, line
+
+
+def test_pack_sequences_semantics(spark):
+    """Concat-and-chunk packing: offsets are the exact running sum within
+    each shard (contiguous stream), bin_offset < ctx, bins monotone with
+    doc order, and a doc longer than ctx spans multiple bins."""
+    from spatialindex_spark.operators.packing import pack_sequences
+
+    rows = [(i, int(t), i % 2) for i, t in
+            enumerate([100, 300, 50, 200, 10, 900, 256, 1])]
+    df = spark.createDataFrame(rows, "doc_id long, n long, shard long")
+    out = pack_sequences(df, tokens_col="n", id_col="doc_id", ctx_len=256,
+                         shard_col="shard").toPandas() \
+        .sort_values(["shard", "doc_id"]).reset_index(drop=True)
+    for _, g in out.groupby("shard"):
+        run = 0
+        for _, r in g.iterrows():
+            assert r.pack_offset == run
+            assert r.bin_start == run // 256
+            assert r.bin_offset == run % 256
+            assert r.bin_end == (run + max(r.n, 1) - 1) // 256
+            run += r.n
+    long_doc = out[out.n == 900].iloc[0]
+    assert long_doc.bin_end > long_doc.bin_start
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="ctx_len"):
+        pack_sequences(df, tokens_col="n", ctx_len=0)
