@@ -146,6 +146,31 @@ def _q_cone_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(df).select("o_orderkey")
 
 
+def _q_cone_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone search over the TRUE-S2 Hilbert cell column: s2_cap_ranges
+    covering (two-phase: biased BETWEEN on the uint64-ordered ids — xor
+    with the sign bit makes signed compare match unsigned order — then the
+    exact dot-product geometry). Same oracle as cone_htm: the cells are
+    engine-side pruning only."""
+    import math
+
+    from spatialindex_spark.functions.h3s2 import s2_cap_ranges
+    from spatialindex_spark.functions.udfs import s2_udf
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "s2h_7", s2_udf(7, curve="hilbert")("x", "y", "z"))
+    ranges = s2_cap_ranges(CONE["ra"], CONE["dec"], CONE["radius"], 7)
+    BIAS = -1 << 63
+    b = F.col("s2h_7").bitwiseXOR(F.lit(BIAS))
+    pred = None
+    for lo, hi in ranges:
+        c = b.between(lo ^ BIAS, hi ^ BIAS)
+        pred = c if pred is None else (pred | c)
+    cx, cy, cz, cosr = _cone_vec(CONE["ra"], CONE["dec"], CONE["radius"])
+    geom = (F.col("x") * cx + F.col("y") * cy + F.col("z") * cz) >= cosr
+    return df.filter(pred).filter(geom).select("o_orderkey")
+
+
 def _q_polygon_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _orders_sky(spark, sf_dir)
     c = SI.polygon_search(POLY_RA, POLY_DEC, mode=SpatialIndex.HTM, level=7,
@@ -748,6 +773,7 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cone_htm": _q_cone_htm,
+        "cone_s2": _q_cone_s2,
         "cone_hpx": _q_cone_hpx,
         "polygon_htm": _q_polygon_htm,
         "region_count": _q_region_count,
@@ -1099,6 +1125,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
+        "cone_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_hpx": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone2}",
         "polygon_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
         "region_count": f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone1}",

@@ -142,6 +142,19 @@ def _st_to_uv(s):
                     (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
 
 
+def _fij_to_leaf(face, i, j) -> np.ndarray:
+    """(face, leaf i, leaf j) -> uint64 leaf cell id (Hilbert walk)."""
+    pos = np.zeros_like(np.asarray(i), dtype=np.uint64)
+    orient = (face & 1).astype(np.int64)  # kSwapMask bit of the face
+    for k in range(S2_LEAF - 1, -1, -1):
+        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+        p = _IJ_TO_POS[orient, ij]
+        pos = (pos << np.uint64(2)) | p.astype(np.uint64)
+        orient = orient ^ _POS_TO_ORIENT[p]
+    return ((face.astype(np.uint64) << np.uint64(2 * S2_LEAF + 1))
+            | (pos << np.uint64(1)) | np.uint64(1))
+
+
 def s2_cell_id(x, y, z, level: int) -> np.ndarray:
     """True S2 cell id (Hilbert curve), bit-layout-compatible with the S2
     geometry library: face (3 bits) + 2*S2_LEAF Hilbert position bits built
@@ -156,17 +169,7 @@ def s2_cell_id(x, y, z, level: int) -> np.ndarray:
     n = np.int64(1) << S2_LEAF
     i = np.clip((_uv_to_st(u) * n).astype(np.int64), 0, n - 1)
     j = np.clip((_uv_to_st(v) * n).astype(np.int64), 0, n - 1)
-
-    pos = np.zeros_like(i, dtype=np.uint64)
-    orient = (face & 1).astype(np.int64)  # kSwapMask bit of the face
-    for k in range(S2_LEAF - 1, -1, -1):
-        ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
-        p = _IJ_TO_POS[orient, ij]
-        pos = (pos << np.uint64(2)) | p.astype(np.uint64)
-        orient = orient ^ _POS_TO_ORIENT[p]
-
-    leaf = ((face.astype(np.uint64) << np.uint64(2 * S2_LEAF + 1))
-            | (pos << np.uint64(1)) | np.uint64(1))
+    leaf = _fij_to_leaf(face, i, j)
     lsb = np.uint64(1) << np.uint64(2 * (S2_LEAF - level))
     # snap to level: clear everything below lsb, set lsb as the marker
     snapped = (leaf & (~(lsb + lsb - np.uint64(1)) + np.uint64(0))) | lsb
@@ -434,6 +437,14 @@ def h3_hex_id(ra, dec, res: int) -> np.ndarray:
     face, x2d, y2d = _xyz_to_face_2d(np.cos(ra) * cd, np.sin(ra) * cd,
                                      np.sin(dec))
     i, j = _grid_axial(x2d, y2d, res)
+    return _face_axial_to_id(face, i, j, res)
+
+
+def _face_axial_to_id(face, i, j, res: int, strict: bool = True):
+    """Pack (face, res-level axial cell) into an id via the aperture-7 up
+    chain. strict=False returns -1 where the up chain leaves the face's
+    base-cell band (|i0| or |j0| > 3) instead of raising — used by
+    neighbor walks, whose off-face steps are clipped by design."""
     digits = np.zeros(len(i), dtype=np.int64)
     # digits past res are all 7s: every bit below the res digit block
     pad = _sevens_below(np.int64(res))
@@ -447,12 +458,19 @@ def h3_hex_id(ra, dec, res: int) -> np.ndarray:
             raise AssertionError("aperture-7 digit out of unit range")
         digits |= d << (3 * (H3_HEX_MAX_RES - rr))
         i, j = pi, pj
-    if np.any((np.abs(i) > 3) | (np.abs(j) > 3)):
-        raise AssertionError("res-0 cell outside face bound")
+    off = (np.abs(i) > 3) | (np.abs(j) > 3)
+    if np.any(off):
+        if strict:
+            raise AssertionError("res-0 cell outside face bound")
+        i = np.clip(i, -3, 3)
+        j = np.clip(j, -3, 3)
     base = face * 49 + (i + 3) * 7 + (j + 3)
-    return ((np.int64(1) << _H3_MODE_SHIFT)
-            | (np.int64(res) << _H3_RES_SHIFT)
-            | (base << _H3_BASE_SHIFT) | digits | pad)
+    ids = ((np.int64(1) << _H3_MODE_SHIFT)
+           | (np.int64(res) << _H3_RES_SHIFT)
+           | (base << _H3_BASE_SHIFT) | digits | pad)
+    if not strict:
+        ids = np.where(off, np.int64(-1), ids)
+    return ids
 
 
 def h3_hex_res(ids) -> np.ndarray:
@@ -496,9 +514,9 @@ def h3_hex_range(ids, child_res: int) -> tuple[np.ndarray, np.ndarray]:
     return head | prefix | pad, head | prefix | sub | pad
 
 
-def h3_hex_center(ids) -> tuple[np.ndarray, np.ndarray]:
-    """(ra, dec) degrees of each cell center: digit walk down from the
-    base cell, inverse gnomonic on the home face."""
+def _id_to_face_axial(ids):
+    """(face, axial i, axial j at the id's res, res) — digit walk down
+    from the base cell (inverse of _face_axial_to_id)."""
     ids = np.asarray(ids, dtype=np.int64)
     res = h3_hex_res(ids)
     base = h3_hex_base(ids)
@@ -514,6 +532,14 @@ def h3_hex_center(ids) -> tuple[np.ndarray, np.ndarray]:
         d = np.where(act, d, 0)
         i = np.where(act, ci + _DIGIT_AXIAL[d, 0], i)
         j = np.where(act, cj + _DIGIT_AXIAL[d, 1], j)
+    return face, i, j, res
+
+
+def h3_hex_center(ids) -> tuple[np.ndarray, np.ndarray]:
+    """(ra, dec) degrees of each cell center: digit walk down from the
+    base cell, inverse gnomonic on the home face."""
+    ids = np.asarray(ids, dtype=np.int64)
+    face, i, j, res = _id_to_face_axial(ids)
     # per-res scale differs per row: recompute 2d per distinct res value
     x2d = np.zeros(len(ids), dtype=np.float64)
     y2d = np.zeros(len(ids), dtype=np.float64)
@@ -526,3 +552,138 @@ def h3_hex_center(ids) -> tuple[np.ndarray, np.ndarray]:
     ra = np.degrees(np.arctan2(p[:, 1], p[:, 0])) % 360.0
     dec = np.degrees(np.arcsin(np.clip(p[:, 2], -1.0, 1.0)))
     return ra, dec
+
+
+#: axial offsets of the 6 hex neighbors (120-degree basis)
+_HEX_NEIGHBOR_AXIAL = np.array(
+    [(1, 0), (0, 1), (-1, 0), (0, -1), (1, 1), (-1, -1)], dtype=np.int64)
+
+
+def h3_hex_kring(ids, k: int = 1) -> np.ndarray:
+    """ids of all cells within hex-grid distance k of each input cell
+    (shape (n, m) with m = 1+3k(k+1), row 0 = the cell itself). All inputs
+    must share one res. Face-local: ring members that fall off the home
+    face's base-cell band come back as -1 (the grid does not stitch across
+    icosahedron faces — callers union the query point's own cell from the
+    other face when edge completeness matters, as the kNN operator does
+    for HPX)."""
+    ids = np.asarray(ids, dtype=np.int64)
+    face, i, j, res = _id_to_face_axial(ids)
+    r0 = int(res[0]) if len(res) else 0
+    if len(res) and not (res == r0).all():
+        raise ValueError("h3_hex_kring requires a single res")
+    # enumerate axial offsets with hex distance <= k (cube metric)
+    offs = [(di, dj) for di in range(-k, k + 1) for dj in range(-k, k + 1)
+            if max(abs(di), abs(dj), abs(di - dj)) <= k]
+    offs.sort(key=lambda t: (max(abs(t[0]), abs(t[1]), abs(t[0] - t[1])),
+                             t))
+    out = np.empty((len(ids), len(offs)), dtype=np.int64)
+    for c, (di, dj) in enumerate(offs):
+        out[:, c] = _face_axial_to_id(face, i + di, j + dj, r0,
+                                      strict=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# S2 cap covering — makes the Hilbert ids a queryable index (cone search on
+# an s2h<L> column), same role as htm_circle_ranges / hpx_cone_ranges.
+# Level-synchronous BFS over the quadtree with the bounding-cap zone test
+# (cell circumradius from its corners): sound superset covering, interior
+# cells classified full when center-distance + circumradius <= cap radius.
+# ---------------------------------------------------------------------------
+
+def _s2_cells_geom(face, i0, j0, lvl: int):
+    """Center unit vector + circumradius (rad) of cells given by their
+    lower-corner leaf coords at level lvl."""
+    size = np.int64(1) << (S2_LEAF - lvl)
+    n = float(1 << S2_LEAF)
+
+    def _xyz(si, sj):
+        x, y, z = _face_uv_to_xyz_s2(face, _st_to_uv(si / n),
+                                     _st_to_uv(sj / n))
+        norm = np.sqrt(x * x + y * y + z * z)
+        return x / norm, y / norm, z / norm
+
+    cx, cy, cz = _xyz(i0 + size / 2.0, j0 + size / 2.0)
+    circ = np.zeros(len(face), dtype=np.float64)
+    for di in (0, 1):
+        for dj in (0, 1):
+            vx, vy, vz = _xyz((i0 + di * size).astype(np.float64),
+                              (j0 + dj * size).astype(np.float64))
+            dot = np.clip(cx * vx + cy * vy + cz * vz, -1.0, 1.0)
+            circ = np.maximum(circ, np.arccos(dot))
+    return cx, cy, cz, circ
+
+
+def s2_cap_ranges(ra: float, dec: float, radius_deg: float, level: int,
+                  split: bool = False):
+    """Covering of a spherical cap as sorted (uint64 order) inclusive id
+    ranges at ``level`` (ids as int64 bit patterns, same layout as
+    s2_cell_id). split=True returns (inside_ranges, boundary_ranges) for
+    count-bounds-style consumers."""
+    if not 0 <= level <= S2_LEAF:
+        raise ValueError(f"level must be in [0, {S2_LEAF}]")
+    rad = np.radians(radius_deg)
+    d = np.radians(dec)
+    cap = np.array([np.cos(np.radians(ra)) * np.cos(d),
+                    np.sin(np.radians(ra)) * np.cos(d), np.sin(d)])
+
+    face = np.arange(6, dtype=np.int64)
+    i0 = np.zeros(6, dtype=np.int64)
+    j0 = np.zeros(6, dtype=np.int64)
+    full_cells = []   # (face, i0, j0, lvl)
+    for lvl in range(level + 1):
+        if len(face) == 0:
+            break
+        cx, cy, cz, circ = _s2_cells_geom(face, i0, j0, lvl)
+        sep = np.arccos(np.clip(cx * cap[0] + cy * cap[1] + cz * cap[2],
+                                -1.0, 1.0))
+        keep = sep <= rad + circ                 # not provably disjoint
+        full = keep & (sep + circ <= rad)        # provably interior
+        if np.any(full):
+            full_cells.append((face[full], i0[full], j0[full], lvl))
+        part = keep & ~full
+        if lvl == level:
+            boundary = (face[part], i0[part], j0[part], lvl)
+            break
+        face, i0, j0 = face[part], i0[part], j0[part]
+        half = np.int64(1) << (S2_LEAF - lvl - 1)
+        m = len(face)
+        face = np.repeat(face, 4)
+        i0 = np.repeat(i0, 4) + np.tile(np.array([0, 1, 0, 1],
+                                                 dtype=np.int64), m) * half
+        j0 = np.repeat(j0, 4) + np.tile(np.array([0, 0, 1, 1],
+                                                 dtype=np.int64), m) * half
+    else:
+        boundary = (np.empty(0, np.int64),) * 3 + (level,)
+
+    lsb_t = np.uint64(1) << np.uint64(2 * (S2_LEAF - level))
+
+    def _to_ranges(cells_list):
+        out = []
+        for f, ii, jj, lvl in cells_list:
+            if len(f) == 0:
+                continue
+            leaf = _fij_to_leaf(f, ii, jj)           # lower-corner leaf id
+            lsb = np.uint64(1) << np.uint64(2 * (S2_LEAF - lvl))
+            cell = (leaf & ~(lsb + lsb - np.uint64(1))) | lsb  # snap to lvl
+            lo = cell - lsb + lsb_t                  # first level-t child
+            hi = cell + lsb - lsb_t                  # last level-t child
+            out.extend(zip(lo.view(np.int64).tolist(),
+                           hi.view(np.int64).tolist()))
+        # sort in uint64 order and merge adjacent
+        out.sort(key=lambda t: t[0] ^ (-1 << 63))
+        merged = []
+        step = int(lsb_t) * 2                        # id spacing at level
+        for lo, hi in out:
+            if merged and (lo ^ (-1 << 63)) - (merged[-1][1] ^ (-1 << 63)) == step:
+                merged[-1][1] = hi
+            else:
+                merged.append([lo, hi])
+        return [[int(a), int(b)] for a, b in merged]
+
+    inside = _to_ranges(full_cells)
+    bound = _to_ranges([boundary])
+    if split:
+        return inside, bound
+    return _to_ranges(full_cells + [boundary])

@@ -201,3 +201,87 @@ def test_h3_hex_aperture7_properties():
     n1 = len(np.unique(h3_hex_id(ra, dec, 1)))
     n2 = len(np.unique(h3_hex_id(ra, dec, 2)))
     assert 5.0 <= n2 / n1 <= 9.0
+
+
+def test_h3_hex_kring():
+    """k-ring on the hex grid: correct member count (1+3k(k+1)) for
+    face-interior cells, row 0 is the cell itself, all members are exactly
+    the cells at hex distance <= k (cross-checked by re-encoding the
+    member centers), and off-face steps come back as -1 (never a bogus
+    id)."""
+    import numpy as np
+
+    from spatialindex_spark.functions.h3s2 import (
+        h3_hex_center, h3_hex_id, h3_hex_kring, h3_hex_res)
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    ids = h3_hex_id(ra, dec, 6)
+
+    for k in (1, 2):
+        ring = h3_hex_kring(ids, k)
+        assert ring.shape == (n, 1 + 3 * k * (k + 1))
+        assert (ring[:, 0] == ids).all()
+        valid = ring != -1
+        # interior cells (full ring on-face) dominate
+        assert (valid.all(axis=1)).mean() > 0.8
+        flat = ring[valid]
+        assert (h3_hex_res(flat) == 6).all()
+        # every valid member re-encodes to itself (real cells, right res)
+        cra, cdec = h3_hex_center(flat[:20000])
+        again = h3_hex_id(cra, cdec, 6)
+        assert (again == flat[:20000]).mean() >= 0.99
+        # distinct members per row (no duplicates in a ring)
+        for row in ring[:200]:
+            v = row[row != -1]
+            assert len(set(v.tolist())) == len(v)
+
+    # adjacency sanity: a k=1 ring member's own k=1 ring contains the seed
+    r1 = h3_hex_kring(ids[:500], 1)
+    for a, row in zip(ids[:500].tolist(), r1.tolist()):
+        for b in row[1:]:
+            if b != -1:
+                back = h3_hex_kring(np.array([b], dtype=np.int64), 1)
+                assert a in set(back[0].tolist())
+                break
+
+
+def test_s2_cap_ranges_covering():
+    """S2 cap covering: complete (every cap member's Hilbert id falls in
+    the ranges), interior-sound (full cells contain only members), tight
+    (few merged ranges thanks to Hilbert locality), across pole/tiny/wide
+    caps and levels."""
+    import numpy as np
+
+    from spatialindex_spark.functions.geometry import radec_to_xyz
+    from spatialindex_spark.functions.h3s2 import s2_cap_ranges, s2_cell_id
+
+    BIAS = -1 << 63
+
+    def in_ranges(ids, ranges):
+        u = ids.astype(np.int64) ^ BIAS
+        m = np.zeros(len(ids), dtype=bool)
+        for lo, hi in ranges:
+            m |= (u >= (lo ^ BIAS)) & (u <= (hi ^ BIAS))
+        return m
+
+    rng = np.random.default_rng(9)
+    n = 200_000
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    x, y, z = radec_to_xyz(ra, dec)
+    for cra, cdec, r, lv in [(129.4, 43.7, 5.0, 7), (0.2, -89.0, 3.0, 7),
+                             (180.0, 0.0, 0.3, 10), (271.0, 45.0, 30.0, 5),
+                             (10.0, 88.5, 6.0, 6)]:
+        ids = s2_cell_id(x, y, z, lv)
+        cv = radec_to_xyz(np.array([cra]), np.array([cdec]))
+        member = (x * cv[0] + y * cv[1] + z * cv[2]) >= np.cos(np.radians(r))
+        ranges = s2_cap_ranges(cra, cdec, r, lv)
+        cov = in_ranges(ids, ranges)
+        assert not np.any(member & ~cov), (cra, cdec, r, lv, "missed")
+        inside, _bound = s2_cap_ranges(cra, cdec, r, lv, split=True)
+        fullm = in_ranges(ids, inside)
+        assert not np.any(fullm & ~member), (cra, cdec, r, lv, "unsound")
+        assert len(ranges) < 64  # Hilbert locality keeps ranges few
