@@ -178,6 +178,29 @@ def _q_polygon_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.filter(df).select("o_orderkey")
 
 
+def _q_polygon_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-polygon search over the TRUE-S2 Hilbert cell column
+    (s2_polygon_ranges covering + exact half-space geometry); same oracle
+    as polygon_htm."""
+    from spatialindex_spark.functions.h3s2 import s2_polygon_ranges
+    from spatialindex_spark.functions.udfs import s2_udf
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "s2h_7", s2_udf(7, curve="hilbert")("x", "y", "z"))
+    ranges = s2_polygon_ranges(POLY_RA, POLY_DEC, 7)
+    BIAS = -1 << 63
+    b = F.col("s2h_7").bitwiseXOR(F.lit(BIAS))
+    pred = None
+    for lo, hi in ranges:
+        c = b.between(lo ^ BIAS, hi ^ BIAS)
+        pred = c if pred is None else (pred | c)
+    geom = F.lit(True)
+    for nx, ny, nz in _poly_planes(POLY_RA, POLY_DEC):
+        geom = geom & ((F.col("x") * nx + F.col("y") * ny
+                        + F.col("z") * nz) >= 0)
+    return df.filter(pred).filter(geom).select("o_orderkey")
+
+
 def _q_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3 region count: indexed count == brute count."""
     df = _orders_sky(spark, sf_dir)
@@ -364,6 +387,22 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens_est")
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics (dup lines, dup word
+    5-grams, top word-2-gram share) with the documented thresholds;
+    fractions rounded for float-stable oracle comparison."""
+    from spatialindex_spark.operators.text import with_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = with_repetition(docs)
+    return r.select(
+        "doc_id",
+        F.round("dup_line_frac", 9).alias("dup_line_frac"),
+        F.round("dup_5gram_frac", 9).alias("dup_5gram_frac"),
+        F.round("top_2gram_frac", 9).alias("top_2gram_frac"),
+        "repetition_ok")
 
 
 def _q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cone_s2": _q_cone_s2,
         "cone_hpx": _q_cone_hpx,
         "polygon_htm": _q_polygon_htm,
+        "polygon_s2": _q_polygon_s2,
         "region_count": _q_region_count,
         "region_count_fast": _q_region_count_fast,
         "region_join": _q_region_join,
@@ -793,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
         "seq_pack": _q_seq_pack,
+        "repetition": _q_repetition,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
@@ -1128,6 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         "cone_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_hpx": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone2}",
         "polygon_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
+        "polygon_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
         "region_count": f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone1}",
         "region_count_fast": (
             f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone1}"
@@ -1205,6 +1247,30 @@ def oracle_sql() -> dict[str, str]:
             "  greatest(len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT, "
             "           ceil(length(text) / 4.0)::BIGINT) AS bpe_tokens_est "
             "FROM documents"
+        ),
+        "repetition": (
+            "WITH t AS (SELECT doc_id, "
+            "  string_split(text, chr(10)) AS ls, "
+            "  string_split_regex(lower(trim(text)), '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, ls, ws, "
+            "  CASE WHEN len(ws) >= 5 THEN list_transform(range(0, len(ws)-4), "
+            "    i -> array_to_string(ws[i+1:i+5], ' ')) ELSE [] END AS g5, "
+            "  CASE WHEN len(ws) >= 2 THEN list_transform(range(0, len(ws)-1), "
+            "    i -> array_to_string(ws[i+1:i+2], ' ')) ELSE [] END AS g2 "
+            "FROM t), "
+            "cnt AS (SELECT doc_id, max(c) AS top FROM ("
+            "  SELECT doc_id, u.g AS gg, count(*) AS c "
+            "  FROM g, unnest(g2) AS u(g) GROUP BY doc_id, gg) GROUP BY doc_id), "
+            "m AS (SELECT g.doc_id, "
+            "  CASE WHEN len(ls) > 0 THEN 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) ELSE 0.0 END AS dlf, "
+            "  CASE WHEN len(g5) > 0 THEN 1.0 - len(list_distinct(g5))::DOUBLE / len(g5) ELSE 0.0 END AS d5f, "
+            "  CASE WHEN len(g2) > 0 THEN coalesce(cnt.top, 0)::DOUBLE / len(g2) ELSE 0.0 END AS t2f "
+            "FROM g LEFT JOIN cnt ON cnt.doc_id = g.doc_id) "
+            "SELECT doc_id, round(dlf, 9) AS dup_line_frac, "
+            "  round(d5f, 9) AS dup_5gram_frac, round(t2f, 9) AS top_2gram_frac, "
+            "  (dlf <= 0.30 AND d5f <= 0.30 AND t2f <= 0.20)::INT AS repetition_ok "
+            "FROM m"
         ),
         "seq_pack": (
             "WITH t AS (SELECT doc_id, doc_id % 4 AS shard, "

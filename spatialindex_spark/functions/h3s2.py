@@ -621,13 +621,52 @@ def s2_cap_ranges(ra: float, dec: float, radius_deg: float, level: int,
     ranges at ``level`` (ids as int64 bit patterns, same layout as
     s2_cell_id). split=True returns (inside_ranges, boundary_ranges) for
     count-bounds-style consumers."""
-    if not 0 <= level <= S2_LEAF:
-        raise ValueError(f"level must be in [0, {S2_LEAF}]")
     rad = np.radians(radius_deg)
     d = np.radians(dec)
     cap = np.array([np.cos(np.radians(ra)) * np.cos(d),
                     np.sin(np.radians(ra)) * np.cos(d), np.sin(d)])
 
+    def classify(cx, cy, cz, circ):
+        sep = np.arccos(np.clip(cx * cap[0] + cy * cap[1] + cz * cap[2],
+                                -1.0, 1.0))
+        keep = sep <= rad + circ                 # not provably disjoint
+        full = keep & (sep + circ <= rad)        # provably interior
+        return keep, full
+
+    return _s2_region_ranges(classify, level, split)
+
+
+def s2_polygon_ranges(ra_list, dec_list, level: int, split: bool = False):
+    """Covering of a convex spherical polygon (CCW vertices, same
+    convention as the HTM/HPX polygon searches) as level-``level`` id
+    ranges. Zone test per cell against every edge plane: outside one plane
+    by more than the circumradius => disjoint; inside every plane by more
+    than the circumradius => interior. Sound both ways for convex
+    regions."""
+    from .cover import polygon_normals
+
+    normals = polygon_normals(ra_list, dec_list)
+
+    def classify(cx, cy, cz, circ):
+        sc = np.sin(circ)
+        keep = np.ones(len(cx), dtype=bool)
+        full = np.ones(len(cx), dtype=bool)
+        for nrm in normals:
+            dot = cx * nrm.x + cy * nrm.y + cz * nrm.z
+            keep &= dot >= -sc
+            full &= dot >= sc
+        return keep, full
+
+    return _s2_region_ranges(classify, level, split)
+
+
+def _s2_region_ranges(classify, level: int, split: bool):
+    """Level-synchronous quadtree BFS shared by the S2 region coverings:
+    ``classify(cx, cy, cz, circ) -> (keep, full)`` must be sound (never
+    claims full for a cell with outside points; never drops a cell that
+    intersects)."""
+    if not 0 <= level <= S2_LEAF:
+        raise ValueError(f"level must be in [0, {S2_LEAF}]")
     face = np.arange(6, dtype=np.int64)
     i0 = np.zeros(6, dtype=np.int64)
     j0 = np.zeros(6, dtype=np.int64)
@@ -636,10 +675,8 @@ def s2_cap_ranges(ra: float, dec: float, radius_deg: float, level: int,
         if len(face) == 0:
             break
         cx, cy, cz, circ = _s2_cells_geom(face, i0, j0, lvl)
-        sep = np.arccos(np.clip(cx * cap[0] + cy * cap[1] + cz * cap[2],
-                                -1.0, 1.0))
-        keep = sep <= rad + circ                 # not provably disjoint
-        full = keep & (sep + circ <= rad)        # provably interior
+        keep, full = classify(cx, cy, cz, circ)
+        full = keep & full
         if np.any(full):
             full_cells.append((face[full], i0[full], j0[full], lvl))
         part = keep & ~full

@@ -96,3 +96,61 @@ def fingerprint_udf(k: int = 8):
         return pd.Series(out)
 
     return _udf
+
+
+def with_repetition(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Repetition quality metrics (the public Gopher-rule family, Rae et
+    al. 2021 §A1.1; count-fraction variants):
+
+    - ``dup_line_frac``: 1 - distinct lines / lines.
+    - ``dup_5gram_frac``: 1 - distinct word 5-grams / word 5-grams.
+    - ``top_2gram_frac``: occurrences of the most frequent word 2-gram /
+      total word 2-grams.
+    - ``repetition_ok``: all three under the documented thresholds
+      (0.30 / 0.30 / 0.20).
+
+    Line/5-gram metrics are pure JVM higher-order-function expressions
+    (no shuffle); the 2-gram mode needs a per-(doc, gram) count, done as
+    an explode + two-level aggregation + join back on ``id_col`` — the
+    shuffle is on (doc, gram), never wider than the tokenized corpus, and
+    partial aggregation halves it map-side."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    nl = F.size(lines)
+    dup_line = F.when(
+        nl > 0, 1.0 - F.size(F.array_distinct(lines)) / nl).otherwise(0.0)
+
+    words = _tokens(t)
+    nw = F.size(words)
+
+    def grams(k):
+        return F.when(
+            nw >= k,
+            F.transform(F.sequence(F.lit(0), nw - k),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+        ).otherwise(F.array().cast("array<string>"))
+
+    g5 = grams(5)
+    n5 = F.size(g5)
+    dup5 = F.when(n5 > 0,
+                  1.0 - F.size(F.array_distinct(g5)) / n5).otherwise(0.0)
+
+    out = df.withColumns({
+        "dup_line_frac": dup_line,
+        "dup_5gram_frac": dup5,
+        "_n2": F.greatest(F.size(grams(2)), F.lit(0)),
+    })
+    top2 = (df.select(F.col(id_col), F.explode(grams(2)).alias("_g"))
+              .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+              .groupBy(id_col).agg(F.max("_c").alias("_top2")))
+    out = (out.join(top2, id_col, "left")
+              .withColumn("top_2gram_frac",
+                          F.when(F.col("_n2") > 0,
+                                 F.coalesce(F.col("_top2"), F.lit(0))
+                                 / F.col("_n2")).otherwise(0.0))
+              .drop("_n2", "_top2"))
+    ok = ((F.col("dup_line_frac") <= 0.30)
+          & (F.col("dup_5gram_frac") <= 0.30)
+          & (F.col("top_2gram_frac") <= 0.20))
+    return out.withColumn("repetition_ok", ok.cast("int"))

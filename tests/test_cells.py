@@ -285,3 +285,21 @@ def test_s2_cap_ranges_covering():
         fullm = in_ranges(ids, inside)
         assert not np.any(fullm & ~member), (cra, cdec, r, lv, "unsound")
         assert len(ranges) < 64  # Hilbert locality keeps ranges few
+
+    from spatialindex_spark.functions.cover import polygon_normals
+    from spatialindex_spark.functions.h3s2 import s2_polygon_ranges
+
+    for pra, pdec, lv in [([120.0, 150.0, 150.0, 120.0],
+                           [30.0, 30.0, 55.0, 55.0], 7),
+                          ([10.0, 40.0, 25.0], [-80.0, -80.0, -60.0], 6),
+                          ([350.0, 10.0, 10.0, 350.0],
+                           [-5.0, -5.0, 5.0, 5.0], 7)]:
+        ids = s2_cell_id(x, y, z, lv)
+        member = np.ones(n, dtype=bool)
+        for nm in polygon_normals(pra, pdec):
+            member &= (x * nm.x + y * nm.y + z * nm.z) >= 0
+        cov = in_ranges(ids, s2_polygon_ranges(pra, pdec, lv))
+        assert not np.any(member & ~cov), (pra, lv, "missed")
+        inside, _b = s2_polygon_ranges(pra, pdec, lv, split=True)
+        fullm = in_ranges(ids, inside)
+        assert not np.any(fullm & ~member), (pra, lv, "unsound")

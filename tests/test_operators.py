@@ -884,3 +884,24 @@ def test_pack_sequences_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="ctx_len"):
         pack_sequences(df, tokens_col="n", ctx_len=0)
+
+
+def test_repetition_metrics(spark):
+    """Gopher repetition rules: a doc of one repeated line fails on
+    dup_line_frac; a doc of one repeated word pair fails on
+    top_2gram_frac; varied prose passes all three."""
+    from spatialindex_spark.operators.text import with_repetition
+
+    rows = [
+        (1, "buy now\n" * 20),                        # dup lines
+        (2, "spam ham " * 30),                        # one dominating 2-gram
+        (3, "the quick brown fox jumps over a lazy dog while twelve "
+            "zebras graze quietly near the old stone bridge at dawn"),
+        (4, ""),                                      # empty: all zeros, ok
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_repetition(df).collect()}
+    assert out[1].dup_line_frac > 0.9 and out[1].repetition_ok == 0
+    assert out[2].top_2gram_frac > 0.4 and out[2].repetition_ok == 0
+    assert out[3].repetition_ok == 1
+    assert out[4].dup_line_frac == 0.0 and out[4].repetition_ok == 1
