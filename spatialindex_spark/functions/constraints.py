@@ -38,6 +38,7 @@ from .htm import htm_idtodec
 # mode / encoding constants (sptQuery.h:13-17, spatial_index.pyx:41-42)
 HTM = 0
 HPX = 1
+S2 = 2     # engine extension: true-S2 Hilbert cell columns (s2h<L>)
 DECIMAL = 0  # raw bit-encoded cell id ("BASE10")
 BASE4 = 1    # base-10 digit string of the base-4 path (legacy spt_ind)
 
@@ -150,6 +151,7 @@ class SpatialIndex:
 
     HTM = HTM
     HPX = HPX
+    S2 = S2
     DECIMAL = DECIMAL
     BASE4 = BASE4
 

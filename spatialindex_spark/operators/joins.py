@@ -54,6 +54,9 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
     si = SpatialIndex()
     rows = []
     geoms = {}
+    if mode == SpatialIndex.S2:
+        return _s2_region_ranges_df(spark, regions, level, anchor_shift,
+                                    max_anchor_rows)
     for r in regions:
         if r["kind"] == "cone":
             c = si.cone_search(r["ra"], r["dec"], r["radius"], mode=mode,
@@ -94,7 +97,14 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
             raise ValueError(f"region {r['region_id']}: {c.error_message}")
         geoms[r["region_id"]] = geom
         rows.append((r["region_id"], ranges))
-    # widen the anchor prefix until the exploded row count is bounded
+    return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
+
+
+def _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows):
+    """Explode (region_id, [lo, hi] ranges) into anchored rows, widening
+    the anchor prefix until the exploded count is bounded (see
+    region_ranges_df docstring). Works on biased (S2) values too: Python
+    and Spark >> are both arithmetic shifts."""
     def n_anchors(shift: int) -> int:
         return sum((int(hi) >> shift) - (int(lo) >> shift) + 1
                    for _, ranges in rows for lo, hi in ranges)
@@ -110,6 +120,48 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
     df = spark.createDataFrame(
         out, "region_id long, cell_lo long, cell_hi long, anchor long")
     return df, geoms, anchor_shift
+
+
+S2_ID_BIAS = -1 << 63  # xor makes signed compare match uint64 id order
+
+
+def _s2_region_ranges_df(spark, regions, level, anchor_shift,
+                         max_anchor_rows):
+    """region_ranges_df for mode=S2: coverings from the Hilbert-quadtree
+    BFS (h3s2.s2_cap_ranges / s2_polygon_ranges), with both the ranges and
+    (in region_join) the cell column XOR-biased by the sign bit so signed
+    BETWEEN / shiftright anchors respect uint64 id order. Geometry residuals
+    are identical to the HTM/HPX paths."""
+    import math
+
+    from ..functions.cover import polygon_normals
+    from ..functions.geometry import sc_to_v3
+    from ..functions.h3s2 import s2_cap_ranges, s2_polygon_ranges
+
+    rows = []
+    geoms = {}
+    for r in regions:
+        if r["kind"] == "cone":
+            rr = s2_cap_ranges(r["ra"], r["dec"], r["radius"], level)
+            c = sc_to_v3(r["ra"], r["dec"])
+            geom = {"cone": (c.x, c.y, c.z,
+                             math.cos(r["radius"] * RAD_PER_DEG))}
+        elif r["kind"] == "ellipse":
+            from ..functions.regions import SphericalEllipse
+
+            rr = s2_cap_ranges(r["ra"], r["dec"], r["a"], level)
+            geom = {"ellipse": SphericalEllipse.from_center(
+                sc_to_v3(r["ra"], r["dec"]), r["a"], r["b"],
+                r.get("angle", 0.0))}
+        else:
+            rr = s2_polygon_ranges(r["ra"], r["dec"], level)
+            geom = {"poly_normals": [(n.x, n.y, n.z)
+                                     for n in polygon_normals(r["ra"],
+                                                              r["dec"])]}
+        geoms[r["region_id"]] = geom
+        rows.append((r["region_id"],
+                     [[lo ^ S2_ID_BIAS, hi ^ S2_ID_BIAS] for lo, hi in rr]))
+    return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
 
 
 def region_join(points: DataFrame, regions: list[dict], level: int = 7,
@@ -137,7 +189,13 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
     # pushed below the join and the cell-assignment Arrow UDF is evaluated
     # a SECOND time with fully-inlined (unshared) argument expressions,
     # tripling stage cost (observed via explain("formatted")).
-    cell = F.coalesce(F.col(cell_col), F.lit(-1))
+    if mode == SpatialIndex.S2:
+        # bias into signed space matching the biased ranges; null guard is
+        # biased id 0 (= long min), below every real range
+        cell = F.coalesce(F.col(cell_col).bitwiseXOR(F.lit(S2_ID_BIAS)),
+                          F.lit(S2_ID_BIAS))
+    else:
+        cell = F.coalesce(F.col(cell_col), F.lit(-1))
     cand = (
         points.withColumn("_cell", cell)
         .withColumn("_anchor", F.shiftright(F.col("_cell"), anchor_shift))

@@ -905,3 +905,31 @@ def test_repetition_metrics(spark):
     assert out[2].top_2gram_frac > 0.4 and out[2].repetition_ok == 0
     assert out[3].repetition_ok == 1
     assert out[4].dup_line_frac == 0.0 and out[4].repetition_ok == 1
+
+
+def test_region_join_s2_mode(spark, small_images):
+    """mode=S2 region_join (biased Hilbert ranges + same exact geometry)
+    must return exactly the HTM-mode result for cone, polygon, and
+    ellipse regions."""
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.functions.udfs import s2_udf
+    from spatialindex_spark.operators.joins import region_join
+
+    regions = [
+        {"region_id": 1, "kind": "cone", "ra": 129.4, "dec": 43.7,
+         "radius": 4.0},
+        {"region_id": 2, "kind": "poly", "ra": [30.0, 40.0, 40.0, 30.0],
+         "dec": [40.0, 40.0, 50.0, 50.0]},
+        {"region_id": 3, "kind": "ellipse", "ra": 129.4, "dec": 43.7,
+         "a": 5.0, "b": 2.5, "angle": 20.0},
+    ]
+    pts_s2 = small_images.withColumn(
+        "spt_ind", s2_udf(7, curve="hilbert")("x", "y", "z"))
+    got_s2 = {(r.region_id, r.image_id) for r in
+              region_join(pts_s2, regions, level=7, mode=SpatialIndex.S2)
+              .select("region_id", "image_id").collect()}
+    got_htm = {(r.region_id, r.image_id) for r in
+               region_join(small_images, regions, level=7)
+               .select("region_id", "image_id").collect()}
+    assert got_s2 == got_htm
+    assert got_s2  # non-trivial
