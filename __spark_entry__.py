@@ -389,6 +389,29 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens_est")
 
 
+def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source cap (dedup-priority rate limit): keep at most 40 docs
+    per source by (n_chars desc? no — deterministic id order). Window
+    rank, value-oracled against the identical SQL window."""
+    from spatialindex_spark.operators.sampling import cap_per_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (cap_per_source(docs, n=15)
+            .select("doc_id", "source"))
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-threshold stratified sampling per source
+    (Spark 4 DataFrame.sample redraws per plan reuse — a pure id-hash
+    threshold is reproducible and SQL-replayable)."""
+    from spatialindex_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fr = {"src0": 0.5, "src1": 0.9, "src2": 0.25}
+    return (stratified_sample(docs, fr, default_fraction=0.1)
+            .select("doc_id", "source"))
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (dup lines, dup word
     5-grams, top word-2-gram share) with the documented thresholds;
@@ -834,6 +857,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": _q_token_count,
         "seq_pack": _q_seq_pack,
         "repetition": _q_repetition,
+        "source_cap": _q_source_cap,
+        "stratified_sample": _q_stratified_sample,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
         "events_window": _q_events_window,
@@ -1247,6 +1272,18 @@ def oracle_sql() -> dict[str, str]:
             "  greatest(len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT, "
             "           ceil(length(text) / 4.0)::BIGINT) AS bpe_tokens_est "
             "FROM documents"
+        ),
+        "source_cap": (
+            "SELECT doc_id, source FROM ("
+            "  SELECT doc_id, source, row_number() OVER ("
+            "    PARTITION BY source ORDER BY doc_id) AS rk FROM documents) "
+            "WHERE rk <= 15"
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source FROM documents "
+            "WHERE ((doc_id % 1000003) * 2654435761) % 999999937 % 10000 < "
+            "  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 9000 "
+            "  WHEN 'src2' THEN 2500 ELSE 1000 END"
         ),
         "repetition": (
             "WITH t AS (SELECT doc_id, "

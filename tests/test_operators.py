@@ -933,3 +933,33 @@ def test_region_join_s2_mode(spark, small_images):
                .select("region_id", "image_id").collect()}
     assert got_s2 == got_htm
     assert got_s2  # non-trivial
+
+
+def test_sampling_operators(spark):
+    """cap_per_source keeps the n lowest-id rows per source; the
+    stratified sample is a deterministic pure function of the id (same
+    rows on every evaluation — the property DataFrame.sample lacks in
+    Spark 4)."""
+    from spatialindex_spark.operators.sampling import (cap_per_source,
+                                                       stratified_sample)
+
+    rows = [(i, f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = cap_per_source(df, n=5, source_col="source")
+    out = {(r.source, r.doc_id) for r in capped.collect()}
+    assert len(out) == 15
+    for s in ("s0", "s1", "s2"):
+        ids = sorted(i for src, i in out if src == s)
+        want = sorted(i for i, src in rows if src == s)[:5]
+        assert ids == want
+
+    samp = stratified_sample(df, {"s0": 1.0, "s1": 0.0},
+                             default_fraction=0.5)
+    got1 = sorted(r.doc_id for r in samp.collect())
+    got2 = sorted(r.doc_id for r in samp.collect())   # re-evaluate plan
+    assert got1 == got2
+    by_src = {s: [i for i in got1 if i % 3 == int(s[1])]
+              for s in ("s0", "s1", "s2")}
+    assert len(by_src["s0"]) == 20      # fraction 1.0 keeps all
+    assert len(by_src["s1"]) == 0       # fraction 0.0 drops all
+    assert 0 < len(by_src["s2"]) < 20   # default 0.5 keeps some
