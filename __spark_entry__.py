@@ -389,6 +389,20 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_token_count(docs).select("doc_id", "ws_tokens", "bpe_tokens_est")
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (30-min gap):
+    lag -> boundary -> running-sum windows, deterministic event_id
+    tiebreak; value-oracled against the identical SQL windows."""
+    from spatialindex_spark.operators.asof import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, gap_minutes=30.0)
+    return (s.groupBy("user_id", "session_seq")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.min("event_id").alias("first_event"))
+             .orderBy("user_id", "session_seq"))
+
+
 def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source cap (dedup-priority rate limit): keep at most 40 docs
     per source by (n_chars desc? no — deterministic id order). Window
@@ -858,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": _q_seq_pack,
         "repetition": _q_repetition,
         "source_cap": _q_source_cap,
+        "sessionize": _q_sessionize,
         "stratified_sample": _q_stratified_sample,
         "lang_id": _q_lang_id,
         "fingerprint": _q_fingerprint,
@@ -1272,6 +1287,21 @@ def oracle_sql() -> dict[str, str]:
             "  greatest(len(string_split_regex(lower(trim(text)), '\\s+'))::BIGINT, "
             "           ceil(length(text) / 4.0)::BIGINT) AS bpe_tokens_est "
             "FROM documents"
+        ),
+        "sessionize": (
+            "WITH o AS (SELECT user_id, event_id, ts, "
+            "  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts "
+            "FROM events), "
+            "b AS (SELECT user_id, event_id, ts, "
+            "  (pts IS NULL OR epoch(ts) - epoch(pts) > 1800)::BIGINT AS nb "
+            "FROM o), "
+            "s AS (SELECT user_id, event_id, "
+            "  sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq "
+            "FROM b) "
+            "SELECT user_id, session_seq, count(*) AS n_events, "
+            "  min(event_id) AS first_event "
+            "FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq"
         ),
         "source_cap": (
             "SELECT doc_id, source FROM ("

@@ -56,3 +56,33 @@ def asof_join(left: DataFrame, right: DataFrame, ts: str = "ts",
     cols += [F.col(f"_carry.{ts}{suffix}").alias(f"{ts}{suffix}")]
     cols += [F.col(f"_carry.{c}{suffix}").alias(c + suffix) for c in right_cols]
     return out.select(*cols)
+
+
+def sessionize(df, user_col: str = "user_id", ts_col: str = "ts",
+               tiebreak_col: str = "event_id", gap_minutes: float = 30.0):
+    """Gap-based sessionization: a new session starts when the time since
+    the user's previous event exceeds ``gap_minutes``. Pure window math
+    (lag -> boundary flag -> running sum), one shuffle on the user key —
+    the standard scalable shape; no state store needed for batch.
+
+    ``tiebreak_col`` orders simultaneous events deterministically (NEVER
+    monotonically_increasing_id — it varies with partitioning and would
+    desync retries and the SQL oracle). Adds ``session_seq`` (0-based
+    per-user session index)."""
+    from pyspark.sql import Window, functions as F
+
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    # NTZ timestamps cast to double only via timestamp; only the DIFFERENCE
+    # is used, so the session-timezone offset cancels
+    sec = F.col(ts_col).cast("timestamp").cast("double")
+    psec = prev.cast("timestamp").cast("double")
+    new_sess = (prev.isNull()
+                | ((sec - psec) > gap_minutes * 60.0)).cast("long")
+    # running count of boundaries = session index (first boundary -> 1)
+    w2 = (Window.partitionBy(user_col).orderBy(*order)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("_nb", new_sess)
+              .withColumn("session_seq", F.sum("_nb").over(w2) - 1)
+              .drop("_nb"))

@@ -963,3 +963,26 @@ def test_sampling_operators(spark):
     assert len(by_src["s0"]) == 20      # fraction 1.0 keeps all
     assert len(by_src["s1"]) == 0       # fraction 0.0 drops all
     assert 0 < len(by_src["s2"]) < 20   # default 0.5 keeps some
+
+
+def test_sessionize_semantics(spark):
+    """Gap sessionization: sessions split exactly at gaps > threshold,
+    simultaneous events order by the deterministic tiebreak."""
+    import datetime as dt
+
+    from spatialindex_spark.operators.asof import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 1, t0 + dt.timedelta(minutes=50)),   # gap 40 > 30 -> new
+        (4, 1, t0 + dt.timedelta(minutes=50)),   # simultaneous, same sess
+        (5, 2, t0),                              # other user
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {r.event_id: r.session_seq
+           for r in sessionize(df, gap_minutes=30.0).collect()}
+    assert out[1] == 0 and out[2] == 0
+    assert out[3] == 1 and out[4] == 1
+    assert out[5] == 0
