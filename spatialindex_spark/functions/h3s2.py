@@ -350,15 +350,19 @@ def _hex_round(a, b):
 
 
 def _xyz_to_face_2d(x, y, z):
-    """Nearest icosahedron face + gnomonic tangent-plane coords."""
+    """Nearest icosahedron face + gnomonic tangent-plane coords.
+
+    Since the tangent basis is orthogonal to the face center
+    (dot(c, e1) = dot(c, e2) = 0), the gnomonic coords reduce to
+    dot(p, e_k) / dot(p, c) — no intermediate projection arrays."""
     p = np.stack([x, y, z], axis=1)
     face = np.argmax(p @ _ICO_C.T, axis=1)
-    c = _ICO_C[face]
-    q = p / np.einsum("ij,ij->i", p, c)[:, None]
-    v = q - c
-    return (face.astype(np.int64),
-            np.einsum("ij,ij->i", v, _ICO_E1[face]),
-            np.einsum("ij,ij->i", v, _ICO_E2[face]))
+    d = (x * _ICO_C[face, 0] + y * _ICO_C[face, 1] + z * _ICO_C[face, 2])
+    x2d = (x * _ICO_E1[face, 0] + y * _ICO_E1[face, 1]
+           + z * _ICO_E1[face, 2]) / d
+    y2d = (x * _ICO_E2[face, 0] + y * _ICO_E2[face, 1]
+           + z * _ICO_E2[face, 2]) / d
+    return face.astype(np.int64), x2d, y2d
 
 
 def _grid_axial(x2d, y2d, res):
