@@ -217,6 +217,27 @@ class IcebergLiteTable:
         if ranges:
             from ..functions.cover import ranges_predicate
 
-            df = df.filter(F.col("bucket").isin(self.buckets_for_ranges(ranges)))
+            df = df.filter(F.col("bucket").isin(self.stat_pruned_buckets(ranges)))
             df = df.filter(ranges_predicate(F.col(self.cell_col), ranges))
         return df
+
+    def stat_pruned_buckets(self, ranges: list[list[int]]) -> list[int]:
+        """Covering buckets refined by the per-bucket lineage stats: a
+        committed bucket whose actual [cell_min, cell_max] misses every
+        range is skipped even though its nominal cell space overlaps —
+        sparse sky regions leave buckets far narrower than their hash
+        span. Unknown (not-yet-committed) buckets are kept, so a read
+        during a half-finished write never silently narrows."""
+        done = self.committed_buckets()
+        keep = []
+        for b in self.buckets_for_ranges(ranges):
+            st = done.get(b)
+            if st is None:
+                keep.append(b)          # no lineage: cannot prune safely
+                continue
+            if st["row_count"] == 0 or st["cell_min"] is None:
+                continue                # committed empty: nothing to read
+            if any(int(lo) <= st["cell_max"] and int(hi) >= st["cell_min"]
+                   for lo, hi in ranges):
+                keep.append(b)
+        return keep

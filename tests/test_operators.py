@@ -986,3 +986,36 @@ def test_sessionize_semantics(spark):
     assert out[1] == 0 and out[2] == 0
     assert out[3] == 1 and out[4] == 1
     assert out[5] == 0
+
+
+def test_iceberg_stat_pruned_buckets(spark, tmp_path):
+    """Lineage-stat pruning: a bucket whose nominal hash span overlaps the
+    query ranges but whose ACTUAL [cell_min, cell_max] misses them is
+    skipped; results stay identical to the unpruned read."""
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    df = synth_images_indexed(spark, 600, level=7, systems=("htm",))
+    t = IcebergLiteTable(str(tmp_path / "tab"), num_buckets=8)
+    t.write(df, group_size=4)
+    done = t.committed_buckets()
+    # craft ranges inside one bucket's nominal span but OUTSIDE its actual
+    # data: the gap just above a bucket's cell_max, within its hash span
+    pruned_any = False
+    for b, st in done.items():
+        if st["row_count"] == 0 or st["cell_min"] is None:
+            continue
+        probe = [[st["cell_max"] + 1, st["cell_max"] + 2]]
+        if t.bucket_of_cell(st["cell_max"] + 1) == b:
+            nominal = t.buckets_for_ranges(probe)
+            stat = t.stat_pruned_buckets(probe)
+            assert b in nominal
+            if b not in stat:
+                pruned_any = True
+                # correctness: the pruned read returns the same rows
+                a = t.read(spark, ranges=probe).count()
+                full = t.read(spark).filter(
+                    (F.col("spt_ind") >= probe[0][0])
+                    & (F.col("spt_ind") <= probe[0][1])).count()
+                assert a == full
+    assert pruned_any, "no bucket offered a stat-prunable gap"

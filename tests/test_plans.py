@@ -185,3 +185,56 @@ def test_minhash_verify_stage_never_shuffles_text(spark):
     # pair joins are equi-joins that AQE broadcast-converts at runtime)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_ops_shuffle_discipline(spark):
+    """New pipeline operators keep their promised plan shapes:
+    - seq_pack / source_cap / sessionize: exactly ONE Exchange (the
+      window/rank shuffle on the shard/source/user key);
+    - stratified_sample: NO Exchange at all (pure filter);
+    - region_join mode=S2: broadcast hash join, no nested loop."""
+    from spatialindex_spark.operators.asof import sessionize
+    from spatialindex_spark.operators.packing import pack_sequences
+    from spatialindex_spark.operators.sampling import (cap_per_source,
+                                                       stratified_sample)
+
+    docs = (spark.range(0, 2000)
+            .select(F.col("id").alias("doc_id"),
+                    (F.col("id") % 7).cast("string").alias("source"),
+                    (F.col("id") % 300 + 1).alias("ws_tokens")))
+
+    p = _plan(pack_sequences(docs, tokens_col="ws_tokens", ctx_len=256,
+                             shard_col="source"))
+    assert p.count("Exchange") == 1, p[:1500]
+
+    p = _plan(cap_per_source(docs, n=5))
+    assert p.count("Exchange") == 1, p[:1500]
+
+    p = _plan(stratified_sample(docs, {"0": 0.5}, default_fraction=0.2))
+    assert p.count("Exchange") == 0, p[:1500]
+
+    ev = (spark.range(0, 2000)
+          .select(F.col("id").alias("event_id"),
+                  (F.col("id") % 50).alias("user_id"),
+                  F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts")))
+    p = _plan(sessionize(ev))
+    assert p.count("Exchange") == 1, p[:1500]
+
+
+def test_region_join_s2_plan(spark):
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.functions.udfs import s2_udf, with_spatial_columns
+    from spatialindex_spark.operators.joins import region_join
+
+    base = (spark.range(0, 1000)
+            .withColumn("ra", (F.col("id") * F.lit(0.618034)) % 360)
+            .withColumn("dec", F.degrees(F.asin(
+                2 * ((F.col("id") * F.lit(0.381966)) % 1) - 1))))
+    pts = with_spatial_columns(base, level=7, systems=("htm",)) \
+        .withColumn("spt_ind", s2_udf(7, curve="hilbert")("x", "y", "z"))
+    regions = [{"region_id": 1, "kind": "cone", "ra": 10.0, "dec": 10.0,
+                "radius": 5.0}]
+    plan = _plan(region_join(pts, regions, level=7, mode=SpatialIndex.S2))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
