@@ -118,3 +118,47 @@ def stream_phash_dedup(stream: DataFrame, phash_col: str = "phash",
     return (stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
             .withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark([phash_col]))
+
+
+def stream_sessionize(stream: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", event_col: str = "event_id",
+                      gap_minutes: float = 30.0) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState): per-user
+    state is (last event epoch-seconds, current session index) — a session
+    continues ACROSS micro-batches, which no per-batch window can do.
+    Events inside each batch are ordered by (ts, event_id) — the same
+    deterministic tiebreak as the batch sessionize — and the gap rule is
+    identical, so an IN-ORDER stream replay of a day of events yields the
+    batch operator's session indices. Like any gap sessionizer without
+    watermark reordering, cross-batch arrival order is trusted: events
+    arriving out of event-time order across micro-batches join the session
+    active at arrival. State is two numbers per active user."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60.0
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values([ts_col, event_col], kind="stable")
+        last_ts, seq = state.get if state.exists else (float("-inf"), -1)
+        out_seq = []
+        for ts in pdf[ts_col]:
+            sec = ts.timestamp()
+            if sec - last_ts > gap_s:
+                seq += 1
+            last_ts = sec
+            out_seq.append(seq)
+        state.update((last_ts, seq))
+        yield pd.DataFrame({
+            user_col: [key[0]] * len(pdf),
+            event_col: pdf[event_col].to_numpy(),
+            "session_seq": out_seq,
+        })
+
+    return (stream.groupBy(user_col)
+            .applyInPandasWithState(
+                update,
+                f"{user_col} long, {event_col} long, session_seq long",
+                "last_ts double, seq long", "update",
+                GroupStateTimeout.NoTimeout))

@@ -264,3 +264,47 @@ def test_streaming_exact_dedup(spark, tmp_path):
         assert got["n"] == 120 and got["d"] == 120
     finally:
         q.stop()
+
+
+def test_stream_sessionize_across_batches(spark, tmp_path):
+    """Stateful streaming sessionization: sessions must CONTINUE across
+    micro-batches (file 2's events within the gap of file 1's last event
+    stay in the same session; beyond the gap they start a new one), and
+    the final indices must equal the batch sessionize on the union."""
+    import datetime
+
+    from spatialindex_spark.operators.asof import sessionize
+    from spatialindex_spark.streaming.ingest import stream_sessionize
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    batch1 = [(1, 1, t0), (2, 1, t0 + datetime.timedelta(minutes=10)),
+              (3, 2, t0)]
+    batch2 = [(4, 1, t0 + datetime.timedelta(minutes=20)),   # continues
+              (5, 2, t0 + datetime.timedelta(minutes=90)),   # new session
+              (6, 1, t0 + datetime.timedelta(minutes=120))]  # new session
+    src = str(tmp_path / "ev_in")
+    schema = "event_id long, user_id long, ts timestamp"
+    # ONE file per intended micro-batch: the file source feeds files in
+    # arbitrary order, and a gap-sessionizer (like any without watermark
+    # reordering) assumes stream order ~ event-time order
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_sessionize(stream, gap_minutes=30.0)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_sess").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        got = {r.event_id: r.session_seq
+               for r in spark.sql("SELECT * FROM t_sess").collect()}
+    finally:
+        q.stop()
+    want = {r.event_id: r.session_seq
+            for r in sessionize(
+                spark.createDataFrame(batch1 + batch2, schema)).collect()}
+    assert got == want
+    assert want[4] == 0 and want[5] == 1 and want[6] == 1
