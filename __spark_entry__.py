@@ -950,9 +950,10 @@ def _minhash_oracle_sql(transitive: bool = False) -> str:
     """ANSI-SQL replica of minhash_lsh_dedup(threshold=0.9, defaults):
     DISTINCT 5-byte rolling shingle hashes (HUGEINT mod 2^64), the same 64
     multiply-shift permutations (constants from the engine's seeded RNG),
-    min per permutation >> 1, 4 bands of 16 (signature-slice keys — the
-    engine keys bands on the slice itself so an external oracle can
-    reproduce the grouping), exact-jaccard verify >= 0.9, drop id_b."""
+    min per permutation >> 1, 4 bands of 16, band key = Horner fold of
+    the slice mod 2^64 (acc*257 + s — the engine computes it with wrapping
+    Java-long arithmetic in F.aggregate; HUGEINT reproduces it exactly),
+    exact-jaccard verify >= 0.9, drop id_b."""
     import numpy as np
 
     from spatialindex_spark.operators.dedup import _minhash_params
@@ -980,7 +981,7 @@ sig AS (
 ), sigs AS (
   SELECT doc_id, list(s ORDER BY j) AS sg FROM sigm GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, bnd, sg[bnd*16 + 1 : bnd*16 + 16] AS key
+  SELECT doc_id, bnd, (sg[bnd*16 + 1]::HUGEINT * 3934105753453399809::HUGEINT + sg[bnd*16 + 2]::HUGEINT * 8341464662660550145::HUGEINT + sg[bnd*16 + 3]::HUGEINT * 13454796134032477441::HUGEINT + sg[bnd*16 + 4]::HUGEINT * 1990338078304242689::HUGEINT + sg[bnd*16 + 5]::HUGEINT * 5462812792530078465::HUGEINT + sg[bnd*16 + 6]::HUGEINT * 8706299010550139393::HUGEINT + sg[bnd*16 + 7]::HUGEINT * 2617856364451727617::HUGEINT + sg[bnd*16 + 8]::HUGEINT * 584403925891549185::HUGEINT + sg[bnd*16 + 9]::HUGEINT * 74051159531521793::HUGEINT + sg[bnd*16 + 10]::HUGEINT * 288136807515649::HUGEINT + sg[bnd*16 + 11]::HUGEINT * 1121154893057::HUGEINT + sg[bnd*16 + 12]::HUGEINT * 4362470401::HUGEINT + sg[bnd*16 + 13]::HUGEINT * 16974593::HUGEINT + sg[bnd*16 + 14]::HUGEINT * 66049::HUGEINT + sg[bnd*16 + 15]::HUGEINT * 257::HUGEINT + sg[bnd*16 + 16]::HUGEINT * 1::HUGEINT) % {M} AS key
   FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

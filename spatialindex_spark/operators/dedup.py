@@ -255,24 +255,51 @@ def _minhash_frame(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col), minhash_udf(num_perm, k)(F.col(text_col)).alias("_sig"))
 
 
+def band_fold_udf(num_perm: int, bands: int):
+    """Per-band Horner fold of the signature (acc*257 + s in wrapping
+    uint64 == mod 2^64): one int64 band key instead of a 16-long slice.
+    Vectorized over the Arrow batch; int64 bit-pattern view on return."""
+    rows_per_band = num_perm // bands
+
+    @pandas_udf("array<long>")
+    def _udf(sig: pd.Series) -> pd.Series:
+        mat = np.stack(sig.values).astype(np.uint64) \
+            .reshape(len(sig), bands, rows_per_band)
+        acc = np.zeros((len(sig), bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                acc = acc * np.uint64(257) + mat[:, :, r]
+        return pd.Series(acc.view(np.int64).tolist())
+
+    return _udf
+
+
 def _band_pairs(sigs: DataFrame, id_col: str, num_perm: int,
                 bands: int, distinct: bool = True) -> DataFrame:
     """Candidate pairs (id_a < id_b) from banded signature slices.
 
-    Band key = the signature slice itself (array<long>), NOT a hash of
-    it: exact equivalence classes (no collision merges), and an external
-    oracle can reproduce the grouping (a hash like xxhash64 couldn't be
-    recomputed in ANSI SQL). Key width is rows_per_band longs — wider
-    than a hash on the shuffle wire, but band rows are rows x bands of
-    (id, key), negligible next to the corpus."""
+    Band key = Horner fold of the slice, acc*257 + x in wrapping uint64
+    (band_fold_udf; Spark 4 ANSI long arithmetic throws on overflow, so
+    the wrap lives in numpy) — mod-2^64, so an external oracle reproduces
+    the exact grouping with HUGEINT math (an xxhash64 couldn't be
+    recomputed in ANSI SQL). One long per key instead of a rows_per_band
+    array: grouping on array<long> keys measured 3x slower at 500k docs
+    (the shuffle hashes/compares 16 longs per row). A fold collision can
+    only MERGE buckets — extra candidates pruned by the exact verify —
+    never split one (equal slices always fold equal), so recall is
+    unchanged."""
     rows_per_band = num_perm // bands
     sigs = sigs.filter(F.col("_sig").isNotNull())
-    stacked = sigs.select(
+    # materialize the fold ONCE before fanning out per band: referencing
+    # the UDF expression inside each element_at would make Catalyst run
+    # the Arrow pass once PER BAND (the per-column-UDF inlining trap)
+    folded = sigs.select(
+        id_col, band_fold_udf(num_perm, bands)(F.col("_sig")).alias("_bf"))
+    stacked = folded.select(
         id_col,
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.slice("_sig", b * rows_per_band + 1, rows_per_band)
-                     .alias("bh"))
+                     F.element_at("_bf", b + 1).alias("bh"))
             for b in range(bands)
         ])).alias("_k"),
     ).select(id_col, "_k.band", "_k.bh")
