@@ -293,6 +293,25 @@ def _q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("n_rows")))
 
 
+def _q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over the tile assignment (the aggregate consumer of
+    the J5 raster<->vector join): per-tile count, mean/min/max of a row
+    metric, distinct contributing cells — one broadcast region join + one
+    partial-aggregated groupBy, the canonical two-stage raster rollup."""
+    from spatialindex_spark.operators.joins import region_join
+
+    df = _orders_sky(spark, sf_dir).withColumn("spt_ind", F.col("htm7"))
+    regions = [{"region_id": t["tile_id"], "kind": "poly",
+                "ra": t["ra"], "dec": t["dec"]} for t in TILES]
+    out = region_join(df, regions, level=7)
+    return (out.groupBy(F.col("region_id").alias("tile_id"))
+               .agg(F.count(F.lit(1)).alias("n_rows"),
+                    F.round(F.avg("o_totalprice"), 6).alias("mean_price"),
+                    F.min("o_orderkey").alias("min_key"),
+                    F.max("o_orderkey").alias("max_key"))
+               .orderBy("tile_id"))
+
+
 def _q_cell_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5 counts rollup: total rows + distinct cells at L7 (oracle checks the
     aggregate invariants; cell math itself is fixture-tested)."""
@@ -860,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _q_knn,
         "knn_starved": _q_knn_starved,
         "tile_assign": _q_tile_assign,
+        "zonal_stats": _q_zonal_stats,
         "cell_counts": _q_cell_counts,
         "exact_dedup": _q_exact_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -1204,6 +1224,18 @@ def oracle_sql() -> dict[str, str]:
         f"SELECT {tid} AS tile_id, count(*) AS n_rows FROM sky WHERE {w}"
         for tid, w in tiles_where.items()
     )
+    zonal_union = " UNION ALL ".join(
+        f"SELECT {tid} AS tile_id, count(*) AS n_rows, "
+        f"round(avg(o_totalprice), 6) AS mean_price, "
+        f"min(o_orderkey) AS min_key, max(o_orderkey) AS max_key "
+        f"FROM skyp WHERE {w}"
+        for tid, w in tiles_where.items()
+    )
+    skyp_cte = _SKY_CTE.replace(
+        "WITH sky AS (SELECT o_orderkey, ra, dec,",
+        "WITH skyp AS (SELECT o_orderkey, o_totalprice, ra, dec,") \
+        .replace("SELECT o_orderkey, o_custkey,",
+                 "SELECT o_orderkey, o_custkey, o_totalprice,", 1)
 
     return {
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
@@ -1253,6 +1285,7 @@ def oracle_sql() -> dict[str, str]:
             ") WHERE knn_rank <= 10"
         ),
         "tile_assign": f"{_SKY_CTE} SELECT * FROM ({tile_union}) ORDER BY tile_id",
+        "zonal_stats": f"{skyp_cte} SELECT * FROM ({zonal_union}) ORDER BY tile_id",
         "cell_counts": "SELECT count(*) AS total_rows FROM orders",
         "exact_dedup": (
             "SELECT doc_id FROM ("
