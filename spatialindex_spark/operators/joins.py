@@ -164,16 +164,29 @@ def _s2_region_ranges_df(spark, regions, level, anchor_shift,
     return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
 
 
+#: above this many covering/geometry rows the region side stops being
+#: broadcast (a million-footprint survey would ship GBs to every executor)
+#: and the anchor/region_id equi-joins fall back to shuffle joins
+REGION_BROADCAST_LIMIT = 2_000_000
+
+
 def region_join(points: DataFrame, regions: list[dict], level: int = 7,
                 mode: int = SpatialIndex.HTM, cell_col: str = "spt_ind",
                 xcol: str = "x", ycol: str = "y", zcol: str = "z",
-                preplanned=None) -> DataFrame:
+                preplanned=None, strategy: str = "auto") -> DataFrame:
     """Assign every point to every region containing it.
 
-    Plan: broadcast range-join on the cell covering (coarse superset) then
-    exact per-region geometry. Output = points columns + region_id.
+    Plan: range-join on the cell covering (coarse superset) then exact
+    per-region geometry. Output = points columns + region_id.
     ``preplanned`` accepts a cached (ranges_df, geoms, anchor_shift) tuple
     from region_ranges_df so repeated joins skip driver-side covering work.
+
+    ``strategy``: "broadcast" ships the covering + geometry to every
+    executor (both joins stay BroadcastHashJoin — right for up to ~10^6
+    regions); "shuffle" leaves both as plain equi-joins (sort-merge /
+    shuffled-hash under AQE — right when the region SET itself is big
+    data); "auto" picks by the covering row count vs
+    REGION_BROADCAST_LIMIT. Results are identical either way (tested).
     """
     spark = points.sparkSession
     if preplanned is not None:
@@ -183,6 +196,12 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
         ranges, geoms, anchor_shift = preplanned
     else:
         ranges, geoms, anchor_shift = region_ranges_df(spark, regions, level, mode)
+    if strategy == "auto":
+        strategy = "broadcast" if len(geoms) <= REGION_BROADCAST_LIMIT \
+            else "shuffle"
+    if strategy not in ("broadcast", "shuffle"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    bcast = F.broadcast if strategy == "broadcast" else (lambda d: d)
 
     # coalesce makes the cell key non-null so Catalyst's inferred
     # isnotnull(join key) filter constant-folds — without it the filter is
@@ -199,7 +218,7 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
     cand = (
         points.withColumn("_cell", cell)
         .withColumn("_anchor", F.shiftright(F.col("_cell"), anchor_shift))
-        .join(F.broadcast(ranges), F.col("_anchor") == F.col("anchor"), "inner")
+        .join(bcast(ranges), F.col("_anchor") == F.col("anchor"), "inner")
         .filter((F.col("_cell") >= F.col("cell_lo"))
                 & (F.col("_cell") <= F.col("cell_hi")))
         .drop("cell_lo", "cell_hi", "anchor", "_anchor", "_cell")
@@ -240,7 +259,7 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
         & (q[0] * x * x + q[1] * y * y + q[2] * z * z
            + 2 * q[3] * x * y + 2 * q[4] * x * z + 2 * q[5] * y * z <= 0))
     return (
-        cand.join(F.broadcast(gdf), "region_id")
+        cand.join(bcast(gdf), "region_id")
         .filter(planes_ok & quad_ok)
         .drop("planes", "quad")
     )

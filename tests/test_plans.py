@@ -238,3 +238,35 @@ def test_region_join_s2_plan(spark):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_region_join_shuffle_strategy(spark):
+    """strategy="shuffle" (the million-region regime) must produce the
+    identical result with NO broadcast of the region side — sort-merge /
+    shuffled-hash equi-joins, never a nested loop."""
+    from spatialindex_spark.functions.udfs import with_spatial_columns
+    from spatialindex_spark.operators.joins import region_join
+
+    base = (spark.range(0, 2000)
+            .withColumn("ra", (F.col("id") * F.lit(0.618034)) % 360)
+            .withColumn("dec", F.degrees(F.asin(
+                2 * ((F.col("id") * F.lit(0.381966)) % 1) - 1))))
+    pts = with_spatial_columns(base, level=7, systems=("htm",))
+    regions = [{"region_id": i, "kind": "cone",
+                "ra": 10.0 + 40.0 * i, "dec": -30.0 + 20.0 * i,
+                "radius": 8.0} for i in range(4)]
+    out_b = region_join(pts, regions, level=7, strategy="broadcast")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out_s = region_join(pts, regions, level=7, strategy="shuffle")
+        plan = _plan(out_s)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+    # with auto-broadcast off and no hint, both joins must go shuffle-side
+    assert "BroadcastHashJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    a = {(r.region_id, r.id) for r in out_b.select("region_id", "id").collect()}
+    b = {(r.region_id, r.id) for r in out_s.select("region_id", "id").collect()}
+    assert a == b and a
