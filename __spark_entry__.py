@@ -423,9 +423,9 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source cap (dedup-priority rate limit): keep at most 40 docs
-    per source by (n_chars desc? no — deterministic id order). Window
-    rank, value-oracled against the identical SQL window."""
+    """Per-source cap (dedup-priority rate limit): keep at most 15 docs
+    per source in deterministic id order. Window rank, value-oracled
+    against the identical SQL window."""
     from spatialindex_spark.operators.sampling import cap_per_source
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -1001,7 +1001,7 @@ sig AS (
 ), sigs AS (
   SELECT doc_id, list(s ORDER BY j) AS sg FROM sigm GROUP BY doc_id
 ), bands AS (
-  SELECT doc_id, bnd, (sg[bnd*16 + 1]::HUGEINT * 3934105753453399809::HUGEINT + sg[bnd*16 + 2]::HUGEINT * 8341464662660550145::HUGEINT + sg[bnd*16 + 3]::HUGEINT * 13454796134032477441::HUGEINT + sg[bnd*16 + 4]::HUGEINT * 1990338078304242689::HUGEINT + sg[bnd*16 + 5]::HUGEINT * 5462812792530078465::HUGEINT + sg[bnd*16 + 6]::HUGEINT * 8706299010550139393::HUGEINT + sg[bnd*16 + 7]::HUGEINT * 2617856364451727617::HUGEINT + sg[bnd*16 + 8]::HUGEINT * 584403925891549185::HUGEINT + sg[bnd*16 + 9]::HUGEINT * 74051159531521793::HUGEINT + sg[bnd*16 + 10]::HUGEINT * 288136807515649::HUGEINT + sg[bnd*16 + 11]::HUGEINT * 1121154893057::HUGEINT + sg[bnd*16 + 12]::HUGEINT * 4362470401::HUGEINT + sg[bnd*16 + 13]::HUGEINT * 16974593::HUGEINT + sg[bnd*16 + 14]::HUGEINT * 66049::HUGEINT + sg[bnd*16 + 15]::HUGEINT * 257::HUGEINT + sg[bnd*16 + 16]::HUGEINT * 1::HUGEINT) % {M} AS key
+  SELECT doc_id, bnd, ((sg[bnd*16 + 1]::HUGEINT * 3934105753453399809::HUGEINT) % {M} + (sg[bnd*16 + 2]::HUGEINT * 8341464662660550145::HUGEINT) % {M} + (sg[bnd*16 + 3]::HUGEINT * 13454796134032477441::HUGEINT) % {M} + (sg[bnd*16 + 4]::HUGEINT * 1990338078304242689::HUGEINT) % {M} + (sg[bnd*16 + 5]::HUGEINT * 5462812792530078465::HUGEINT) % {M} + (sg[bnd*16 + 6]::HUGEINT * 8706299010550139393::HUGEINT) % {M} + (sg[bnd*16 + 7]::HUGEINT * 2617856364451727617::HUGEINT) % {M} + (sg[bnd*16 + 8]::HUGEINT * 584403925891549185::HUGEINT) % {M} + (sg[bnd*16 + 9]::HUGEINT * 74051159531521793::HUGEINT) % {M} + (sg[bnd*16 + 10]::HUGEINT * 288136807515649::HUGEINT) % {M} + (sg[bnd*16 + 11]::HUGEINT * 1121154893057::HUGEINT) % {M} + (sg[bnd*16 + 12]::HUGEINT * 4362470401::HUGEINT) % {M} + (sg[bnd*16 + 13]::HUGEINT * 16974593::HUGEINT) % {M} + (sg[bnd*16 + 14]::HUGEINT * 66049::HUGEINT) % {M} + (sg[bnd*16 + 15]::HUGEINT * 257::HUGEINT) % {M} + (sg[bnd*16 + 16]::HUGEINT * 1::HUGEINT) % {M}) % {M} AS key
   FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS bnd)
 ), cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

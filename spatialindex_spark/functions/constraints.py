@@ -157,6 +157,15 @@ class SpatialIndex:
 
     def _resolve(self, mode: int, level: int, colname, encoding):
         """Default resolution (spatial_index.pyx:89-104, 161-174)."""
+        if mode not in (HTM, HPX):
+            # S2 queries run through s2_cap_ranges / region_join(mode=S2);
+            # the reference-parity constraint-string API is HTM/HPX only.
+            # Without this guard mode=S2 silently fell into the HPX branch
+            # and matched HPX decimal ids against Hilbert cell columns.
+            raise ValueError(
+                "cone_search/polygon_search support mode=HTM or HPX only; "
+                "use region_join(mode=SpatialIndex.S2) or "
+                "h3s2.s2_cap_ranges/s2_polygon_ranges for S2 cell columns")
         if colname is None and encoding is None:
             encoding = BASE4
             colname = "spt_ind"

@@ -675,6 +675,9 @@ def _s2_region_ranges(classify, level: int, split: bool):
     i0 = np.zeros(6, dtype=np.int64)
     j0 = np.zeros(6, dtype=np.int64)
     full_cells = []   # (face, i0, j0, lvl)
+    # frontier can empty BEFORE the target level (e.g. a full-sphere cap
+    # classifies every cell full at level 0) — boundary must pre-exist
+    boundary = (np.empty(0, np.int64),) * 3 + (level,)
     for lvl in range(level + 1):
         if len(face) == 0:
             break
@@ -695,8 +698,6 @@ def _s2_region_ranges(classify, level: int, split: bool):
                                                  dtype=np.int64), m) * half
         j0 = np.repeat(j0, 4) + np.tile(np.array([0, 0, 1, 1],
                                                  dtype=np.int64), m) * half
-    else:
-        boundary = (np.empty(0, np.int64),) * 3 + (level,)
 
     lsb_t = np.uint64(1) << np.uint64(2 * (S2_LEAF - level))
 

@@ -89,8 +89,12 @@ def h3_udf(res: int, grid: str = "hex"):
     "hpx" keeps the original HEALPix aperture-4 analogue."""
     if grid == "hex":
         from .h3s2 import h3_hex_id as _enc
-    else:
+    elif grid == "hpx":
         _enc = _h3_id
+    else:
+        # the two grids have incompatible bit layouts; a typo silently
+        # emitting the wrong family would break joins with no error
+        raise ValueError(f"grid must be 'hex' or 'hpx', got {grid!r}")
 
     @pandas_udf("long")
     def _udf(ra: pd.Series, dec: pd.Series) -> pd.Series:

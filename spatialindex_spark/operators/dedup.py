@@ -288,6 +288,8 @@ def _band_pairs(sigs: DataFrame, id_col: str, num_perm: int,
     only MERGE buckets — extra candidates pruned by the exact verify —
     never split one (equal slices always fold equal), so recall is
     unchanged."""
+    if num_perm % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_perm={num_perm}")
     rows_per_band = num_perm // bands
     sigs = sigs.filter(F.col("_sig").isNotNull())
     # materialize the fold ONCE before fanning out per band: referencing

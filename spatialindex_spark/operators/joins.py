@@ -164,8 +164,8 @@ def _s2_region_ranges_df(spark, regions, level, anchor_shift,
     return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
 
 
-#: above this many covering/geometry rows the region side stops being
-#: broadcast (a million-footprint survey would ship GBs to every executor)
+#: above this many REGIONS the region side stops being broadcast (a
+#: million-footprint survey would ship GBs of geometry to every executor)
 #: and the anchor/region_id equi-joins fall back to shuffle joins
 REGION_BROADCAST_LIMIT = 2_000_000
 
@@ -185,8 +185,10 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
     executor (both joins stay BroadcastHashJoin — right for up to ~10^6
     regions); "shuffle" leaves both as plain equi-joins (sort-merge /
     shuffled-hash under AQE — right when the region SET itself is big
-    data); "auto" picks by the covering row count vs
-    REGION_BROADCAST_LIMIT. Results are identical either way (tested).
+    data); "auto" picks by the REGION COUNT vs REGION_BROADCAST_LIMIT
+    (the covering rows are separately bounded by max_anchor_rows, so the
+    region count is what actually scales the broadcast payload). Results
+    are identical either way (tested).
     """
     spark = points.sparkSession
     if preplanned is not None:

@@ -18,14 +18,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-#: same reproducible modular hash family as similarity.centroid_hash_col
-_P, _A, _Q = 1_000_003, 2_654_435_761, 999_999_937
-
-
-def det_hash_col(id_col: str):
-    """Deterministic int64 hash in [0, _Q): ((id % P) * A) % Q — stays
-    within int64 ((P-1)*A < 2^63) and replays bit-identically in SQL."""
-    return ((F.col(id_col).cast("long") % F.lit(_P)) * F.lit(_A)) % F.lit(_Q)
+from .similarity import centroid_hash_col as det_hash_col  # shared modular
+# hash family — ONE definition so the SQL oracles that replay its exact
+# integer arithmetic can never diverge between operator families
 
 
 def cap_per_source(df: DataFrame, n: int, source_col: str = "source",
