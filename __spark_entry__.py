@@ -244,6 +244,24 @@ def _q_crossmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm.select("c_custkey_l", "s_suppkey_r")
 
 
+def _q_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-counterpart crossmatch (catalog best-match): closest
+    supplier within 1.5 deg per customer, ties on supplier id. Value-
+    oracled against the identical SQL window over the all-pairs join."""
+    from spatialindex_spark.operators.joins import best_match
+
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    supp = _supplier_sky(spark, sf_dir).select("s_suppkey", "ra", "dec")
+    bm = best_match(cust, supp, 1.5, left_id="c_custkey",
+                    right_id="s_suppkey")
+    # emit the cos-scale separation: acos near 1 amplifies a 1e-16 dot
+    # difference into ~1e-6 deg (engines' fp rounding differs there), so
+    # sep_deg cannot hash-match; the dot itself is rounding-stable
+    return bm.select("c_custkey_l", "s_suppkey_r",
+                     F.round(F.cos(F.radians("sep_deg")), 9)
+                     .alias("match_dot"))
+
+
 def _q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.operators.knn import knn
 
@@ -876,6 +894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_count_fast": _q_region_count_fast,
         "region_join": _q_region_join,
         "crossmatch": _q_crossmatch,
+        "best_match": _q_best_match,
         "knn": _q_knn,
         "knn_starved": _q_knn_starved,
         "tile_assign": _q_tile_assign,
@@ -1259,6 +1278,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM csky c, ssky s WHERE "
             "cos(radians(c.dec))*cos(radians(s.dec))*cos(radians(c.ra)-radians(s.ra)) "
             "+ sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
+        ),
+        "best_match": (
+            f"{_CUST_CTE} "
+            "SELECT c_custkey_l, s_suppkey_r, round(cos(radians(sep)), 9) AS match_dot FROM ("
+            "  SELECT c.c_custkey AS c_custkey_l, s.s_suppkey AS s_suppkey_r, "
+            "    degrees(acos(least(greatest("
+            "      cos(radians(c.dec))*cos(radians(s.dec))*cos(radians(c.ra)-radians(s.ra))"
+            "      + sin(radians(c.dec))*sin(radians(s.dec)), -1.0), 1.0))) AS sep, "
+            "    row_number() OVER (PARTITION BY c.c_custkey ORDER BY "
+            "      degrees(acos(least(greatest("
+            "        cos(radians(c.dec))*cos(radians(s.dec))*cos(radians(c.ra)-radians(s.ra))"
+            "        + sin(radians(c.dec))*sin(radians(s.dec)), -1.0), 1.0))) ASC, "
+            "      s.s_suppkey ASC) AS rk "
+            "  FROM csky c, ssky s WHERE "
+            "  cos(radians(c.dec))*cos(radians(s.dec))*cos(radians(c.ra)-radians(s.ra)) "
+            "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
+            ") WHERE rk = 1"
         ),
         "knn": (
             f"{_CUST_CTE}, q(query_id, qra, qdec) AS (VALUES {knn_q_values}) "

@@ -22,7 +22,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.constraints import SpatialIndex
 from ..functions.geometry import RAD_PER_DEG
@@ -427,6 +427,35 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
     # left side's ring cells are deduped per row, so each (l, r) pair can
     # match on at most one key — the join output is already duplicate-free
     return pairs.filter(dot >= F.lit(cosr))
+
+
+def best_match(left: DataFrame, right: DataFrame, radius_deg: float,
+               left_id: str, right_id: str, **kwargs) -> DataFrame:
+    """Nearest-counterpart crossmatch: for each left row, keep only its
+    closest right row within ``radius_deg`` (ties break on the right id —
+    deterministic and oracle-replayable). The standard catalog best-match
+    semantics: crossmatch candidates + one window rank per left id, so the
+    extra cost over crossmatch is a single bounded shuffle on the left id.
+    Adds ``sep_deg``."""
+    suffixes = kwargs.get("suffixes", ("_l", "_r"))
+    lr, ld = kwargs.get("left_cols", ("ra", "dec"))
+    rr, rd = kwargs.get("right_cols", ("ra", "dec"))
+    pairs = crossmatch(left, right, radius_deg, **kwargs)
+    rad = F.radians
+    lrc, ldc = lr + suffixes[0], ld + suffixes[0]
+    rrc, rdc = rr + suffixes[1], rd + suffixes[1]
+    dot = (
+        F.cos(rad(F.col(ldc))) * F.cos(rad(F.col(rdc)))
+        * F.cos(rad(F.col(lrc)) - rad(F.col(rrc)))
+        + F.sin(rad(F.col(ldc))) * F.sin(rad(F.col(rdc)))
+    )
+    sep = F.degrees(F.acos(F.least(F.greatest(dot, F.lit(-1.0)),
+                                   F.lit(1.0))))
+    w = Window.partitionBy(left_id + suffixes[0]).orderBy(
+        sep.asc(), F.col(right_id + suffixes[1]).asc())
+    return (pairs.withColumn("sep_deg", sep)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1).drop("_rk"))
 
 
 # ---------------------------------------------------------------------------

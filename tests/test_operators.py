@@ -1019,3 +1019,43 @@ def test_iceberg_stat_pruned_buckets(spark, tmp_path):
                     & (F.col("spt_ind") <= probe[0][1])).count()
                 assert a == full
     assert pruned_any, "no bucket offered a stat-prunable gap"
+
+
+def test_best_match_nearest_only(spark):
+    """best_match returns exactly one row per matched left row — the
+    true nearest counterpart (brute-force verified), ties by right id."""
+    rng = np.random.default_rng(21)
+    n = 300
+    ra = rng.uniform(0, 360, n)
+    dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    left = spark.createDataFrame(
+        [(int(i), float(r), float(d)) for i, (r, d) in
+         enumerate(zip(ra, dec))], "lid long, ra double, dec double")
+    ra2 = rng.uniform(0, 360, n)
+    dec2 = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    right = spark.createDataFrame(
+        [(int(i), float(r), float(d)) for i, (r, d) in
+         enumerate(zip(ra2, dec2))], "rid long, ra double, dec double")
+
+    from spatialindex_spark.operators.joins import best_match
+
+    got = best_match(left, right, 5.0, left_id="lid", right_id="rid") \
+        .select("lid_l", "rid_r").toPandas()
+    assert got.lid_l.is_unique
+
+    from spatialindex_spark.functions.geometry import radec_to_xyz
+
+    import math
+    x1, y1, z1 = radec_to_xyz(ra, dec)
+    x2, y2, z2 = radec_to_xyz(ra2, dec2)
+    dots = np.outer(x1, x2) + np.outer(y1, y2) + np.outer(z1, z2)
+    cosr = math.cos(np.radians(5.0))
+    want = {}
+    for i in range(n):
+        js = np.where(dots[i] >= cosr)[0]
+        if len(js):
+            # nearest = max dot; ties -> smallest rid
+            best = js[np.lexsort((js, -dots[i][js]))][0]
+            want[i] = int(best)
+    got_map = dict(zip(got.lid_l, got.rid_r))
+    assert got_map == want
