@@ -1059,3 +1059,29 @@ def test_best_match_nearest_only(spark):
             want[i] = int(best)
     got_map = dict(zip(got.lid_l, got.rid_r))
     assert got_map == want
+
+
+def test_empty_input_edges(spark):
+    """Degenerate inputs must return empty results, not crash: an empty
+    region list, empty document tables through every dedup variant, and
+    an empty crossmatch side."""
+    from spatialindex_spark.functions.udfs import with_spatial_columns
+    from spatialindex_spark.operators.dedup import (exact_dedup,
+                                                    minhash_lsh_dedup,
+                                                    simhash_dedup)
+    from spatialindex_spark.operators.joins import crossmatch, region_join
+
+    base = (spark.range(0, 50)
+            .withColumn("ra", (F.col("id") * 7.1) % 360)
+            .withColumn("dec", F.degrees(F.asin(
+                2 * ((F.col("id") * 0.37) % 1) - 1))))
+    pts = with_spatial_columns(base, level=7, systems=("htm",))
+    assert region_join(pts, [], level=7).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_dedup(empty_docs).count() == 0
+    assert exact_dedup(empty_docs).count() == 0
+    assert simhash_dedup(empty_docs).count() == 0
+
+    empty_pts = spark.createDataFrame([], "pid long, ra double, dec double")
+    assert crossmatch(empty_pts, empty_pts, 1.0).count() == 0
