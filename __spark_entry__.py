@@ -409,6 +409,27 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("hit", F.lit(0)).alias("hit")))
 
 
+def _q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over INT8-quantized embeddings (the 4x-compressed store path):
+    integer-dot ranking is EXACTLY replicated by the oracle (floor-based
+    codes + integer dot, no float compares), and each row carries a hit
+    flag vs the in-query float brute-force top-k — machine-checked
+    recall@k for the quantized path."""
+    from spatialindex_spark.operators.similarity import (brute_force_topk,
+                                                         int8_topk)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = (emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    approx = int8_topk(q, emb, k=_ANN_K)
+    exact = (brute_force_topk(q, emb, k=_ANN_K)
+             .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    return (approx.join(exact, ["query_id", "vec_id"], "left")
+            .select("query_id", "vec_id", "qdot", "rank",
+                    F.coalesce("hit", F.lit(0)).alias("hit")))
+
+
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from spatialindex_spark.operators.text import with_quality
 
@@ -906,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute": _q_ann_brute,
         "ann_lsh": _q_ann_lsh,
+        "ann_int8": _q_ann_int8,
         "text_quality": _q_text_quality,
         "token_count": _q_token_count,
         "seq_pack": _q_seq_pack,
@@ -1329,6 +1351,26 @@ def oracle_sql() -> dict[str, str]:
             "    PARTITION BY lower(regexp_replace(text, '\\s+', ' ', 'g')) "
             "    ORDER BY doc_id) AS rn FROM documents"
             ") WHERE rn = 1"
+        ),
+        "ann_int8": (
+            "WITH qz AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+            "  x -> greatest(least(floor(x*127), 127), -127)::BIGINT) AS z "
+            "FROM embeddings), "
+            "exact AS (SELECT query_id, vec_id FROM ("
+            "  SELECT q.vec_id AS query_id, d.vec_id, "
+            "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "      list_cosine_similarity(q.embedding::DOUBLE[], d.embedding::DOUBLE[]) DESC, "
+            "      d.vec_id ASC) AS rank "
+            "  FROM embeddings q, embeddings d WHERE q.vec_id < 3) WHERE rank <= 5) "
+            "SELECT a.query_id, a.vec_id, a.qdot, a.rank, "
+            "  CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END AS hit FROM ("
+            "  SELECT q.vec_id AS query_id, d.vec_id, "
+            "    list_dot_product(q.z, d.z)::BIGINT AS qdot, "
+            "    row_number() OVER (PARTITION BY q.vec_id ORDER BY "
+            "      list_dot_product(q.z, d.z) DESC, d.vec_id ASC) AS rank "
+            "  FROM qz q, qz d WHERE q.vec_id < 3"
+            ") a LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id "
+            "WHERE a.rank <= 5"
         ),
         "ann_brute": (
             "SELECT query_id, vec_id, rank FROM ("

@@ -1085,3 +1085,29 @@ def test_empty_input_edges(spark):
 
     empty_pts = spark.createDataFrame([], "pid long, ra double, dec double")
     assert crossmatch(empty_pts, empty_pts, 1.0).count() == 0
+
+
+def test_ann_int8_recall(spark):
+    """INT8-quantized ANN: integer-dot ranking must recover nearly all of
+    the float cosine top-k (quantization noise is ~1/127 per dim), and the
+    codes must be in [-127, 127]."""
+    rng = np.random.default_rng(33)
+    n, dim = 2000, 32
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 400 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    from spatialindex_spark.operators.similarity import (brute_force_topk,
+                                                         int8_topk)
+
+    k = 5
+    approx = {(r.query_id, r.vec_id)
+              for r in int8_topk(q, df, k=k).collect()}
+    exact = {(r.query_id, r.vec_id)
+             for r in brute_force_topk(q, df, k=k).collect()}
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.9, recall
