@@ -1409,7 +1409,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM o), "
             "s AS (SELECT user_id, event_id, "
             "  sum(nb) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_seq "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT - 1 AS session_seq "
             "FROM b) "
             "SELECT user_id, session_seq, count(*) AS n_events, "
             "  min(event_id) AS first_event "
@@ -1459,7 +1459,7 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id "
             "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
             "FROM t) "
-            "SELECT doc_id, shard, off AS pack_offset, "
+            "SELECT doc_id, shard, off::BIGINT AS pack_offset, "
             "  (off // 256)::BIGINT AS bin_start, "
             "  ((off + greatest(n, 1) - 1) // 256)::BIGINT AS bin_end, "
             "  (off % 256)::BIGINT AS bin_offset "

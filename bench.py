@@ -352,23 +352,69 @@ def main():
                 thrs.append(nrows / t)
             return statistics.median(thrs)
 
-        thr = {}
-        for cores in (2, 8, 32):
+        def isolated_median(job, n, cores, reps=3):
             s = get_session(cores)
-            thr[cores] = median_thr(s, geom_scan_job, n_scan, cores)
-            s.stop()
+            try:
+                return median_thr(s, job, n, cores, reps=reps)
+            finally:
+                s.stop()
+
+        # 2->8 N->4N pair with a CONTROL-DRIFT GUARD (r2 verdict fix: the
+        # r2 artifact recorded a pair taken during a documented host
+        # throttling episode — 0.794 — while clean runs read 0.84/0.815/
+        # 0.844; the artifact is what a driver greps, so the guard belongs
+        # HERE, not in prose). Protocol: the first 2-core reading is the
+        # session baseline; a pair is accepted only if a post-pair 2-core
+        # control re-reading stays within 10% of that baseline (i.e. the
+        # host was in the same performance state for the whole pair).
+        # Rejected pairs are re-run (<=3 attempts) and every run is
+        # recorded in `attempts` for auditability.
+        attempts = []
+        accepted = None
+        base2 = None
+        for attempt in range(3):
+            thr2 = isolated_median(geom_scan_job, n_scan, 2)
+            if base2 is None:
+                base2 = thr2
+            pre_drift = abs(thr2 / base2 - 1.0)
+            if pre_drift > 0.10:
+                attempts.append({"attempt": attempt, "thr_2": round(thr2, 1),
+                                 "control_drift": round(pre_drift, 3),
+                                 "status": "rejected_pre_drift"})
+                continue
+            thr8 = isolated_median(geom_scan_job, n_scan, 8)
+            ctrl2 = isolated_median(geom_scan_job, n_scan, 2, reps=1)
+            post_drift = abs(ctrl2 / base2 - 1.0)
+            rec = {"attempt": attempt, "thr_2": round(thr2, 1),
+                   "thr_8": round(thr8, 1), "control_2": round(ctrl2, 1),
+                   "control_drift": round(post_drift, 3),
+                   "efficiency": round((thr8 / thr2) / 4, 3)}
+            if post_drift <= 0.10:
+                rec["status"] = "accepted"
+                attempts.append(rec)
+                accepted = rec
+                break
+            rec["status"] = "rejected_post_drift"
+            attempts.append(rec)
+        if accepted is None:  # all attempts drifted: report last, flagged
+            accepted = dict(attempts[-1], status="accepted_with_drift")
+
+        thr32 = isolated_median(geom_scan_job, n_scan, 32)
         ing = {}
         for cores in (8, 32):
-            s = get_session(cores)
-            ing[cores] = median_thr(s, scaling_job, n_scan // 4, cores)
-            s.stop()
+            ing[cores] = isolated_median(scaling_job, n_scan // 4, cores)
         scaling = {
             "job": "exact-geometry region scan (64 cones/row, JVM codegen)",
             "rows": n_scan,
-            "measurement": "isolated session, warm pass + median-of-3",
-            "thr_rows_per_sec": {str(c): round(v, 1) for c, v in thr.items()},
-            "efficiency_2_to_8": round((thr[8] / thr[2]) / 4, 3),
-            "efficiency_8_to_32": round((thr[32] / thr[8]) / 4, 3),
+            "measurement": ("isolated session, warm pass + median-of-3, "
+                            "2-core control-drift guard (<=10%)"),
+            "thr_rows_per_sec": {"2": accepted["thr_2"],
+                                 "8": accepted["thr_8"],
+                                 "32": round(thr32, 1)},
+            "efficiency_2_to_8": accepted["efficiency"],
+            "efficiency_8_to_32": round((thr32 / accepted["thr_8"]) / 4, 3),
+            "pair_status": accepted["status"],
+            "attempts": attempts,
             "ingest_pipeline_thr": {str(c): round(v, 1) for c, v in ing.items()},
             "ingest_efficiency_8_to_32": round((ing[32] / ing[8]) / 4, 3),
         }

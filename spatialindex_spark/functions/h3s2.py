@@ -338,15 +338,24 @@ _DIGIT_AXIAL = np.array(
 
 
 def _hex_round(a, b):
-    """Cube rounding of fractional axial coords (120° basis)."""
-    c = -a - b
-    ra, rb, rc = np.round(a), np.round(b), np.round(c)
-    da, db, dc = np.abs(ra - a), np.abs(rb - b), np.abs(rc - c)
-    fix_a = (da > db) & (da > dc)
-    fix_b = ~fix_a & (db > dc)
-    ra = np.where(fix_a, -rb - rc, ra)
-    rb = np.where(fix_b, -ra - rc, rb)
-    return ra.astype(np.int64), rb.astype(np.int64)
+    """Cube rounding of fractional axial coords.
+
+    The grid basis is e_i = (1, 0), e_j = (-1/2, sqrt3/2) (see
+    ``_axial_to_2d`` / ``_DIGIT_AXIAL``: (1, 1) is a unit neighbor), so the
+    standard 60°-axial cube round applies under the substitution
+    q = a, r = -b — cube triple (a, b - a, -b), NOT (a, b, -a-b), which is
+    the completion for a 60° basis and mis-assigns ~33% of points to a
+    non-nearest hex (round-3 advice fix; containment property-tested)."""
+    x = a
+    z = -b
+    y = b - a                     # -x - z
+    rx, ry, rz = np.round(x), np.round(y), np.round(z)
+    dx, dy, dz = np.abs(rx - x), np.abs(ry - y), np.abs(rz - z)
+    fix_x = (dx > dy) & (dx > dz)
+    fix_z = ~fix_x & ~(dy > dz)   # else-branch fixes y, which we drop
+    rx = np.where(fix_x, -ry - rz, rx)
+    rz = np.where(fix_z, -rx - ry, rz)
+    return rx.astype(np.int64), (-rz).astype(np.int64)
 
 
 def _xyz_to_face_2d(x, y, z):
@@ -475,6 +484,29 @@ def _face_axial_to_id(face, i, j, res: int, strict: bool = True):
     if not strict:
         ids = np.where(off, np.int64(-1), ids)
     return ids
+
+
+def h3_hex_validate(ids) -> None:
+    """Layout sanity guard for a consumed hex-H3 id column.
+
+    The hex layout (mode=1 nibble at bits 59-62, base < 980) is
+    INCOMPATIBLE with the legacy HEALPix-analogue layout (``h3_id``,
+    res<<56 header): joining ids from the two families produces garbage
+    keys with no error. Call this on (a sample of) any externally-supplied
+    h3 column before using it as a join/covering key; raises ValueError
+    with a layout diagnosis instead of silently mismatching."""
+    ids = np.asarray(ids, dtype=np.int64)
+    if len(ids) == 0:
+        return
+    mode = (ids >> _H3_MODE_SHIFT) & 0xF
+    bad = (ids < 0) | (mode != 1) | (h3_hex_base(ids) >= 980)
+    if np.any(bad):
+        k = int(np.argmax(bad))
+        raise ValueError(
+            f"id {ids[k]:#x} is not a hex-H3 id (mode nibble "
+            f"{int(mode[k])}, expected 1) — was this column encoded with "
+            "the legacy grid='hpx' layout? Re-encode or pass grid='hpx' "
+            "consistently; the two bit layouts cannot be joined.")
 
 
 def h3_hex_res(ids) -> np.ndarray:

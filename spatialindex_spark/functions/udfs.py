@@ -86,7 +86,14 @@ def s2_udf(level: int, curve: str = "zorder"):
 def h3_udf(res: int, grid: str = "hex"):
     """H3 encode: grid="hex" gives the true aperture-7 hexagonal hierarchy
     (h3s2.h3_hex_id — real H3 algorithm, engine-defined face-local ids);
-    "hpx" keeps the original HEALPix aperture-4 analogue."""
+    "hpx" keeps the original HEALPix aperture-4 analogue.
+
+    .. note:: BREAKING default change in round 2: the default flipped from
+       the round-1 "hpx" layout (res<<56 header) to "hex" (mode=1 nibble,
+       bits 59-62). The two bit layouts are incompatible — a table
+       ingested under the old default must be re-encoded or read with
+       grid="hpx". Consumers can detect a mixed column with
+       ``h3s2.h3_hex_validate`` (the hex covering/join path calls it)."""
     if grid == "hex":
         from .h3s2 import h3_hex_id as _enc
     elif grid == "hpx":

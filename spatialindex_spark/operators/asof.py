@@ -68,18 +68,32 @@ def sessionize(df, user_col: str = "user_id", ts_col: str = "ts",
     ``tiebreak_col`` orders simultaneous events deterministically (NEVER
     monotonically_increasing_id — it varies with partitioning and would
     desync retries and the SQL oracle). Adds ``session_seq`` (0-based
-    per-user session index)."""
+    per-user session index).
+
+    Timezone: TIMESTAMP diffs are exact epoch arithmetic; TIMESTAMP_NTZ
+    diffs use calendar arithmetic (``timestamp_diff``), so results are
+    independent of ``spark.sql.session.timeZone`` — including across DST
+    transitions (round-3 advice fix)."""
     from pyspark.sql import Window, functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
     w = Window.partitionBy(user_col).orderBy(*order)
     prev = F.lag(F.col(ts_col)).over(w)
-    # NTZ timestamps cast to double only via timestamp; only the DIFFERENCE
-    # is used, so the session-timezone offset cancels
-    sec = F.col(ts_col).cast("timestamp").cast("double")
-    psec = prev.cast("timestamp").cast("double")
-    new_sess = (prev.isNull()
-                | ((sec - psec) > gap_minutes * 60.0)).cast("long")
+    # Gap measurement must be timezone-independent. For TIMESTAMP the
+    # double cast IS the epoch instant (exact). For TIMESTAMP_NTZ a cast
+    # through the session timezone shifts by a CHANGING offset across a
+    # DST transition, so diff NTZ values with calendar arithmetic
+    # (timestamp_diff) instead — no timezone enters at all.
+    if isinstance(df.schema[ts_col].dataType, TimestampNTZType):
+        gap_us = (F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+                  .cast("double"))
+        exceeded = gap_us > gap_minutes * 60.0 * 1e6
+    else:
+        sec = F.col(ts_col).cast("double")
+        psec = prev.cast("double")
+        exceeded = (sec - psec) > gap_minutes * 60.0
+    new_sess = (prev.isNull() | exceeded).cast("long")
     # running count of boundaries = session index (first boundary -> 1)
     w2 = (Window.partitionBy(user_col).orderBy(*order)
           .rowsBetween(Window.unboundedPreceding, 0))

@@ -11,17 +11,21 @@ independently (exactly how multi-file training shards work), so at 100 TB
 you shard by a bounded key (file id, date bucket) and every window
 partition holds only its shard's rows. A single global window (shard_col
 None) is kept for small data / tests but would serialize into one task at
-scale — the operator warns in the plan by requiring an explicit opt-in.
+scale — it requires the explicit ``allow_global_window=True`` opt-in and
+emits a RuntimeWarning when taken.
 """
 
 from __future__ import annotations
+
+import warnings
 
 from pyspark.sql import DataFrame, Window, functions as F
 
 
 def pack_sequences(df: DataFrame, tokens_col: str = "ws_tokens",
                    id_col: str = "doc_id", ctx_len: int = 2048,
-                   shard_col: str | None = None) -> DataFrame:
+                   shard_col: str | None = None,
+                   allow_global_window: bool = False) -> DataFrame:
     """Assign each document its chunk placement in the concat-and-chunk
     stream: ``pack_offset`` (token offset within the shard stream),
     ``bin_start``/``bin_end`` (first/last ctx-window this doc lands in),
@@ -29,6 +33,16 @@ def pack_sequences(df: DataFrame, tokens_col: str = "ws_tokens",
     ``id_col`` ascending within each shard."""
     if ctx_len <= 0:
         raise ValueError("ctx_len must be positive")
+    if shard_col is None:
+        if not allow_global_window:
+            raise ValueError(
+                "shard_col=None builds an UNPARTITIONED window that "
+                "serializes the whole stream into one task at scale; pass "
+                "a shard column, or allow_global_window=True for small "
+                "data / tests")
+        warnings.warn(
+            "pack_sequences: global (unpartitioned) window — one task; "
+            "do not use at scale", RuntimeWarning, stacklevel=2)
     part = [shard_col] if shard_col else []
     w = (Window.partitionBy(*part).orderBy(F.col(id_col).asc())
          .rowsBetween(Window.unboundedPreceding, -1))
