@@ -171,6 +171,46 @@ def _q_cone_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(pred).filter(geom).select("o_orderkey")
 
 
+def _q_cone_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cone search over the TRUE aperture-7 hex-H3 cell column (two-phase:
+    explicit cell-list covering — hex cells have no geometric subtree
+    nesting, so the covering is an equality InSet, never a range — then
+    the exact dot-product geometry). h3s2.h3_cone_cells is the
+    level-synchronous covering in the sptQueryLib.c:1311-1630 role,
+    realized as a vectorized per-face disk enumeration. Same oracle as
+    cone_htm: the cells are engine-side pruning only, so a covering hole
+    shows up as missing rows."""
+    from spatialindex_spark.functions.h3s2 import h3_cone_cells
+    from spatialindex_spark.functions.udfs import h3_udf
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "h3_3", h3_udf(3)("ra", "dec"))
+    cells = [int(c) for c in
+             h3_cone_cells(CONE["ra"], CONE["dec"], CONE["radius"], 3)]
+    cx, cy, cz, cosr = _cone_vec(CONE["ra"], CONE["dec"], CONE["radius"])
+    geom = (F.col("x") * cx + F.col("y") * cy + F.col("z") * cz) >= cosr
+    return df.filter(F.col("h3_3").isin(cells)).filter(geom) \
+             .select("o_orderkey")
+
+
+def _q_polygon_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex-polygon search over the hex-H3 cell column
+    (h3_polygon_cells covering + exact half-space geometry); same oracle
+    as polygon_htm."""
+    from spatialindex_spark.functions.h3s2 import h3_polygon_cells
+    from spatialindex_spark.functions.udfs import h3_udf
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "h3_3", h3_udf(3)("ra", "dec"))
+    cells = [int(c) for c in h3_polygon_cells(POLY_RA, POLY_DEC, 3)]
+    geom = F.lit(True)
+    for nx, ny, nz in _poly_planes(POLY_RA, POLY_DEC):
+        geom = geom & ((F.col("x") * nx + F.col("y") * ny
+                        + F.col("z") * nz) >= 0)
+    return df.filter(F.col("h3_3").isin(cells)).filter(geom) \
+             .select("o_orderkey")
+
+
 def _q_polygon_htm(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _orders_sky(spark, sf_dir)
     c = SI.polygon_search(POLY_RA, POLY_DEC, mode=SpatialIndex.HTM, level=7,
@@ -363,6 +403,41 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # everything; 12-char shingles (~2 words) discriminate properly
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_dedup(docs, max_hamming=1, k=12).select("doc_id")
+
+
+def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-class gate for perceptual-hash IMAGE near-dup dedup
+    (operators/multimodal.phash_image_dedup — banded Hamming + exact
+    bit_count(xor) verify, the simhash core applied to the phash column).
+
+    The image table is synthesized deterministically from `documents`:
+    each doc becomes an image row whose 64-bit phash is two LCG halves
+    (pure int64 arithmetic, no overflow — a < 2^31 so (a<<32)|b stays
+    positive), and every 20th doc plants a lossy-re-encode TWIN whose
+    phash differs in exactly 1-2 low-significance bits (what a JPEG
+    re-encode does to a real phash, per test_phash_similarity_property).
+    The oracle replays the full banded algorithm in SQL, so both the
+    candidate generation and the Hamming verify are value-gated."""
+    from spatialindex_spark.operators.multimodal import phash_image_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    base = docs.select(
+        (F.col("doc_id") * 2).alias("image_id"),
+        (F.expr("shiftleft((doc_id * 1103515245 + 12345) % 2147483647, 32)")
+         .bitwiseOR(F.expr("(doc_id * 69069 + 1) % 4294967291"))
+         ).alias("ph"))
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("image_id"),
+        (F.expr("shiftleft((doc_id * 1103515245 + 12345) % 2147483647, 32)")
+         .bitwiseOR(F.expr("(doc_id * 69069 + 1) % 4294967291"))
+         .bitwiseXOR(F.expr(
+             "shiftleft(cast(1 as bigint), cast(doc_id % 31 as int)) + "
+             "shiftleft(cast(1 as bigint), cast((doc_id + 7) % 31 as int))"))
+         ).alias("ph"))
+    images = base.unionAll(twins)
+    out = phash_image_dedup(images, phash_col="ph", id_col="image_id",
+                            band_bits=16, max_hamming=3)
+    return out.select("image_id", "ph")
 
 
 def _q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -908,7 +983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cone_htm": _q_cone_htm,
         "cone_s2": _q_cone_s2,
+        "cone_h3": _q_cone_h3,
         "cone_hpx": _q_cone_hpx,
+        "polygon_h3": _q_polygon_h3,
         "polygon_htm": _q_polygon_htm,
         "polygon_s2": _q_polygon_s2,
         "region_count": _q_region_count,
@@ -922,6 +999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "cell_counts": _q_cell_counts,
         "exact_dedup": _q_exact_dedup,
+        "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_transitive": _q_minhash_transitive,
         "simhash_dedup": _q_simhash_dedup,
@@ -1281,6 +1359,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
+        "cone_h3": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
+        "polygon_h3": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
         "cone_hpx": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone2}",
         "polygon_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
         "polygon_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {poly}",
@@ -1573,6 +1653,30 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "minhash_transitive": _minhash_oracle_sql(transitive=True),
         "simhash_dedup": _simhash_oracle_sql(),
+        # replays the BANDED phash algorithm (16-bit bands + exact
+        # bit_count(xor) <= 3) on the same deterministically-synthesized
+        # image table — candidate generation AND verify both value-gated
+        "phash_dedup": (
+            "WITH d AS (SELECT doc_id, "
+            "  ((doc_id * 1103515245 + 12345) % 2147483647) << 32 "
+            "  | ((doc_id * 69069 + 1) % 4294967291) AS ph FROM documents), "
+            "imgs AS ("
+            "  SELECT doc_id * 2 AS image_id, ph FROM d "
+            "  UNION ALL "
+            "  SELECT doc_id * 2 + 1, xor(ph, "
+            "    (1::BIGINT << (doc_id % 31)) + (1::BIGINT << ((doc_id + 7) % 31))) "
+            "  FROM d WHERE doc_id % 20 = 0), "
+            "bands AS (SELECT image_id, ph, b.band, "
+            "  (ph >> (b.band * 16)) & 65535 AS bh "
+            "  FROM imgs, (SELECT unnest(range(4)) AS band) b), "
+            "pairs AS (SELECT DISTINCT x.image_id AS ia, y.image_id AS ib, "
+            "  x.ph AS ha, y.ph AS hb FROM bands x JOIN bands y "
+            "  ON x.band = y.band AND x.bh = y.bh AND x.image_id < y.image_id), "
+            "losers AS (SELECT DISTINCT ib FROM pairs "
+            "  WHERE bit_count(xor(ha, hb)) <= 3) "
+            "SELECT image_id, ph FROM imgs "
+            "WHERE image_id NOT IN (SELECT ib FROM losers)"
+        ),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
         "embed_dedup": _embed_dedup_oracle_sql(),

@@ -39,6 +39,7 @@ from .htm import htm_idtodec
 HTM = 0
 HPX = 1
 S2 = 2     # engine extension: true-S2 Hilbert cell columns (s2h<L>)
+H3 = 3     # engine extension: hex-H3 cell columns (h3<R>, equality covering)
 DECIMAL = 0  # raw bit-encoded cell id ("BASE10")
 BASE4 = 1    # base-10 digit string of the base-4 path (legacy spt_ind)
 
@@ -152,6 +153,7 @@ class SpatialIndex:
     HTM = HTM
     HPX = HPX
     S2 = S2
+    H3 = H3
     DECIMAL = DECIMAL
     BASE4 = BASE4
 

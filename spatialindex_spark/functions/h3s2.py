@@ -761,3 +761,201 @@ def _s2_region_ranges(classify, level: int, split: bool):
     if split:
         return inside, bound
     return _to_ranges(full_cells + [boundary])
+
+
+# ---------------------------------------------------------------------------
+# Hex-H3 region coverings — make the hex ids a queryable two-phase index
+# (cone/polygon search over an h3<R> column), completing the C-family for
+# the hex grid. Reference seed: the level-synchronous covering pattern of
+# sptQueryLib.c:1311-1630; hex cells have no geometric subtree nesting
+# (aperture-7 children only approximately tile the parent), so the covering
+# is an explicit sorted CELL LIST at the query res, joined on equality —
+# never an ancestor range. Implementation is a vectorized per-face disk
+# enumeration rather than a k-ring frontier BFS: h3_hex_kring clips
+# off-face steps to -1, so a BFS could never cross an icosahedron face
+# boundary, while enumerating every face whose Voronoi region can touch
+# the query region is complete by construction.
+# ---------------------------------------------------------------------------
+
+#: cap on enumeration-box cells per face — a query whose (radius/res) pair
+#: would scan more than this is asking for a denser covering than any
+#: prefilter can pay for; raise res or radius instead of silently burning
+#: driver memory
+_H3_COVER_BOX_LIMIT = 16_000_000
+
+
+def _h3_cell_rmax(res: int) -> float:
+    """Angular bound (rad) on center-to-member distance of a res cell.
+
+    Lattice spacing in gnomonic tangent units is s = U0/sqrt(7)^res; the
+    planar hexagon circumradius is s/sqrt(3), and gnomonic planar length
+    always upper-bounds angular length (d_theta = cos^2(theta) * d_planar
+    <= d_planar), so s/sqrt(3) bounds the angle too."""
+    return (_HEX_U0 / _SQRT7 ** res) / _SQRT3
+
+
+def _h3_face_disk_cells(face: int, axis, rad_tot: float, res: int):
+    """Axial coords (i, j) of `face`-lattice cells whose center lies
+    within ``rad_tot`` radians of unit vector ``axis``. May include
+    off-band cells (caller packs with strict=False and drops -1) and
+    cells owned by a neighboring face (harmless over-coverage for an
+    equality prefilter). Empty result when the face cannot intersect."""
+    C, E1, E2 = _ICO_C[face], _ICO_E1[face], _ICO_E2[face]
+    ax, ay, az = float(axis[0]), float(axis[1]), float(axis[2])
+    d = ax * C[0] + ay * C[1] + az * C[2]
+    if d <= 0.05:  # axis >87deg from face center: face can't be relevant
+        return (np.empty(0, np.int64),) * 2
+    s = _HEX_U0 / _SQRT7 ** res
+    x0 = (ax * E1[0] + ay * E1[1] + az * E1[2]) / d
+    y0 = (ax * E2[0] + ay * E2[1] + az * E2[2]) / d
+    # planar radius bound: gnomonic maps geodesics to lines, and a
+    # geodesic's polar angle is maximal at an endpoint, so planar length
+    # <= angular length * sec^2(theta_max). Cell centers of interest sit
+    # within the face band (theta <~ theta_v), the axis at theta_c.
+    theta_c = float(np.arccos(np.clip(d, -1.0, 1.0)))
+    theta_m = min(max(theta_c, _ICO_THETA_V + 0.1) + rad_tot, 1.45)
+    r_p = rad_tot / np.cos(theta_m) ** 2
+    # clip the enumeration disk to the face band (cells beyond the base-
+    # cell band pack to -1 anyway; this just bounds the box)
+    rho_max = np.tan(min(_ICO_THETA_V + 8 * s, 1.45)) + s
+    if np.hypot(x0, y0) > rho_max + r_p:
+        return (np.empty(0, np.int64),) * 2
+    # rotated-frame coords (the res-parity Class III rotation)
+    ang = _AP7_ROT * (res % 2)
+    ca, sa = np.cos(ang), np.sin(ang)
+    xr0 = ca * x0 + sa * y0
+    yr0 = -sa * x0 + ca * y0
+    j_lo = int(np.floor((yr0 - r_p) / (_SQRT3 / 2.0 * s))) - 1
+    j_hi = int(np.ceil((yr0 + r_p) / (_SQRT3 / 2.0 * s))) + 1
+    cands = [(xr0 - r_p) / s + 0.5 * j_lo, (xr0 - r_p) / s + 0.5 * j_hi,
+             (xr0 + r_p) / s + 0.5 * j_lo, (xr0 + r_p) / s + 0.5 * j_hi]
+    i_lo = int(np.floor(min(cands))) - 1
+    i_hi = int(np.ceil(max(cands))) + 1
+    n_box = (i_hi - i_lo + 1) * (j_hi - j_lo + 1)
+    if n_box > _H3_COVER_BOX_LIMIT:
+        raise ValueError(
+            f"h3 covering enumeration box is {n_box} cells at res {res}; "
+            "use a coarser res for this region size")
+    ii, jj = np.meshgrid(np.arange(i_lo, i_hi + 1, dtype=np.int64),
+                         np.arange(j_lo, j_hi + 1, dtype=np.int64),
+                         indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    x2d, y2d = _axial_to_2d(ii, jj, res)
+    near = (x2d - x0) ** 2 + (y2d - y0) ** 2 <= r_p * r_p * 1.0001
+    ii, jj, x2d, y2d = ii[near], jj[near], x2d[near], y2d[near]
+    # unproject centers and apply the exact angular test
+    px = C[0] + x2d * E1[0] + y2d * E2[0]
+    py = C[1] + x2d * E1[1] + y2d * E2[1]
+    pz = C[2] + x2d * E1[2] + y2d * E2[2]
+    norm = np.sqrt(px * px + py * py + pz * pz)
+    sep = np.arccos(np.clip((px * ax + py * ay + pz * az) / norm, -1, 1))
+    keep = sep <= rad_tot + 1e-12
+    return ii[keep], jj[keep]
+
+
+def _h3_region_cells(axis, rad_tot: float, res: int):
+    """(ids, centers xyz) of all hex cells (any face) whose center is
+    within rad_tot of axis — the shared enumeration for the coverings."""
+    out_ids = []
+    out_xyz = []
+    for face in range(20):
+        fc = _ICO_C[face]
+        cosd = float(axis[0] * fc[0] + axis[1] * fc[1] + axis[2] * fc[2])
+        # faces whose Voronoi region (circumradius theta_v) can't reach
+        # the disk are skipped; small slack for the base-cell band
+        if np.arccos(np.clip(cosd, -1, 1)) > _ICO_THETA_V + rad_tot + 0.05:
+            continue
+        ii, jj = _h3_face_disk_cells(face, axis, rad_tot, res)
+        if len(ii) == 0:
+            continue
+        ids = _face_axial_to_id(
+            np.full(len(ii), face, dtype=np.int64), ii.copy(), jj.copy(),
+            res, strict=False)
+        ok = ids != -1
+        if not np.any(ok):
+            continue
+        x2d, y2d = _axial_to_2d(ii[ok], jj[ok], res)
+        C, E1, E2 = _ICO_C[face], _ICO_E1[face], _ICO_E2[face]
+        px = C[0] + x2d * E1[0] + y2d * E2[0]
+        py = C[1] + x2d * E1[1] + y2d * E2[1]
+        pz = C[2] + x2d * E1[2] + y2d * E2[2]
+        n = np.sqrt(px * px + py * py + pz * pz)
+        px, py, pz = px / n, py / n, pz / n
+        # ownership prune: a cell of face f is only ever EMITTED by
+        # h3_hex_id for points whose nearest face is f, and those points
+        # lie within rmax (angular) of the cell center — so a cell whose
+        # center is deeper than 2*rmax inside ANOTHER face's Voronoi
+        # region can never be an assigned id. Moving a unit vector by
+        # angle a changes any dot product by at most 2*sin(a/2) <= a, so
+        # the dot-difference threshold 2*rmax is sound. Without this the
+        # near-boundary lattice duplication over-covers ~5x (measured).
+        best = np.full(len(px), -2.0)
+        for g in range(20):
+            if g == face:
+                continue
+            gc = _ICO_C[g]
+            best = np.maximum(best, px * gc[0] + py * gc[1] + pz * gc[2])
+        own = (px * C[0] + py * C[1] + pz * C[2]) >= \
+            best - 2.0 * _h3_cell_rmax(res) - 1e-12
+        if not np.any(own):
+            continue
+        out_ids.append(ids[ok][own])
+        out_xyz.append(np.stack([px[own], py[own], pz[own]], axis=1))
+    if not out_ids:
+        return np.empty(0, np.int64), np.empty((0, 3))
+    ids = np.concatenate(out_ids)
+    xyz = np.concatenate(out_xyz)
+    u, idx = np.unique(ids, return_index=True)
+    return u, xyz[idx]
+
+
+def h3_cone_cells(ra: float, dec: float, radius_deg: float, res: int,
+                  split: bool = False):
+    """Sorted hex cells at ``res`` intersecting the cone — complete: every
+    point of the cone maps (via h3_hex_id) to a listed cell. split=True
+    returns (inside_cells, boundary_cells): inside cells provably contain
+    only cone members (center distance + cell rmax <= radius)."""
+    if not 0 <= res <= H3_HEX_MAX_RES:
+        raise ValueError(f"res must be in [0, {H3_HEX_MAX_RES}]")
+    d = np.radians(dec)
+    axis = np.array([np.cos(np.radians(ra)) * np.cos(d),
+                     np.sin(np.radians(ra)) * np.cos(d), np.sin(d)])
+    rad = np.radians(radius_deg)
+    rmax = _h3_cell_rmax(res)
+    ids, xyz = _h3_region_cells(axis, rad + rmax + 1e-12, res)
+    if not split:
+        return ids
+    sep = np.arccos(np.clip(xyz @ axis, -1, 1))
+    inside = sep + rmax <= rad
+    return ids[inside], ids[~inside]
+
+
+def h3_polygon_cells(ra_list, dec_list, res: int, split: bool = False):
+    """Sorted hex cells at ``res`` intersecting a convex spherical polygon
+    (CCW vertices, same convention as the HTM/HPX polygon searches).
+    Complete covering: bounding-cap enumeration + per-edge zone test
+    (outside one plane by more than the cell rmax => provably disjoint)."""
+    from .cover import polygon_normals
+
+    normals = polygon_normals(ra_list, dec_list)
+    ra_r = np.radians(np.asarray(ra_list, dtype=np.float64))
+    de_r = np.radians(np.asarray(dec_list, dtype=np.float64))
+    vx = np.cos(ra_r) * np.cos(de_r)
+    vy = np.sin(ra_r) * np.cos(de_r)
+    vz = np.sin(de_r)
+    c0 = np.array([vx.mean(), vy.mean(), vz.mean()])
+    c0 /= np.linalg.norm(c0)
+    cap_r = float(np.arccos(np.clip(
+        vx * c0[0] + vy * c0[1] + vz * c0[2], -1, 1).min()))
+    rmax = _h3_cell_rmax(res)
+    ids, xyz = _h3_region_cells(c0, cap_r + rmax + 1e-12, res)
+    sr = np.sin(rmax)
+    keep = np.ones(len(ids), dtype=bool)
+    full = np.ones(len(ids), dtype=bool)
+    for nrm in normals:
+        dot = xyz[:, 0] * nrm.x + xyz[:, 1] * nrm.y + xyz[:, 2] * nrm.z
+        keep &= dot >= -sr
+        full &= dot >= sr
+    if split:
+        return ids[keep & full], ids[keep & ~full]
+    return ids[keep]

@@ -57,6 +57,9 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
     if mode == SpatialIndex.S2:
         return _s2_region_ranges_df(spark, regions, level, anchor_shift,
                                     max_anchor_rows)
+    if mode == SpatialIndex.H3:
+        return _h3_region_ranges_df(spark, regions, level, anchor_shift,
+                                    max_anchor_rows)
     for r in regions:
         if r["kind"] == "cone":
             c = si.cone_search(r["ra"], r["dec"], r["radius"], mode=mode,
@@ -164,6 +167,47 @@ def _s2_region_ranges_df(spark, regions, level, anchor_shift,
     return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
 
 
+def _h3_region_ranges_df(spark, regions, level, anchor_shift,
+                         max_anchor_rows):
+    """region_ranges_df for mode=H3 (hex aperture-7 ids): hex cells have
+    no geometric subtree nesting, so each covering is an explicit cell
+    LIST at ``level`` (h3s2.h3_cone_cells / h3_polygon_cells) shipped as
+    singleton [cell, cell] ranges — the shared anchor machinery then turns
+    the join into a hash equi-join with a degenerate BETWEEN (equality).
+    Ids are positive (bit 63 = 0), so no sign-bias is needed. Geometry
+    residuals are identical to the HTM/HPX paths."""
+    import math
+
+    from ..functions.cover import polygon_normals
+    from ..functions.geometry import sc_to_v3
+    from ..functions.h3s2 import h3_cone_cells, h3_polygon_cells
+
+    rows = []
+    geoms = {}
+    for r in regions:
+        if r["kind"] == "cone":
+            cells = h3_cone_cells(r["ra"], r["dec"], r["radius"], level)
+            c = sc_to_v3(r["ra"], r["dec"])
+            geom = {"cone": (c.x, c.y, c.z,
+                             math.cos(r["radius"] * RAD_PER_DEG))}
+        elif r["kind"] == "ellipse":
+            from ..functions.regions import SphericalEllipse
+
+            cells = h3_cone_cells(r["ra"], r["dec"], r["a"], level)
+            geom = {"ellipse": SphericalEllipse.from_center(
+                sc_to_v3(r["ra"], r["dec"]), r["a"], r["b"],
+                r.get("angle", 0.0))}
+        else:
+            cells = h3_polygon_cells(r["ra"], r["dec"], level)
+            geom = {"poly_normals": [(n.x, n.y, n.z)
+                                     for n in polygon_normals(r["ra"],
+                                                              r["dec"])]}
+        geoms[r["region_id"]] = geom
+        rows.append((r["region_id"],
+                     [[int(c), int(c)] for c in cells]))
+    return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
+
+
 #: above this many REGIONS the region side stops being broadcast (a
 #: million-footprint survey would ship GBs of geometry to every executor)
 #: and the anchor/region_id equi-joins fall back to shuffle joins
@@ -215,6 +259,19 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
         # biased id 0 (= long min), below every real range
         cell = F.coalesce(F.col(cell_col).bitwiseXOR(F.lit(S2_ID_BIAS)),
                           F.lit(S2_ID_BIAS))
+    elif mode == SpatialIndex.H3:
+        # in-plan layout guard (same zero-extra-stage assert_true pattern
+        # as hpx_cell_key): the legacy HEALPix-analogue h3 layout joined
+        # against hex-covering cells would silently match nothing — fail
+        # loudly instead. Hex ids: bit63=0, mode nibble (bits 59-62) == 1.
+        c = F.col(cell_col)
+        ok = c.isNull() | ((c >= 0)
+                           & (F.shiftright(c, 59).bitwiseAND(F.lit(0xF))
+                              == 1))
+        guard = F.assert_true(
+            ok, f"{cell_col} is not a hex-H3 id (legacy grid='hpx' "
+                "layout? see h3_udf docs)")
+        cell = F.coalesce(F.when(guard.isNull(), c), F.lit(-1))
     else:
         cell = F.coalesce(F.col(cell_col), F.lit(-1))
     cand = (

@@ -935,6 +935,100 @@ def test_region_join_s2_mode(spark, small_images):
     assert got_s2  # non-trivial
 
 
+def test_region_join_h3_mode(spark, small_images):
+    """mode=H3 region_join (explicit hex cell-list covering at the join
+    res + same exact geometry) must return exactly the HTM-mode result
+    for cone, polygon, and ellipse regions. The hex cell column is at a
+    coarser res (hex res 4 ~ 0.45 deg cells) than the HTM level-7 column
+    — the covering is res-matched so results are identical anyway."""
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.functions.udfs import h3_udf
+    from spatialindex_spark.operators.joins import region_join
+
+    regions = [
+        {"region_id": 1, "kind": "cone", "ra": 129.4, "dec": 43.7,
+         "radius": 4.0},
+        {"region_id": 2, "kind": "poly", "ra": [30.0, 40.0, 40.0, 30.0],
+         "dec": [40.0, 40.0, 50.0, 50.0]},
+        {"region_id": 3, "kind": "ellipse", "ra": 129.4, "dec": 43.7,
+         "a": 5.0, "b": 2.5, "angle": 20.0},
+    ]
+    pts_h3 = small_images.withColumn("spt_ind", h3_udf(4)("ra", "dec"))
+    got_h3 = {(r.region_id, r.image_id) for r in
+              region_join(pts_h3, regions, level=4, mode=SpatialIndex.H3)
+              .select("region_id", "image_id").collect()}
+    got_htm = {(r.region_id, r.image_id) for r in
+               region_join(small_images, regions, level=7)
+               .select("region_id", "image_id").collect()}
+    assert got_h3 == got_htm
+    assert got_h3  # non-trivial
+
+    # the in-plan layout guard fails loudly on a legacy-layout column
+    import pytest
+
+    pts_bad = small_images.withColumn(
+        "spt_ind", h3_udf(4, grid="hpx")("ra", "dec"))
+    with pytest.raises(Exception, match="hex-H3"):
+        region_join(pts_bad, regions[:1], level=4,
+                    mode=SpatialIndex.H3).count()
+
+
+def test_h3_covering_properties():
+    """Hex coverings are complete (random in-region points' assigned
+    cells are always listed) and split-sound (inside cells contain only
+    members); the h3_hex_validate layout guard rejects legacy-layout
+    ids."""
+    import numpy as np
+    import pytest
+
+    from spatialindex_spark.functions.cover import polygon_normals
+    from spatialindex_spark.functions.h3s2 import (
+        h3_cone_cells, h3_hex_id, h3_hex_validate, h3_id, h3_polygon_cells)
+
+    rng = np.random.default_rng(11)
+    for _ in range(8):
+        ra0 = float(rng.uniform(0, 360))
+        dec0 = float(np.degrees(np.arcsin(rng.uniform(-1, 1))))
+        rdeg = float(rng.uniform(0.2, 6.0))
+        res = int(rng.integers(2, 7))
+        cells = h3_cone_cells(ra0, dec0, rdeg, res)
+        # sample cap-uniform points inside the cone
+        d0, r = np.radians(dec0), np.radians(rdeg)
+        c = np.array([np.cos(np.radians(ra0)) * np.cos(d0),
+                      np.sin(np.radians(ra0)) * np.cos(d0), np.sin(d0)])
+        t = np.array([0., 0., 1.]) if abs(c[2]) < 0.9 else np.array([1., 0., 0.])
+        e1 = np.cross(c, t); e1 /= np.linalg.norm(e1); e2 = np.cross(c, e1)
+        th = np.arccos(rng.uniform(np.cos(r), 1, 2000))
+        ph = rng.uniform(0, 2 * np.pi, 2000)
+        p = (np.outer(np.cos(th), c) + np.outer(np.sin(th) * np.cos(ph), e1)
+             + np.outer(np.sin(th) * np.sin(ph), e2))
+        ra = np.degrees(np.arctan2(p[:, 1], p[:, 0])) % 360
+        dec = np.degrees(np.arcsin(np.clip(p[:, 2], -1, 1)))
+        assert np.isin(h3_hex_id(ra, dec, res), cells).all()
+        # split soundness: inside-cell members satisfy the exact cone test
+        ins, bnd = h3_cone_cells(ra0, dec0, rdeg, res, split=True)
+        assert len(ins) + len(bnd) == len(cells)
+        assert not np.intersect1d(ins, bnd).size
+
+    # polygon completeness on one quad
+    RA = [120.0, 150.0, 150.0, 120.0]
+    DE = [30.0, 30.0, 55.0, 55.0]
+    cells = h3_polygon_cells(RA, DE, 4)
+    ra = rng.uniform(120, 150, 4000)
+    dec = rng.uniform(30, 55, 4000)
+    d, rr = np.radians(dec), np.radians(ra)
+    x = np.cos(rr) * np.cos(d); y = np.sin(rr) * np.cos(d); z = np.sin(d)
+    inside = np.ones(4000, bool)
+    for nm in polygon_normals(RA, DE):
+        inside &= (x * nm.x + y * nm.y + z * nm.z) >= 0
+    assert np.isin(h3_hex_id(ra[inside], dec[inside], 4), cells).all()
+
+    # layout guard: legacy-layout ids rejected, hex ids accepted
+    h3_hex_validate(h3_hex_id(ra[:100], dec[:100], 5))
+    with pytest.raises(ValueError, match="grid='hpx'"):
+        h3_hex_validate(h3_id(ra[:100], dec[:100], 5))
+
+
 def test_sampling_operators(spark):
     """cap_per_source keeps the n lowest-id rows per source; the
     stratified sample is a deterministic pure function of the id (same
