@@ -728,6 +728,52 @@ def _q_count_bounds_ellipse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
 
 
+def _q_count_bounds_ellipse_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 ellipse-count bounds over the TRUE-S2 Hilbert cell column: split
+    covering from the quadratic-classifier BFS (s2_ellipse_ranges) —
+    interior cells provably inside (all four corners in the convex
+    ellipse), zero point reads for the lower bound. Counts table and
+    ranges share the sign-bit bias so signed BETWEEN matches uint64 id
+    order. Bracket invariant + exact count, same oracle as the HTM/HPX
+    ellipse variants."""
+    from spatialindex_spark.functions.udfs import s2_udf
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_bounds_frame, region_geom_pred)
+
+    BIAS = -1 << 63
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "s2b_7", s2_udf(7, curve="hilbert")("x", "y", "z")
+        .bitwiseXOR(F.lit(BIAS)))
+    counts = cell_count_tree(df, "s2b_7", level=7, min_level=7)
+    region = {"kind": "ellipse", "ra": 200.0, "dec": 10.0,
+              "a": 8.0, "b": 4.0, "angle": 30.0}
+    b = region_count_bounds_frame(counts, region, level=7,
+                                  mode=SpatialIndex.S2).collect()[0]
+    exact = df.filter(region_geom_pred(region)).count()
+    ok = int(b["lower"] <= exact <= b["upper"])
+    return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
+
+
+def _q_count_bounds_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 cone-count bounds over the hex-H3 cell column: split cell-list
+    covering (h3_cone_cells split=True) as singleton ranges — interior
+    hexes answered from the counts table with zero point reads. Bracket
+    invariant + exact count."""
+    from spatialindex_spark.functions.udfs import h3_udf
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_bounds_frame, region_geom_pred)
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "h3_3", h3_udf(3)("ra", "dec"))
+    counts = cell_count_tree(df, "h3_3", level=3, min_level=3)
+    region = {"kind": "cone", **CONE}
+    b = region_count_bounds_frame(counts, region, level=3,
+                                  mode=SpatialIndex.H3).collect()[0]
+    exact = df.filter(region_geom_pred(region)).count()
+    ok = int(b["lower"] <= exact <= b["upper"])
+    return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
+
+
 def _q_count_bounds_ellipse_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4 ellipse-count bounds over the nested-HPX cell column: the HPX
     covering is the ellipse's bounding cone (radius a); interior cells come
@@ -1027,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_bounds_poly": _q_count_bounds_poly,
         "count_bounds_ellipse": _q_count_bounds_ellipse,
         "count_bounds_ellipse_hpx": _q_count_bounds_ellipse_hpx,
+        "count_bounds_ellipse_s2": _q_count_bounds_ellipse_s2,
+        "count_bounds_h3": _q_count_bounds_h3,
         "count_fast_poly": _q_count_fast_poly,
         "count_fast_hpx": _q_count_fast_hpx,
         "cell_rollup": _q_cell_rollup,
@@ -1621,6 +1669,14 @@ def oracle_sql() -> dict[str, str]:
         "count_bounds_ellipse_hpx": (
             f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
             f"FROM sky WHERE " + _ellipse_where()
+        ),
+        "count_bounds_ellipse_s2": (
+            f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
+            f"FROM sky WHERE " + _ellipse_where()
+        ),
+        "count_bounds_h3": (
+            f"{_SKY_CTE} SELECT 1 AS bracket_ok, count(*) AS n "
+            f"FROM sky WHERE {cone1}"
         ),
         "count_fast_poly": (
             f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {poly}"

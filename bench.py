@@ -419,6 +419,17 @@ def main():
             "ingest_efficiency_8_to_32": round((ing[32] / ing[8]) / 4, 3),
         }
 
+    # isolated dedup scale probe (scripts/dedup_scale_probe.py): embedded
+    # from its artifact rather than re-run here, because the probe must be
+    # ISOLATED (single-box co-tenant jobs swing shuffle timings 2x) and at
+    # 5M docs it far exceeds a bench run's budget
+    dedup_probe = {}
+    probe_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_artifacts", "dedup_probe.json")
+    if os.path.exists(probe_path):
+        with open(probe_path) as f:
+            dedup_probe = json.load(f)
+
     out = {
         "metric": "spatial_join_tile_assignment",
         "value": results["spatial_join_tiles"],
@@ -431,6 +442,7 @@ def main():
         "build_sec": round(t_build, 3),
         "sf1_images": sf1,
         "scaling": scaling,
+        "dedup_probe": dedup_probe,
     }
     print(json.dumps(out))
 

@@ -569,15 +569,27 @@ def compress_gaps(ranges: list[list[int]], maxpct: float = 30.0) -> list[list[in
 
 
 def ranges_predicate(col, ranges) -> "object":
-    """Covering ranges -> one Catalyst Column: OR-chain of `=` (single cell)
-    / BETWEEN (range) disjuncts, `lit(False)` for an empty covering. The
-    single shared implementation for every ranges-to-predicate site (filter,
-    counts, streaming, Iceberg-lite read)."""
+    """Covering ranges -> one Catalyst Column: `=` (single cell) / BETWEEN
+    (range) disjuncts, `lit(False)` for an empty covering. The single
+    shared implementation for every ranges-to-predicate site (filter,
+    counts, streaming, Iceberg-lite read).
+
+    Singleton cells collapse into one IN-set (Catalyst InSet, O(1)/row)
+    and the remaining disjuncts combine as a BALANCED or-tree — a linear
+    left-deep chain over a few hundred ranges overflows Catalyst's
+    recursive tree walks (java StackOverflowError, hit by hex cell-list
+    coverings whose every range is a singleton)."""
     from pyspark.sql import functions as F
 
-    pred = None
-    for lo, hi in ranges:
-        lo, hi = int(lo), int(hi)
-        p = (col == lo) if lo == hi else col.between(lo, hi)
-        pred = p if pred is None else (pred | p)
-    return F.lit(False) if pred is None else pred
+    singles = [int(lo) for lo, hi in ranges if int(lo) == int(hi)]
+    preds = []
+    if singles:
+        preds.append(col.isin(singles))
+    preds.extend(col.between(int(lo), int(hi))
+                 for lo, hi in ranges if int(lo) != int(hi))
+    if not preds:
+        return F.lit(False)
+    while len(preds) > 1:  # balanced pairwise OR: depth log2(n)
+        preds = [preds[i] | preds[i + 1] if i + 1 < len(preds) else preds[i]
+                 for i in range(0, len(preds), 2)]
+    return preds[0]

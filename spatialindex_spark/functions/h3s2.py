@@ -662,7 +662,7 @@ def s2_cap_ranges(ra: float, dec: float, radius_deg: float, level: int,
     cap = np.array([np.cos(np.radians(ra)) * np.cos(d),
                     np.sin(np.radians(ra)) * np.cos(d), np.sin(d)])
 
-    def classify(cx, cy, cz, circ):
+    def classify(cx, cy, cz, circ, **_):
         sep = np.arccos(np.clip(cx * cap[0] + cy * cap[1] + cz * cap[2],
                                 -1.0, 1.0))
         keep = sep <= rad + circ                 # not provably disjoint
@@ -683,7 +683,7 @@ def s2_polygon_ranges(ra_list, dec_list, level: int, split: bool = False):
 
     normals = polygon_normals(ra_list, dec_list)
 
-    def classify(cx, cy, cz, circ):
+    def classify(cx, cy, cz, circ, **_):
         sc = np.sin(circ)
         keep = np.ones(len(cx), dtype=bool)
         full = np.ones(len(cx), dtype=bool)
@@ -691,6 +691,83 @@ def s2_polygon_ranges(ra_list, dec_list, level: int, split: bool = False):
             dot = cx * nrm.x + cy * nrm.y + cz * nrm.z
             keep &= dot >= -sc
             full &= dot >= sc
+        return keep, full
+
+    return _s2_region_ranges(classify, level, split)
+
+
+def s2_ellipse_ranges(ra: float, dec: float, a_deg: float, b_deg: float,
+                      angle: float, level: int, split: bool = False):
+    """Covering of a spherical ellipse as level-``level`` S2 id ranges,
+    with the TRUE quadratic-form classifier (same exact cell test as the
+    HTM path's _ellipse_cov, htm.c:608-636) instead of the bounding-cap
+    proxy — the cap over-covers by ~a/b on eccentric ellipses.
+
+    S2 cells are spherical quadrilaterals bounded by great circles, so
+    the triangle trichotomy applies verbatim: a cell intersects the
+    (convex, a < 90°) ellipse iff a corner is inside, an edge crosses the
+    boundary, or the ellipse lies entirely inside the cell (center's
+    (face, uv) within the cell's st box). All four corners inside a
+    convex region => the whole cell is inside (full)."""
+    from .geometry import sc_to_v3
+    from .regions import SphericalEllipse, _ellipse_isect
+
+    cen = sc_to_v3(ra, dec)
+    ell = SphericalEllipse.from_center(cen, a_deg, b_deg, angle)
+    a_rad = np.radians(a_deg)
+    cap = np.array([cen.x, cen.y, cen.z])
+    # ellipse-center leaf coords for the center-in-cell test
+    cface, cu, cv = _xyz_to_face_uv_s2(
+        np.array([cen.x]), np.array([cen.y]), np.array([cen.z]))
+    n_leaf = float(1 << S2_LEAF)
+    ci = int(np.clip(_uv_to_st(np.array([cu[0]]))[0] * n_leaf, 0,
+                     n_leaf - 1))
+    cj = int(np.clip(_uv_to_st(np.array([cv[0]]))[0] * n_leaf, 0,
+                     n_leaf - 1))
+    cface = int(cface[0])
+
+    def classify(cx, cy, cz, circ, cells):
+        face, i0, j0, lvl = cells
+        sep = np.arccos(np.clip(cx * cap[0] + cy * cap[1] + cz * cap[2],
+                                -1.0, 1.0))
+        cand = sep <= a_rad + circ          # cap pre-reject (sound)
+        keep = np.zeros(len(cx), dtype=bool)
+        full = np.zeros(len(cx), dtype=bool)
+        if not np.any(cand):
+            return keep, full
+        idx = np.nonzero(cand)[0]
+        size = np.int64(1) << (S2_LEAF - lvl)
+        # corners of the candidate cells (vectorized)
+        corners = []
+        for di, dj in ((0, 0), (1, 0), (1, 1), (0, 1)):
+            si = (i0[idx] + di * size).astype(np.float64)
+            sj = (j0[idx] + dj * size).astype(np.float64)
+            x, y, z = _face_uv_to_xyz_s2(face[idx], _st_to_uv(si / n_leaf),
+                                         _st_to_uv(sj / n_leaf))
+            norm = np.sqrt(x * x + y * y + z * z)
+            corners.append((x / norm, y / norm, z / norm))
+        nin = np.zeros(len(idx), dtype=np.int64)
+        for x, y, z in corners:
+            nin += ell.contains_cols(x, y, z).astype(np.int64)
+        k_loc = nin > 0
+        f_loc = nin == 4
+        # corners all outside: edge crossing or ellipse-inside-cell
+        from .geometry import V3
+
+        for t in np.nonzero(nin == 0)[0]:
+            g = idx[t]
+            if (face[g] == cface and i0[g] <= ci < i0[g] + size
+                    and j0[g] <= cj < j0[g] + size):
+                k_loc[t] = True          # ellipse entirely inside the cell
+                continue
+            vs = [V3(float(c[0][t]), float(c[1][t]), float(c[2][t]))
+                  for c in corners]
+            for e in range(4):
+                if _ellipse_isect(vs[e], vs[(e + 1) % 4], ell):
+                    k_loc[t] = True
+                    break
+        keep[idx] = k_loc
+        full[idx] = f_loc
         return keep, full
 
     return _s2_region_ranges(classify, level, split)
@@ -714,7 +791,8 @@ def _s2_region_ranges(classify, level: int, split: bool):
         if len(face) == 0:
             break
         cx, cy, cz, circ = _s2_cells_geom(face, i0, j0, lvl)
-        keep, full = classify(cx, cy, cz, circ)
+        keep, full = classify(cx, cy, cz, circ,
+                              cells=(face, i0, j0, lvl))
         full = keep & full
         if np.any(full):
             full_cells.append((face[full], i0[full], j0[full], lvl))

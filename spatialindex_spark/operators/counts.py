@@ -116,6 +116,61 @@ def region_split_ranges(region: dict, level: int,
 
         return htm_ellipse_ranges_split(g, level)
 
+    if mode == SpatialIndex.S2:
+        # split coverings straight from the Hilbert-quadtree BFS (cap /
+        # polygon zone tests; ellipse = the true quadratic classifier).
+        # Ranges are returned SIGN-BIT-BIASED (id ^ (1<<63)) so signed
+        # BETWEEN respects uint64 id order — build the counts table over
+        # the equally-biased cell column.
+        from ..functions.h3s2 import (s2_cap_ranges, s2_ellipse_ranges,
+                                      s2_polygon_ranges)
+
+        if kind == "cone":
+            ins, bnd = s2_cap_ranges(region["ra"], region["dec"],
+                                     region["radius"], level, split=True)
+        elif kind == "poly":
+            ins, bnd = s2_polygon_ranges(region["ra"], region["dec"],
+                                         level, split=True)
+        else:
+            ins, bnd = s2_ellipse_ranges(
+                region["ra"], region["dec"], region["a"], region["b"],
+                region.get("angle", 0.0), level, split=True)
+        B = -1 << 63
+        return ([[lo ^ B, hi ^ B] for lo, hi in ins],
+                [[lo ^ B, hi ^ B] for lo, hi in bnd])
+
+    if mode == SpatialIndex.H3:
+        # hex cells: split cell lists as singleton ranges (no subtree
+        # nesting — see h3s2 covering docs). Ellipse = bounding-cone
+        # covering (radius a) with the inscribed-circle interior test:
+        # cell center within (b - rmax) of the ellipse center => the cell
+        # sits inside cone(center, b) ⊆ ellipse (sound under-claim, same
+        # shape as the HPX path).
+        from ..functions.h3s2 import (_h3_cell_rmax, h3_cone_cells,
+                                      h3_hex_center, h3_polygon_cells)
+
+        if kind == "cone":
+            ins, bnd = h3_cone_cells(region["ra"], region["dec"],
+                                     region["radius"], level, split=True)
+        elif kind == "poly":
+            ins, bnd = h3_polygon_cells(region["ra"], region["dec"],
+                                        level, split=True)
+        else:
+            cells = h3_cone_cells(region["ra"], region["dec"],
+                                  region["a"], level)
+            cra, cdec = h3_hex_center(cells)
+            d = np.radians(cdec)
+            r = np.radians(cra)
+            dot = (np.cos(r) * np.cos(d) * g.cen.x
+                   + np.sin(r) * np.cos(d) * g.cen.y + np.sin(d) * g.cen.z)
+            b_rad = region["b"] * math.pi / 180.0
+            rmax = _h3_cell_rmax(level)
+            full = (dot >= math.cos(max(b_rad - rmax, 0.0))) \
+                if b_rad > rmax else np.zeros(len(cells), dtype=bool)
+            ins, bnd = cells[full], cells[~full]
+        return ([[int(c), int(c)] for c in ins],
+                [[int(c), int(c)] for c in bnd])
+
     if mode != SpatialIndex.HPX:
         raise ValueError(f"unknown mode {mode}")
     from ..functions.cover import _ranges_add, hpx_cone_ranges, \

@@ -150,9 +150,13 @@ def _s2_region_ranges_df(spark, regions, level, anchor_shift,
             geom = {"cone": (c.x, c.y, c.z,
                              math.cos(r["radius"] * RAD_PER_DEG))}
         elif r["kind"] == "ellipse":
+            from ..functions.h3s2 import s2_ellipse_ranges
             from ..functions.regions import SphericalEllipse
 
-            rr = s2_cap_ranges(r["ra"], r["dec"], r["a"], level)
+            # true quadratic-form classifier in the S2 BFS (the r2
+            # bounding-cap proxy over-covered eccentric ellipses ~a/b)
+            rr = s2_ellipse_ranges(r["ra"], r["dec"], r["a"], r["b"],
+                                   r.get("angle", 0.0), level)
             geom = {"ellipse": SphericalEllipse.from_center(
                 sc_to_v3(r["ra"], r["dec"]), r["a"], r["b"],
                 r.get("angle", 0.0))}
@@ -337,6 +341,28 @@ def _hpx_neighbors(order: int, pix: np.ndarray) -> np.ndarray:
     return np.concatenate([pix[:, None], nb], axis=1)
 
 
+#: deepest match level whose full (pix -> ring-1 cells) map is broadcast
+#: (12*4^8 = 786k rows, ~60 MB) so crossmatch's left-side ring expansion
+#: runs JVM-only; deeper levels fall back to the Arrow pandas UDF
+JVM_RING_MAX_LEVEL = 8
+
+
+def _ring1_map_df(spark, lvl: int) -> DataFrame:
+    """Complete (pix, sorted deduped ring-1 cell list) map at ``lvl`` —
+    the broadcast side of crossmatch's JVM ring expansion."""
+    npix = 12 << (2 * lvl)
+    pix = np.arange(npix, dtype=np.int64)
+    nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
+    keep = np.ones(nb.shape, dtype=bool)
+    keep[:, 1:] = nb[:, 1:] != nb[:, :-1]
+    counts = keep.sum(axis=1)
+    flat = nb[keep]
+    rings = np.split(flat, np.cumsum(counts)[:-1])
+    pdf = pd.DataFrame({"_pix": pix,
+                        "_ring": [r.tolist() for r in rings]})
+    return spark.createDataFrame(pdf, "_pix long, _ring array<long>")
+
+
 def check_hpx_cell_col(data: DataFrame, cell_col: str, cell_level: int) -> None:
     """Sampled misuse guard (legacy): one-row check that the column holds a
     valid nested-HPX id. Kept for ad-hoc validation; the hot paths now use
@@ -456,17 +482,30 @@ def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
 
     if use_cell:
         # in-plan every-row range guard on the big (right) side — no
-        # sampling job; the left side reuses the plain shiftright (it is
-        # exploded through Python anyway and a bad column errors via the
-        # right side first)
-        lpix = F.shiftright(F.col(cell_col), 2 * (cell_level - lvl))
+        # sampling job
         rkey_col = hpx_cell_key(cell_col, cell_level, lvl)
-        lcells = cells_with_neighbors_from_pix(lpix)
+        if rings == 1 and lvl <= JVM_RING_MAX_LEVEL:
+            # coarse match level: the complete (pix -> ring-1 cells) map is
+            # small (12*4^lvl rows, <= ~786k at level 8) — broadcast it and
+            # explode JVM-side, so the WHOLE crossmatch plan is free of
+            # ArrowEvalPython when an ingest-time cell column is supplied
+            # (plan-asserted). Both sides share the guarded key expression.
+            ring_map = _ring1_map_df(left.sparkSession, lvl)
+            lkey = (left.select(*lsel,
+                                hpx_cell_key(cell_col, cell_level, lvl)
+                                .alias("_pix"))
+                    .join(F.broadcast(ring_map), "_pix", "inner")
+                    .select(*[c + suffixes[0] for c in left.columns],
+                            F.explode("_ring").alias("_mc")))
+        else:
+            lpix = F.shiftright(F.col(cell_col), 2 * (cell_level - lvl))
+            lcells = cells_with_neighbors_from_pix(lpix)
+            lkey = left.select(*lsel, F.explode(lcells).alias("_mc"))
     else:
         rkey_col = cell_of(F.col(rr), F.col(rd))
         lcells = cells_with_neighbors(F.col(lr), F.col(ld))
+        lkey = left.select(*lsel, F.explode(lcells).alias("_mc"))
 
-    lkey = left.select(*lsel, F.explode(lcells).alias("_mc"))
     rkey = right.select(*rsel, rkey_col.alias("_mc"))
 
     pairs = lkey.join(rkey, "_mc").drop("_mc")

@@ -7,7 +7,8 @@ Directory layout:
     <table>/
       data/bucket=<k>/*.parquet     # cell-range buckets, Z-order-contiguous
       metadata/
-        lineage.jsonl               # WAL: one row per committed bucket
+        lineage.d/bucket-<k>.json   # commit log: one atomic marker/bucket
+        lineage.jsonl               # legacy append-WAL (read-compat only)
         snapshot-<n>.json           # manifest snapshot (committed buckets)
         current.json                # pointer to the latest snapshot
 
@@ -17,11 +18,15 @@ Buckets are fixed-width slices of the cell-ID space, so each bucket holds a
 straight to bucket dirs, giving partition pruning before parquet row-group
 stats even load.
 
-Checkpoint-resume: ``write`` processes buckets in groups; after each group's
-data files land, a lineage row (bucket, cell range, row count, checksum,
-status) is appended to the WAL. A re-run skips every bucket already recorded
-as committed — partially-completed tile assignment jobs resume idempotently
-(north-rule requirement). The final snapshot is the compacted WAL.
+Checkpoint-resume: ``write`` stages each group into a private directory,
+CLAIMS every bucket with an atomic directory rename into data/, and
+publishes a lineage marker (bucket, cell range, row count, checksum) with
+an atomic file replace. A re-run skips every bucket already marked —
+partially-completed tile-assignment jobs resume idempotently (north-rule
+requirement), and two resumers racing the same crash recover without
+duplicate or torn state (exactly one claim rename wins per bucket; the
+loser discards its staging copy — tested with concurrent threads). The
+final snapshot is the compacted commit log, itself rename-committed.
 """
 
 from __future__ import annotations
@@ -56,6 +61,11 @@ class IcebergLiteTable:
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
         self.wal_path = os.path.join(self.meta_dir, "lineage.jsonl")
+        # commit-log dir: one atomically-renamed marker file per bucket —
+        # lifts the r2 single-posix-writer WAL assumption (interleaved
+        # appends from racing resumers could tear jsonl lines; rename is
+        # atomic on POSIX and on object stores with atomic rename)
+        self.lineage_dir = os.path.join(self.meta_dir, "lineage.d")
 
     # -- bucket math --------------------------------------------------------
     def bucket_expr(self):
@@ -86,24 +96,38 @@ class IcebergLiteTable:
             out.update(range(self.bucket_of_cell(lo), self.bucket_of_cell(hi) + 1))
         return sorted(out)
 
-    # -- lineage WAL --------------------------------------------------------
+    # -- lineage commit log -------------------------------------------------
     def committed_buckets(self) -> dict[int, dict]:
         done = {}
+        # legacy append-WAL (read-compat for tables written before r3)
         if os.path.exists(self.wal_path):
             with open(self.wal_path) as f:
                 for line in f:
                     row = json.loads(line)
                     if row.get("status") == "committed":
                         done[row["bucket"]] = row
+        # commit-log dir: one marker per bucket, atomically renamed into
+        # place — a marker either exists complete or not at all
+        if os.path.isdir(self.lineage_dir):
+            for name in os.listdir(self.lineage_dir):
+                if name.startswith("bucket-") and name.endswith(".json"):
+                    with open(os.path.join(self.lineage_dir, name)) as f:
+                        row = json.loads(f.read())
+                    done[row["bucket"]] = row
         return done
 
-    def _append_lineage(self, rows: list[dict]) -> None:
-        os.makedirs(self.meta_dir, exist_ok=True)
-        with open(self.wal_path, "a") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+    def _commit_bucket(self, row: dict) -> None:
+        """Atomically publish one bucket's lineage marker (tmp + fsync +
+        os.replace). Racing writers of the same bucket produce identical
+        content, so last-replace-wins is idempotent."""
+        os.makedirs(self.lineage_dir, exist_ok=True)
+        final = os.path.join(self.lineage_dir, f"bucket-{row['bucket']}.json")
+        tmp = final + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(json.dumps(row))
             f.flush()
             os.fsync(f.fileno())
+        os.replace(tmp, final)
 
     # -- write with checkpoint-resume --------------------------------------
     def write(self, df: DataFrame, group_size: int = 16,
@@ -112,66 +136,85 @@ class IcebergLiteTable:
 
         ``fail_after_groups`` is a test hook simulating a mid-job crash.
         Returns the snapshot dict."""
-        done = self.committed_buckets()
-        # crash window: data files landed but the WAL append never happened.
-        # Delete those uncommitted bucket dirs so the re-write is idempotent.
-        if os.path.isdir(self.data_dir):
-            import shutil
+        import shutil
+        import uuid
 
+        done = self.committed_buckets()
+        # crash leftovers: (a) bucket dirs that were renamed into place but
+        # whose marker never landed, (b) stale staging dirs. Both are
+        # re-creatable from the source, so delete and re-write. NOTE: this
+        # cleanup is safe between sequential resumes (incl. after a crash);
+        # two LIVE writers racing bucket-rename vs cleanup within the same
+        # instant remain out of scope (the commit protocol itself — stage,
+        # claim-by-rename, atomic marker — is race-safe, tested).
+        if os.path.isdir(self.data_dir):
             for d in os.listdir(self.data_dir):
                 if d.startswith("bucket="):
                     b = int(d.split("=", 1)[1])
                     if b not in done:
                         shutil.rmtree(os.path.join(self.data_dir, d))
+        if os.path.isdir(self.path):
+            for d in os.listdir(self.path):
+                p = os.path.join(self.path, d)
+                if d.startswith(".stage-") and time.time() - os.path.getmtime(p) > 60:
+                    shutil.rmtree(p, ignore_errors=True)
         todo = [b for b in range(self.num_buckets) if b not in done]
         df = df.withColumn("bucket", self.bucket_expr())
+        os.makedirs(self.data_dir, exist_ok=True)
 
         groups = [todo[i:i + group_size] for i in range(0, len(todo), group_size)]
         for gi, group in enumerate(groups):
             if fail_after_groups is not None and gi >= fail_after_groups:
                 raise RuntimeError("simulated crash (fail_after_groups)")
+            # racing resumers may both pick up the same todo bucket: each
+            # stages into a private dir, then CLAIMS the bucket with an
+            # atomic directory rename — exactly one writer's files become
+            # the bucket; the loser discards its staging copy. The lineage
+            # marker is published (atomic replace) immediately after each
+            # winning rename to keep the unmarked window minimal.
+            stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
             part = df.filter(F.col("bucket").isin(group))
             (part.repartitionByRange(len(group), "bucket", self.cell_col)
                  .sortWithinPartitions(self.cell_col)
-                 .write.mode("append").partitionBy("bucket")
-                 .parquet(self.data_dir))
-            # lineage metrics per bucket, from what actually landed on disk
-            # (a group whose buckets hold no rows writes no files at all)
-            has_data = os.path.isdir(self.data_dir) and any(
-                d.startswith("bucket=") for d in os.listdir(self.data_dir))
-            stats = []
-            if has_data:
-                stats = (
-                    part.sparkSession.read.parquet(self.data_dir)
-                    .filter(F.col("bucket").isin(group))
-                    .groupBy("bucket")
-                    .agg(
-                        F.count(F.lit(1)).alias("row_count"),
-                        F.min(self.cell_col).alias("cell_min"),
-                        F.max(self.cell_col).alias("cell_max"),
-                        F.sum(F.crc32(F.col(self.cell_col).cast("string"))).alias("checksum"),
-                    )
-                    .collect()
-                )
-            seen = {r["bucket"] for r in stats}
-            rows = [
-                {
-                    "bucket": int(r["bucket"]),
-                    "row_count": int(r["row_count"]),
-                    "cell_min": int(r["cell_min"]),
-                    "cell_max": int(r["cell_max"]),
-                    "checksum": int(r["checksum"]),
-                    "status": "committed",
-                    "ts": time.time(),
-                }
-                for r in stats
-            ] + [
-                {"bucket": int(b), "row_count": 0, "cell_min": None,
-                 "cell_max": None, "checksum": 0, "status": "committed",
-                 "ts": time.time()}
-                for b in group if b not in seen
-            ]
-            self._append_lineage(rows)
+                 .write.mode("overwrite").partitionBy("bucket")
+                 .parquet(stage))
+            staged = {int(d.split("=", 1)[1]) for d in os.listdir(stage)
+                      if d.startswith("bucket=")}
+            stats = {}
+            if staged:
+                for r in (part.sparkSession.read.parquet(stage)
+                          .groupBy("bucket")
+                          .agg(F.count(F.lit(1)).alias("row_count"),
+                               F.min(self.cell_col).alias("cell_min"),
+                               F.max(self.cell_col).alias("cell_max"),
+                               F.sum(F.crc32(F.col(self.cell_col)
+                                             .cast("string")))
+                               .alias("checksum"))
+                          .collect()):
+                    stats[int(r["bucket"])] = r
+            for b in group:
+                if b in staged:
+                    src = os.path.join(stage, f"bucket={b}")
+                    dst = os.path.join(self.data_dir, f"bucket={b}")
+                    try:
+                        os.rename(src, dst)
+                    except OSError:
+                        if os.path.isdir(dst):
+                            continue    # lost the claim race; winner marks
+                        raise
+                    r = stats[b]
+                    self._commit_bucket({
+                        "bucket": b, "row_count": int(r["row_count"]),
+                        "cell_min": int(r["cell_min"]),
+                        "cell_max": int(r["cell_max"]),
+                        "checksum": int(r["checksum"]),
+                        "status": "committed", "ts": time.time()})
+                else:
+                    self._commit_bucket({
+                        "bucket": b, "row_count": 0, "cell_min": None,
+                        "cell_max": None, "checksum": 0,
+                        "status": "committed", "ts": time.time()})
+            shutil.rmtree(stage, ignore_errors=True)
         return self.commit_snapshot()
 
     def commit_snapshot(self) -> dict:
@@ -193,10 +236,19 @@ class IcebergLiteTable:
             "manifest": [done[b] for b in sorted(done)],
         }
         os.makedirs(self.meta_dir, exist_ok=True)
-        with open(os.path.join(self.meta_dir, f"snapshot-{snap_n}.json"), "w") as f:
-            json.dump(snapshot, f)
-        with open(cur_path, "w") as f:
-            json.dump({"snapshot": snap_n}, f)
+        # rename-based commit: a reader never observes a torn snapshot or
+        # pointer file (os.replace is atomic on POSIX; racing resumers
+        # derive identical content from the same committed-bucket set, so
+        # last-replace-wins is idempotent)
+        for name, payload in ((f"snapshot-{snap_n}.json", snapshot),
+                              ("current.json", {"snapshot": snap_n})):
+            final = os.path.join(self.meta_dir, name)
+            tmp = final + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                f.write(json.dumps(payload))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, final)
         return snapshot
 
     # -- read ----------------------------------------------------------------

@@ -302,6 +302,58 @@ def test_h3_hex_containment():
             assert rel.max() < 0.12, f"res {res}: gross mis-assignment"
 
 
+def test_s2_ellipse_ranges_covering():
+    """S2 ellipse covering with the true quadratic classifier: complete
+    (every ellipse member's Hilbert id falls in the ranges), and TIGHT on
+    eccentric fixtures — covered cell count within ~2x of the HTM ellipse
+    covering's (area parity; both use the exact cell classifier), and
+    several-fold smaller than the old bounding-cap proxy (which
+    over-covers ~a/b)."""
+    import numpy as np
+
+    from spatialindex_spark.functions.geometry import radec_to_xyz, sc_to_v3
+    from spatialindex_spark.functions.h3s2 import (
+        S2_LEAF, s2_cap_ranges, s2_cell_id, s2_ellipse_ranges)
+    from spatialindex_spark.functions.regions import (
+        SphericalEllipse, htm_ellipse_ranges)
+
+    def n_cells(rr, level, bias=0):
+        step = 1 << (2 * (S2_LEAF - level) + 1)
+        return sum((int(hi) - int(lo)) // step + 1 for lo, hi in rr)
+
+    rng = np.random.default_rng(5)
+    level = 10
+    for a, b, ang in [(5.0, 1.0, 20.0), (8.0, 1.0, 70.0), (3.0, 0.5, 0.0)]:
+        ra, dec = 129.4, 43.7
+        rr_e = s2_ellipse_ranges(ra, dec, a, b, ang, level)
+        rr_c = s2_cap_ranges(ra, dec, a, level)
+        ne, nc = n_cells(rr_e, level), n_cells(rr_c, level)
+        # several-fold tighter than the cap (cap over-covers ~a/b)
+        assert nc / ne > 0.5 * (a / b), f"a={a} b={b}: {nc}/{ne}"
+
+        # area parity with the HTM exact-classifier covering
+        ell = SphericalEllipse.from_center(sc_to_v3(ra, dec), a, b, ang)
+        htm_rr = htm_ellipse_ranges(ell, 9)  # L9 trixels ~ L10 S2 cells
+        n_htm = sum(hi - lo + 1 for lo, hi in htm_rr)
+        # mean cell areas: S2 L10 = 4pi/(6*4^10); HTM L9 = 4pi/(8*4^9)
+        area_s2 = ne / (6.0 * 4 ** level)
+        area_htm = n_htm / (8.0 * 4 ** 9)
+        assert 0.5 < area_s2 / area_htm < 2.0, (a, b, area_s2, area_htm)
+
+        # completeness
+        n = 4000
+        rra = rng.uniform(ra - a - 1, ra + a + 1, n)
+        rde = rng.uniform(dec - a - 1, dec + a + 1, n)
+        x, y, z = radec_to_xyz(rra, rde)
+        ins = ell.contains_cols(x, y, z)
+        ids = s2_cell_id(x[ins], y[ins], z[ins], level).view(np.uint64)
+        ok = np.zeros(len(ids), bool)
+        for lo, hi in rr_e:
+            ok |= ((ids >= np.int64(lo).astype(np.int64).view(np.uint64))
+                   & (ids <= np.int64(hi).astype(np.int64).view(np.uint64)))
+        assert ok.all()
+
+
 def test_s2_cap_ranges_covering():
     """S2 cap covering: complete (every cap member's Hilbert id falls in
     the ranges), interior-sound (full cells contain only members), tight

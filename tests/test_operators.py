@@ -241,6 +241,63 @@ def test_iceberg_resume(spark, tmp_path):
     assert back.select("image_id").distinct().count() == 600
 
 
+def test_iceberg_concurrent_resume_race(spark, tmp_path):
+    """Two resumers racing the same crashed write must recover without
+    duplicate rows, missing rows, or torn metadata (r2 verdict item: the
+    commit protocol is stage -> claim-by-rename -> atomic marker, so
+    exactly one writer's files become each bucket). Both threads run the
+    FULL resume concurrently against one table."""
+    import os
+    import threading
+
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    df = synth_images_indexed(spark, 600, level=7, systems=("htm",))
+    t = IcebergLiteTable(str(tmp_path / "tab"), num_buckets=8)
+    with pytest.raises(RuntimeError):
+        t.write(df, group_size=2, fail_after_groups=1)
+    n_before = len(t.committed_buckets())
+    assert 0 < n_before < 8
+
+    errs = []
+
+    def resume():
+        try:
+            # separate handle: no shared python state between racers
+            IcebergLiteTable(str(tmp_path / "tab"), num_buckets=8) \
+                .write(df, group_size=2)
+        except Exception as ex:  # pragma: no cover - diagnostic
+            errs.append(ex)
+
+    racers = [threading.Thread(target=resume) for _ in range(2)]
+    for r in racers:
+        r.start()
+    for r in racers:
+        r.join()
+    assert not errs, errs
+    # every bucket committed exactly once, content = one-shot write
+    done = t.committed_buckets()
+    assert sorted(done) == list(range(8))
+    back = t.read(spark)
+    assert back.count() == 600
+    assert back.select("image_id").distinct().count() == 600
+    # lineage checksums match the data actually on disk
+    from pyspark.sql import functions as F
+
+    disk = {int(r["bucket"]): (int(r["n"]), int(r["ck"])) for r in
+            back.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.crc32(F.col("spt_ind").cast("string")))
+                     .alias("ck")).collect()}
+    for b, row in done.items():
+        if row["row_count"]:
+            assert disk[b] == (row["row_count"], row["checksum"])
+    # no stray staging dirs left behind
+    assert not [d for d in os.listdir(str(tmp_path / "tab"))
+                if d.startswith(".stage-")]
+
+
 def test_salting(spark, small_images):
     from spatialindex_spark.operators.joins import cell_counts, hot_cells, salt_hot_cells
 
@@ -614,6 +671,47 @@ def test_safe_radius_table_in_sync():
         safe_ring1_rad(order)  # must not raise
 
 
+def test_safe_ring1_property_all_orders():
+    """Fresh-sample property sweep of EVERY selectable order 0..13 (r2
+    verdict item 9 — the r2 fixture was only asserted against the orders
+    the sampled table exercised): random pairs separated by up to
+    0.999*safe_ring1_rad must land in the same or ring-1-adjacent HPX
+    cells. This is the exact soundness property crossmatch/knn level
+    selection relies on."""
+    from spatialindex_spark.functions.healpix import (
+        hpx_id, neighbors, safe_ring1_rad)
+
+    rng = np.random.default_rng(20260817)
+    n = 60_000
+    for order in range(14):
+        r = 0.999 * safe_ring1_rad(order)
+        ra = rng.uniform(0, 360, n)
+        dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        # displace each point by exactly r in a random direction
+        d0 = np.radians(dec)
+        c = np.stack([np.cos(np.radians(ra)) * np.cos(d0),
+                      np.sin(np.radians(ra)) * np.cos(d0), np.sin(d0)], 1)
+        t = np.where(np.abs(c[:, 2:3]) < 0.9,
+                     np.array([[0.0, 0.0, 1.0]]), np.array([[1.0, 0.0, 0.0]]))
+        e1 = np.cross(c, t); e1 /= np.linalg.norm(e1, axis=1, keepdims=True)
+        e2 = np.cross(c, e1)
+        ph = rng.uniform(0, 2 * np.pi, n)[:, None]
+        p2 = (np.cos(r) * c
+              + np.sin(r) * (np.cos(ph) * e1 + np.sin(ph) * e2))
+        ra2 = np.degrees(np.arctan2(p2[:, 1], p2[:, 0])) % 360
+        dec2 = np.degrees(np.arcsin(np.clip(p2[:, 2], -1, 1)))
+        a = hpx_id(order, ra, dec)
+        b = hpx_id(order, ra2, dec2)
+        diff = a != b
+        if not diff.any():
+            continue
+        nb = neighbors(order, a[diff])
+        ok = (nb == b[diff][:, None]).any(axis=1)
+        assert ok.all(), (
+            f"order {order}: {(~ok).sum()} pairs at {r:.2e} rad landed in "
+            "non-adjacent cells")
+
+
 def test_region_join_ellipse_hpx(spark, small_images):
     """HPX-mode ellipse regions cover via the bounding cone (radius = a):
     (1) covering completeness — every ellipse member's HPX cell falls in
@@ -748,11 +846,30 @@ def test_region_split_soundness():
           "angle": 30.0}, SIc.HTM),
         ({"kind": "ellipse", "ra": 200.0, "dec": 10.0, "a": 8.0, "b": 4.0,
           "angle": 30.0}, SIc.HPX),
+        ({"kind": "cone", "ra": 129.4, "dec": 43.7, "radius": 12.0}, SIc.S2),
+        ({"kind": "poly", "ra": [120.0, 150.0, 150.0, 120.0],
+          "dec": [30.0, 30.0, 55.0, 55.0]}, SIc.S2),
+        ({"kind": "ellipse", "ra": 200.0, "dec": 10.0, "a": 8.0, "b": 4.0,
+          "angle": 30.0}, SIc.S2),
+        ({"kind": "cone", "ra": 129.4, "dec": 43.7, "radius": 12.0}, SIc.H3),
+        ({"kind": "poly", "ra": [120.0, 150.0, 150.0, 120.0],
+          "dec": [30.0, 30.0, 55.0, 55.0]}, SIc.H3),
+        ({"kind": "ellipse", "ra": 200.0, "dec": 10.0, "a": 8.0, "b": 4.0,
+          "angle": 30.0}, SIc.H3),
     ]
+    from spatialindex_spark.functions.h3s2 import h3_hex_id, s2_cell_id
+
     for region, mode in cases:
         inside, boundary = region_split_ranges(region, level, mode)
-        cells = (htm_id(x, y, z, level) if mode == SIc.HTM
-                 else hpx_id(level, ra, dec))
+        if mode == SIc.HTM:
+            cells = htm_id(x, y, z, level)
+        elif mode == SIc.HPX:
+            cells = hpx_id(level, ra, dec)
+        elif mode == SIc.S2:
+            # split ranges come back sign-bit-biased; bias the ids too
+            cells = s2_cell_id(x, y, z, level) ^ (-1 << 63)
+        else:
+            cells = h3_hex_id(ra, dec, level)
         m = member(region)
         full = in_ranges(cells, inside)
         covered = full | in_ranges(cells, boundary)

@@ -68,10 +68,12 @@ def test_cell_filter_pushdown_to_parquet(spark, tmp_path):
 
 
 def test_crossmatch_cell_col_keeps_big_side_jvm(spark):
-    """With an ingest-time cell column, the only Python eval in the
-    crossmatch plan is the tiny left side's ring-neighbor expansion — the
-    big side's join key is a shiftright projection (one ArrowEvalPython
-    total, and the same pairs as the recompute path)."""
+    """With an ingest-time cell column at a coarse match level (<=
+    JVM_RING_MAX_LEVEL), the crossmatch plan is ENTIRELY JVM: the left
+    side's ring-neighbor expansion rides a broadcast (pix -> ring cells)
+    map instead of a pandas UDF — zero ArrowEvalPython (r2 verdict item
+    10) — and both sides key on the guarded shiftright projection. Pairs
+    equal the recompute path's."""
     from spatialindex_spark.operators.joins import crossmatch
     from spatialindex_spark.sources.images import synth_images_indexed
 
@@ -82,7 +84,8 @@ def test_crossmatch_cell_col_keeps_big_side_jvm(spark):
     left = data.filter(F.abs(F.xxhash64("image_id")) % 20 == 0)
     cm = crossmatch(left, data, 0.5, cell_col="hpx7", cell_level=7)
     plan = _plan(cm)
-    assert plan.count("ArrowEvalPython") == 1, plan[:2000]
+    assert plan.count("ArrowEvalPython") == 0, plan[:2000]
+    assert "BroadcastHashJoin" in plan
     ref = crossmatch(left.drop("hpx7"), data.drop("hpx7"), 0.5)
     got = set(map(tuple, cm.select("image_id_l", "image_id_r").collect()))
     want = set(map(tuple, ref.select("image_id_l", "image_id_r").collect()))
