@@ -359,7 +359,7 @@ def main():
             finally:
                 s.stop()
 
-        # 2->8 N->4N pair with a CONTROL-DRIFT GUARD (r2 verdict fix: the
+        # 2->8 N->4N pairs with a CONTROL-DRIFT GUARD (r2 verdict fix: the
         # r2 artifact recorded a pair taken during a documented host
         # throttling episode — 0.794 — while clean runs read 0.84/0.815/
         # 0.844; the artifact is what a driver greps, so the guard belongs
@@ -367,12 +367,20 @@ def main():
         # session baseline; a pair is accepted only if a post-pair 2-core
         # control re-reading stays within 10% of that baseline (i.e. the
         # host was in the same performance state for the whole pair).
-        # Rejected pairs are re-run (<=3 attempts) and every run is
+        # The REPORTED pair is the MEDIAN-efficiency accepted pair of
+        # PAIR_TARGET accepted pairs: a single pair is still exposed to
+        # the documented hypervisor burst flattering one leg's denominator
+        # (BENCH.md's end-of-round variance log — 2c swung 2.9-4.2M with
+        # zero code change), and the median across pairs is the
+        # typical-run number the >=0.8 bar describes. Every run is
         # recorded in `attempts` for auditability.
+        PAIR_TARGET = 3
         attempts = []
-        accepted = None
+        pairs = []
         base2 = None
-        for attempt in range(3):
+        for attempt in range(PAIR_TARGET + 2):
+            if len(pairs) >= PAIR_TARGET:
+                break
             thr2 = isolated_median(geom_scan_job, n_scan, 2)
             if base2 is None:
                 base2 = thr2
@@ -391,12 +399,15 @@ def main():
                    "efficiency": round((thr8 / thr2) / 4, 3)}
             if post_drift <= 0.10:
                 rec["status"] = "accepted"
-                attempts.append(rec)
-                accepted = rec
-                break
-            rec["status"] = "rejected_post_drift"
+                pairs.append(rec)
+            else:
+                rec["status"] = "rejected_post_drift"
             attempts.append(rec)
-        if accepted is None:  # all attempts drifted: report last, flagged
+        if pairs:
+            pairs.sort(key=lambda r: r["efficiency"])
+            accepted = dict(pairs[len(pairs) // 2],
+                            status=f"median_of_{len(pairs)}_accepted_pairs")
+        else:  # every attempt drifted: report last, flagged
             accepted = dict(attempts[-1], status="accepted_with_drift")
 
         thr32 = isolated_median(geom_scan_job, n_scan, 32)

@@ -347,9 +347,20 @@ def _hpx_neighbors(order: int, pix: np.ndarray) -> np.ndarray:
 JVM_RING_MAX_LEVEL = 8
 
 
+_RING1_MAP_CACHE: dict = {}
+
+
 def _ring1_map_df(spark, lvl: int) -> DataFrame:
     """Complete (pix, sorted deduped ring-1 cell list) map at ``lvl`` —
-    the broadcast side of crossmatch's JVM ring expansion."""
+    the broadcast side of crossmatch's JVM ring expansion. Cached per
+    (session, lvl): the driver-side numpy build + local-data plan
+    conversion costs ~1 s at level 7 and a long-running job pays it once,
+    but a bench loop calling crossmatch repeatedly would otherwise pay it
+    per call (measured +1.2 s/call)."""
+    key = (spark, lvl)   # session object itself: no id()-reuse aliasing
+    cached = _RING1_MAP_CACHE.get(key)
+    if cached is not None:
+        return cached
     npix = 12 << (2 * lvl)
     pix = np.arange(npix, dtype=np.int64)
     nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
@@ -360,7 +371,9 @@ def _ring1_map_df(spark, lvl: int) -> DataFrame:
     rings = np.split(flat, np.cumsum(counts)[:-1])
     pdf = pd.DataFrame({"_pix": pix,
                         "_ring": [r.tolist() for r in rings]})
-    return spark.createDataFrame(pdf, "_pix long, _ring array<long>")
+    df = spark.createDataFrame(pdf, "_pix long, _ring array<long>")
+    _RING1_MAP_CACHE[key] = df
+    return df
 
 
 def check_hpx_cell_col(data: DataFrame, cell_col: str, cell_level: int) -> None:
