@@ -405,6 +405,22 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs, max_hamming=1, k=12).select("doc_id")
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination (13-gram collision rule): docs sharing any
+    word 8-gram with the deterministic eval split (doc_id % 50 == 0) are
+    flagged. Big side pure JVM (higher-order-function grams + broadcast
+    probe); the oracle replays the gram join on the strings themselves, so
+    the hash-probe default is value-gated end-to-end (a mismatch would
+    need an xxhash64 gram collision)."""
+    from spatialindex_spark.operators.text import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    out = decontaminate(train, eval_df, n=8, mark_only=True)
+    return out.select("doc_id", "contaminated")
+
+
 def _q_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-class gate for perceptual-hash IMAGE near-dup dedup
     (operators/multimodal.phash_image_dedup — banded Hamming + exact
@@ -502,6 +518,29 @@ def _q_ann_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("query_id", "vec_id", F.lit(1).alias("hit")))
     return (approx.join(exact, ["query_id", "vec_id"], "left")
             .select("query_id", "vec_id", "qdot", "rank",
+                    F.coalesce("hit", F.lit(0)).alias("hit")))
+
+
+def _q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over product-quantized embeddings (the 32x-compressed store
+    path: m=8 one-byte codes per 64-d vector): codes, distance tables and
+    ADC ranking are all integer after floor(x*1024) quantization, so the
+    oracle replays them bit-exactly; each row carries a hit flag vs the
+    in-query float brute-force top-k (machine-checked recall@k — low on
+    the uniform-random fixture by design, see the clustered pytest for
+    the recall regime PQ is built for)."""
+    from spatialindex_spark.operators.similarity import (brute_force_topk,
+                                                         pq_topk)
+
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .withColumn("embedding", F.col("embedding").cast("array<double>")))
+    q = (emb.filter(F.col("vec_id") < 3)
+            .select(F.col("vec_id").alias("query_id"), "embedding"))
+    approx = pq_topk(q, emb, k=_ANN_K, dim=64)
+    exact = (brute_force_topk(q, emb, k=_ANN_K)
+             .select("query_id", "vec_id", F.lit(1).alias("hit")))
+    return (approx.join(exact, ["query_id", "vec_id"], "left")
+            .select("query_id", "vec_id", "adist", "rank",
                     F.coalesce("hit", F.lit(0)).alias("hit")))
 
 
@@ -1045,11 +1084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "cell_counts": _q_cell_counts,
         "exact_dedup": _q_exact_dedup,
+        "decontaminate": _q_decontaminate,
         "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
         "minhash_transitive": _q_minhash_transitive,
         "simhash_dedup": _q_simhash_dedup,
         "ann_brute": _q_ann_brute,
+        "ann_pq": _q_ann_pq,
         "ann_lsh": _q_ann_lsh,
         "ann_int8": _q_ann_int8,
         "text_quality": _q_text_quality,
@@ -1376,6 +1417,52 @@ def _embed_dedup_oracle_sql() -> str:
         "  AND list_cosine_similarity(x.v, y.v) >= 0.9) "
         "SELECT vec_id FROM allv "
         "WHERE vec_id NOT IN (SELECT vec_id FROM losers)"
+    )
+
+
+def _ann_pq_oracle_sql() -> str:
+    """Full SQL replica of pq_topk(m=8, ncentroids=16, dim=64) plus the
+    recall hit flag: same deterministic codebook rows as IVF (smallest
+    multiplicative id-hash), floor(x*1024) integer quantization, per-
+    subspace integer-L2 argmin codes (ties to the lower centroid index),
+    ADC distance = sum over subspaces of the query-to-assigned-centroid
+    integer distance. adist emitted and hash-compared — the engine's
+    integer math must match bit-for-bit."""
+    sub_d = (
+        "list_sum(list_transform(range(0, 8), j -> "
+        "  (floor({a}.v[s.s * 8 + j + 1] * 1024)::BIGINT "
+        "   - floor(c.cv[s.s * 8 + j + 1] * 1024)::BIGINT) "
+        "  * (floor({a}.v[s.s * 8 + j + 1] * 1024)::BIGINT "
+        "     - floor(c.cv[s.s * 8 + j + 1] * 1024)::BIGINT)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings), "
+        "cent AS (SELECT vec_id AS cid, v AS cv, "
+        "    row_number() OVER (ORDER BY "
+        "      ((vec_id % 1000003) * 2654435761) % 999999937 ASC, vec_id ASC) "
+        "      - 1 AS cidx "
+        "  FROM e QUALIFY cidx < 16), "
+        "subs AS (SELECT unnest(range(8)) AS s), "
+        "codes AS (SELECT vec_id, s, cidx FROM ("
+        "  SELECT d.vec_id, s.s, c.cidx, "
+        "    row_number() OVER (PARTITION BY d.vec_id, s.s ORDER BY "
+        f"      {sub_d.format(a='d')} ASC, c.cidx ASC) AS rn "
+        "  FROM e d, subs s, cent c) WHERE rn = 1), "
+        "ad AS (SELECT q.vec_id AS query_id, k.vec_id, "
+        f"    sum({sub_d.format(a='q')}) AS adist "
+        "  FROM e q, codes k "
+        "  JOIN subs s ON s.s = k.s "
+        "  JOIN cent c ON c.cidx = k.cidx "
+        "  WHERE q.vec_id < 3 GROUP BY q.vec_id, k.vec_id), "
+        "scored AS (SELECT query_id, vec_id, adist, "
+        "  row_number() OVER (PARTITION BY query_id "
+        "    ORDER BY adist ASC, vec_id ASC) AS rank FROM ad), "
+        f"{_ANN_EXACT_CTE} "
+        "SELECT s.query_id, s.vec_id, s.adist::BIGINT AS adist, s.rank, "
+        "  CASE WHEN x.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit "
+        "FROM scored s LEFT JOIN exact x "
+        "  ON x.query_id = s.query_id AND x.vec_id = s.vec_id "
+        f"WHERE s.rank <= {_ANN_K}"
     )
 
 
@@ -1709,6 +1796,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "minhash_transitive": _minhash_oracle_sql(transitive=True),
         "simhash_dedup": _simhash_oracle_sql(),
+        "decontaminate": (
+            "WITH t AS (SELECT doc_id, "
+            "  string_split_regex(lower(trim(text)), '\\s+') AS ws "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 8 THEN "
+            "  list_transform(range(0, len(ws) - 8 + 1), "
+            "    i -> array_to_string(ws[i+1:i+8], ' ')) "
+            "  ELSE [] END) AS gram FROM t), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT DISTINCT doc_id FROM g "
+            "  WHERE doc_id % 50 != 0 AND gram IN (SELECT gram FROM ev)) "
+            "SELECT d.doc_id, "
+            "  (d.doc_id IN (SELECT doc_id FROM hits))::INT AS contaminated "
+            "FROM documents d WHERE d.doc_id % 50 != 0"
+        ),
         # replays the BANDED phash algorithm (16-bit bands + exact
         # bit_count(xor) <= 3) on the same deterministically-synthesized
         # image table — candidate generation AND verify both value-gated
@@ -1735,5 +1837,6 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "ann_ivf": _ann_ivf_oracle_sql(),
+        "ann_pq": _ann_pq_oracle_sql(),
         "embed_dedup": _embed_dedup_oracle_sql(),
     }

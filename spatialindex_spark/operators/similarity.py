@@ -276,3 +276,73 @@ def int8_topk(queries: DataFrame, data: DataFrame, k: int,
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(q_id, d_id, "qdot", "rank"))
+
+
+def pq_topk(queries: DataFrame, data: DataFrame, k: int, dim: int,
+            m: int = 8, ncentroids: int = 16,
+            q_id: str = "query_id", q_vec: str = "embedding",
+            d_id: str = "vec_id", d_vec: str = "embedding") -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — the
+    compressed-store scale path beyond int8: each data vector stores only
+    ``m`` sub-space centroid codes (m bytes vs 4*dim float32 — 32x
+    smaller at dim=64, m=8), and queries rank rows by the sum of
+    per-subspace query-to-centroid distances (one table lookup per code).
+
+    Everything after quantization is INTEGER arithmetic so an external
+    SQL oracle replays codes and distances bit-exactly: vectors quantize
+    as floor(x*1024) (power-of-two scale — exact in float64), the
+    codebook is the ``ncentroids`` smallest-id-hash rows (same
+    deterministic TakeOrdered as ivf_topk — no head-rows bias), sub-space
+    assignment is integer-L2 argmin with ties to the lower centroid
+    index, and the ADC score is a pure-JVM aggregate over the broadcast
+    distance table (no Python in the scoring pass over the big side)."""
+    if dim % m != 0:
+        raise ValueError(f"m={m} must divide dim={dim}")
+    sub = dim // m
+    cent_rows = (data.select(F.col(d_id).alias("_cid"),
+                             F.col(d_vec).alias("_cv"))
+                 .withColumn("_h", centroid_hash_col("_cid"))
+                 .orderBy("_h", "_cid")
+                 .limit(ncentroids)
+                 .collect())
+    C = np.floor(np.stack([np.asarray(r["_cv"], dtype=np.float64)
+                           for r in cent_rows]) * 1024.0).astype(np.int64)
+    nc = len(cent_rows)
+
+    @pandas_udf("array<int>")
+    def encode(vec: pd.Series) -> pd.Series:
+        M = np.floor(np.stack(vec.values).astype(np.float64)
+                     * 1024.0).astype(np.int64)
+        out = np.empty((len(M), m), dtype=np.int32)
+        for s in range(m):
+            ds = M[:, None, s * sub:(s + 1) * sub] \
+                - C[None, :, s * sub:(s + 1) * sub]
+            # np.argmin returns the FIRST minimum => lower centroid index
+            out[:, s] = np.argmin((ds * ds).sum(axis=2), axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    @pandas_udf("array<long>")
+    def dist_table(vec: pd.Series) -> pd.Series:
+        M = np.floor(np.stack(vec.values).astype(np.float64)
+                     * 1024.0).astype(np.int64)
+        tabs = np.empty((len(M), m * nc), dtype=np.int64)
+        for s in range(m):
+            ds = M[:, None, s * sub:(s + 1) * sub] \
+                - C[None, :, s * sub:(s + 1) * sub]
+            tabs[:, s * nc:(s + 1) * nc] = (ds * ds).sum(axis=2)
+        return pd.Series([row.tolist() for row in tabs])
+
+    d = data.select(F.col(d_id), encode(F.col(d_vec)).alias("_codes"))
+    q = queries.select(F.col(q_id), dist_table(F.col(q_vec)).alias("_tab"))
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, s: acc + F.element_at(
+            "_tab", (s * nc + F.element_at("_codes", s + 1) + 1).cast("int")))
+    scored = (d.crossJoin(F.broadcast(q))
+              .withColumn("adist", adist))
+    w = Window.partitionBy(q_id).orderBy(F.col("adist").asc(),
+                                         F.col(d_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(q_id, d_id, "adist", "rank"))

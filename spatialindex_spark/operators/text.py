@@ -154,3 +154,54 @@ def with_repetition(df: DataFrame, text_col: str = "text",
           & (F.col("dup_5gram_frac") <= 0.30)
           & (F.col("top_2gram_frac") <= 0.20))
     return out.withColumn("repetition_ok", ok.cast("int"))
+
+
+def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 13,
+                  mark_only: bool = False,
+                  key: str = "hash") -> DataFrame:
+    """Test-set decontamination: remove (or, with ``mark_only``, flag)
+    training documents that share ANY word ``n``-gram with a held-out
+    evaluation corpus — the standard 13-gram-collision rule used by
+    large-pretraining data pipelines.
+
+    Scale shape: the EVAL side is small (benchmarks are ~10^3-10^6 docs),
+    so its distinct gram keys are broadcast; the 100-TB TRAINING side
+    derives grams with JVM higher-order functions (split/sequence/slice/
+    concat_ws — no Python, whole-stage codegen) and probes the broadcast
+    set — the big side never shuffles. Tokenization matches
+    ``with_repetition`` (lower + trim + whitespace split) so one
+    normalization story covers both quality and decontamination.
+
+    ``key="hash"`` (default) joins on xxhash64 of the gram — an 8-byte
+    probe key instead of an ~80-byte string; a false flag needs an
+    xxhash64 collision between a training gram and an eval gram
+    (~(grams^2)/2^64 — negligible, and it can only ever OVER-remove).
+    ``key="text"`` joins on the gram string itself (bit-exact, what the
+    SQL oracle replays)."""
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if key not in ("hash", "text"):
+        raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
+
+    def grams(frame):
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        nw = F.size(words)
+        g = F.when(
+            nw >= n,
+            F.transform(F.sequence(F.lit(0), nw - n),
+                        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
+        ).otherwise(F.array().cast("array<string>"))
+        return frame.select(F.col(id_col), F.explode(g).alias("_g"))
+
+    probe = (F.xxhash64("_g").alias("_gk") if key == "hash"
+             else F.col("_g").alias("_gk"))
+    eval_grams = grams(eval_df).select(probe).distinct()
+    hits = (grams(df).select(F.col(id_col), probe)
+            .join(F.broadcast(eval_grams), "_gk", "leftsemi")
+            .select(id_col).distinct())
+    if mark_only:
+        flag = F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+        return (df.join(hits.withColumn("_hit", F.lit(1)), id_col, "left")
+                  .withColumn("contaminated", flag).drop("_hit"))
+    return df.join(hits, id_col, "left_anti")

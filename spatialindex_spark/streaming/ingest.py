@@ -162,3 +162,47 @@ def stream_sessionize(stream: DataFrame, user_col: str = "user_id",
                 f"{user_col} long, {event_col} long, session_seq long",
                 "last_ts double, seq long", "update",
                 GroupStateTimeout.NoTimeout))
+
+
+def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
+                      radius_deg: float,
+                      cell_col: str = "hpx7", cell_level: int = 7,
+                      ra_col: str = "ra", dec_col: str = "dec"):
+    """Streaming crossmatch: match every arriving detection against a
+    STATIC catalog within ``radius_deg`` — the alert-association pattern
+    (new observations vs a reference survey).
+
+    Plan shape: the catalog side is keyed once by its ingest-time cell
+    column (shiftright to the match level — pure JVM, exactly the batch
+    crossmatch's cell_col path, joins.py); the STREAM side explodes each
+    row into its ring-1 neighbor cells via the broadcast (pix -> ring)
+    map, so every true pair shares an equi-join key and the stateless
+    per-micro-batch join needs no watermark or state store. Exact
+    dot-product distance filters after. The static side is the big one at
+    scale — it never re-keys per batch (Spark caches the batch plan), and
+    the stream side's per-row cost is one map lookup + <= 9 key rows."""
+    import math
+
+    from ..functions.geometry import RAD_PER_DEG
+    from ..operators.joins import (_ring1_map_df, hpx_cell_key,
+                                   pick_match_level)
+
+    lvl = min(pick_match_level(radius_deg), cell_level)
+    ring_map = _ring1_map_df(catalog.sparkSession, lvl)
+    cat = (catalog.withColumn("_mc", hpx_cell_key(cell_col, cell_level, lvl))
+           .withColumnRenamed(ra_col, "cat_ra")
+           .withColumnRenamed(dec_col, "cat_dec")
+           .drop(cell_col))   # both sides carry it; avoid ambiguous output
+    s = stream.withColumn("_pix", hpx_cell_key(cell_col, cell_level, lvl))
+    s = (s.join(F.broadcast(ring_map), s["_pix"] == ring_map["_pix"],
+                "inner")
+         .drop(ring_map["_pix"])
+         .withColumn("_mc", F.explode("_ring"))
+         .drop("_ring", "_pix"))
+    pairs = s.join(cat, "_mc").drop("_mc")
+    cosr = math.cos(radius_deg * RAD_PER_DEG)
+    rad = F.radians
+    dot = (F.cos(rad(F.col(dec_col))) * F.cos(rad(F.col("cat_dec")))
+           * F.cos(rad(F.col(ra_col)) - rad(F.col("cat_ra")))
+           + F.sin(rad(F.col(dec_col))) * F.sin(rad(F.col("cat_dec"))))
+    return pairs.filter(dot >= F.lit(cosr))

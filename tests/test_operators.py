@@ -920,6 +920,42 @@ def test_ann_lsh_recall_on_clustered_vectors(spark):
     assert hits / total >= 0.9, f"clustered recall {hits}/{total}"
 
 
+def test_ann_pq_recall_on_clustered_vectors(spark):
+    """Product-quantization recall in the clustered regime it is built
+    for (uniform-random is adversarial for any coarse quantizer): with
+    the codebook drawn from the data, ADC ranking must recover most of
+    the true top-5, and the integer adist must be non-negative and
+    monotone in rank."""
+    rng = np.random.default_rng(13)
+    n_clusters, per, dim = 50, 20, 32
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = np.repeat(centers, per, axis=0) \
+        + 0.08 * rng.standard_normal((n_clusters * per, dim))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    df = spark.createDataFrame(
+        [(int(i), v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    q = df.filter(F.col("vec_id") % 250 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+
+    from spatialindex_spark.operators.similarity import (
+        brute_force_topk, pq_topk)
+
+    exact = brute_force_topk(q, df, k=5).toPandas()
+    approx = pq_topk(q, df, k=5, dim=dim, m=8, ncentroids=64).toPandas()
+    hits = total = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].vec_id)
+        a = set(approx[approx.query_id == qid].vec_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.7, f"clustered PQ recall {hits}/{total}"
+    g = approx.sort_values(["query_id", "rank"])
+    assert (g.adist >= 0).all()
+    assert (g.groupby("query_id").adist.diff().dropna() >= 0).all()
+
+
 def test_knn_starved_deep_level_exact(spark):
     """Starved widening at a DEEP level (10): the ring disc at level 10
     can't reach the far side of the sky within the cell budget, so the
@@ -1144,6 +1180,42 @@ def test_h3_covering_properties():
     h3_hex_validate(h3_hex_id(ra[:100], dec[:100], 5))
     with pytest.raises(ValueError, match="grid='hpx'"):
         h3_hex_validate(h3_id(ra[:100], dec[:100], 5))
+
+
+def test_decontaminate(spark):
+    """13-gram decontamination: planted eval overlaps are removed, clean
+    docs survive, hash and text probe keys agree, and the training side's
+    gram derivation is pure JVM (no Python eval in the plan)."""
+    from spatialindex_spark.operators.text import decontaminate
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    rows = [
+        (1, base + " sierra tango"),              # contains the eval gram
+        (2, "totally unrelated words that never overlap with anything "
+            "else in this corpus at all even slightly whatsoever today"),
+        (3, base.upper()),                        # case-folded hit
+        (4, "short doc"),                         # < n words: never flagged
+    ]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    eval_df = spark.createDataFrame([(100, base)], "doc_id long, text string")
+
+    out = decontaminate(train, eval_df, n=13)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+
+    marked = decontaminate(train, eval_df, n=13, mark_only=True)
+    flags = {r.doc_id: r.contaminated for r in marked.collect()}
+    assert flags == {1: 1, 2: 0, 3: 1, 4: 0}
+
+    # hash-key and text-key probes agree
+    out_txt = decontaminate(train, eval_df, n=13, key="text")
+    assert (sorted(r.doc_id for r in out_txt.collect())
+            == sorted(r.doc_id for r in out.collect()))
+
+    # plan: broadcast probe, zero Python evals
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
 
 
 def test_sampling_operators(spark):

@@ -308,3 +308,53 @@ def test_stream_sessionize_across_batches(spark, tmp_path):
                 spark.createDataFrame(batch1 + batch2, schema)).collect()}
     assert got == want
     assert want[4] == 0 and want[5] == 1 and want[6] == 1
+
+def test_stream_crossmatch_matches_batch(spark, tmp_path):
+    """Streaming crossmatch vs a static catalog: the stateless
+    per-micro-batch join (broadcast ring map + cell equi-join + exact
+    geometry) returns EXACTLY the batch crossmatch pairs for the same
+    rows, across two micro-batches."""
+    from pyspark.sql import functions as F
+
+    from spatialindex_spark.functions.udfs import hpx_udf
+    from spatialindex_spark.operators.joins import crossmatch
+    from spatialindex_spark.streaming.ingest import stream_crossmatch
+
+    # static catalog: 800 sky rows with the ingest-time hpx7 key
+    cat_rows = [(int(i), float(i * 3.7 % 360), float((i * 7.3) % 160 - 80))
+                for i in range(800)]
+    catalog = (spark.createDataFrame(
+        cat_rows, "cat_id long, ra double, dec double")
+        .withColumn("hpx7", hpx_udf(7)("ra", "dec"))
+        .localCheckpoint(eager=True))
+
+    # detections: jittered copies of a catalog subset (guaranteed matches)
+    det = [(int(1000 + i), float((i * 13 * 3.7 % 360) + 0.01),
+            float(((i * 13 * 7.3) % 160 - 80) + 0.01)) for i in range(60)]
+    src = str(tmp_path / "dets")
+    half = len(det) // 2
+    spark.createDataFrame(det[:half], "det_id long, ra double, dec double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(det[half:], "det_id long, ra double, dec double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("det_id long, ra double, dec double").parquet(src)
+              .withColumn("hpx7", hpx_udf(7)("ra", "dec")))
+    out = stream_crossmatch(stream, catalog, 0.1,
+                            cell_col="hpx7", cell_level=7)
+    q = (out.select("det_id", "cat_id").writeStream.outputMode("append")
+         .format("memory").queryName("xm_stream")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.det_id, r.cat_id) for r in
+           spark.sql("SELECT * FROM xm_stream").collect()}
+
+    det_batch = (spark.createDataFrame(
+        det, "det_id long, ra double, dec double")
+        .withColumn("hpx7", hpx_udf(7)("ra", "dec")))
+    want = {(r.det_id_l, r.cat_id_r) for r in crossmatch(
+        det_batch, catalog, 0.1, cell_col="hpx7", cell_level=7)
+        .select("det_id_l", "cat_id_r").collect()}
+    assert got == want
+    assert len(got) >= half  # jittered copies actually matched
