@@ -405,6 +405,27 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs, max_hamming=1, k=12).select("doc_id")
 
 
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction gate: deterministic PII (emails, IPs, long numbers)
+    is appended to each doc, scrubbed with the JVM regexp chain, and the
+    oracle replays the identical RE2-compatible patterns in DuckDB — the
+    scrubbed text AND per-pattern counts must match byte-for-byte."""
+    from spatialindex_spark.operators.text import pii_scrub
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com at 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+            F.lit(" ref "), (F.col("doc_id") * 1000003 + 123456789)
+            .cast("string")).alias("text"))
+    out = pii_scrub(seeded, with_counts=True)
+    return out.select("doc_id", "text", "n_email", "n_ipv4", "n_longnum")
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination (13-gram collision rule): docs sharing any
     word 8-gram with the deterministic eval split (doc_id % 50 == 0) are
@@ -833,6 +854,43 @@ def _q_count_bounds_ellipse_hpx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(ok, exact)], "bracket_ok int, n long")
 
 
+def _q_count_fast_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 INSIDE fast path over the TRUE-S2 Hilbert cell column: interior
+    cells answered from the (sign-bit-biased) counts table with zero row
+    reads, exact geometry only over the boundary shell. Same oracle as
+    region_count: the exact cone count."""
+    from spatialindex_spark.functions.constraints import SpatialIndex as SIc
+    from spatialindex_spark.functions.udfs import s2_udf
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_fast_region)
+
+    BIAS = -1 << 63
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "s2b_7", s2_udf(7, curve="hilbert")("x", "y", "z")
+        .bitwiseXOR(F.lit(BIAS)))
+    counts = cell_count_tree(df, "s2b_7", level=7, min_level=7)
+    region = {"kind": "cone", **CONE}
+    return region_count_fast_region(df, counts, region, level=7,
+                                    cell_col="s2b_7", mode=SIc.S2)
+
+
+def _q_count_fast_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 INSIDE fast path over the hex-H3 cell column: interior hexes
+    (cell-list split covering) summed from the counts table, boundary
+    hexes re-filtered exactly. Same oracle as polygon_htm's count."""
+    from spatialindex_spark.functions.constraints import SpatialIndex as SIc
+    from spatialindex_spark.functions.udfs import h3_udf
+    from spatialindex_spark.operators.counts import (
+        cell_count_tree, region_count_fast_region)
+
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "h3_3", h3_udf(3)("ra", "dec"))
+    counts = cell_count_tree(df, "h3_3", level=3, min_level=3)
+    region = {"kind": "poly", "ra": POLY_RA, "dec": POLY_DEC}
+    return region_count_fast_region(df, counts, region, level=3,
+                                    cell_col="h3_3", mode=SIc.H3)
+
+
 def _q_count_fast_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1 INSIDE fast path for a polygon region: interior cells from the
     counts table (zero row reads), exact geometry only over the boundary
@@ -1084,6 +1142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "cell_counts": _q_cell_counts,
         "exact_dedup": _q_exact_dedup,
+        "pii_scrub": _q_pii_scrub,
         "decontaminate": _q_decontaminate,
         "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -1117,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "count_bounds_ellipse_s2": _q_count_bounds_ellipse_s2,
         "count_bounds_h3": _q_count_bounds_h3,
         "count_fast_poly": _q_count_fast_poly,
+        "count_fast_s2": _q_count_fast_s2,
+        "count_fast_h3": _q_count_fast_h3,
         "count_fast_hpx": _q_count_fast_hpx,
         "cell_rollup": _q_cell_rollup,
         "ann_ivf": _q_ann_ivf,
@@ -1768,6 +1829,12 @@ def oracle_sql() -> dict[str, str]:
         "count_fast_poly": (
             f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {poly}"
         ),
+        "count_fast_s2": (
+            f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone1}"
+        ),
+        "count_fast_h3": (
+            f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {poly}"
+        ),
         "count_fast_hpx": (
             f"{_SKY_CTE} SELECT count(*) AS n FROM sky WHERE {cone2}"
         ),
@@ -1796,6 +1863,29 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "minhash_transitive": _minhash_oracle_sql(transitive=True),
         "simhash_dedup": _simhash_oracle_sql(),
+        "pii_scrub": (
+            "WITH seeded AS (SELECT doc_id, "
+            "  text || ' contact user' || doc_id || '@example.com at 10.0.' "
+            "  || (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
+            "  || ' ref ' || (doc_id * 1000003 + 123456789) AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "  regexp_replace(regexp_replace(regexp_replace(text, "
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "    '<EMAIL>', 'g'), "
+            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "    '<IP>', 'g'), "
+            "    '\\b\\d{9,}\\b', '<NUMBER>', 'g') AS text, "
+            "  len(regexp_extract_all(text, "
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT "
+            "    AS n_email, "
+            "  len(regexp_extract_all(text, "
+            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT "
+            "    AS n_ipv4, "
+            "  len(regexp_extract_all(text, '\\b\\d{9,}\\b'))::INT "
+            "    AS n_longnum "
+            "FROM seeded"
+        ),
         "decontaminate": (
             "WITH t AS (SELECT doc_id, "
             "  string_split_regex(lower(trim(text)), '\\s+') AS ws "

@@ -205,3 +205,38 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
         return (df.join(hits.withColumn("_hit", F.lit(1)), id_col, "left")
                   .withColumn("contaminated", flag).drop("_hit"))
     return df.join(hits, id_col, "left_anti")
+
+
+#: redaction patterns (applied in order). Deliberately RE2-compatible
+#: (no backrefs / lookaround) so external engines (DuckDB, Go, Rust)
+#: reproduce the scrub byte-for-byte for oracle checks.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUMBER>"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              out_col: str | None = None,
+              with_counts: bool = False) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, long digit runs
+    — phone/account/SSN-ish) from a text column — the standard scrub pass
+    a pretraining pipeline runs before packing.
+
+    Pure JVM ``regexp_replace`` chain (whole-stage codegen, no Python, no
+    shuffle — a map-only pass that pipelines with any downstream
+    operator). Patterns are RE2-compatible by design so the scrub is
+    reproducible outside the JVM (the oracle replays it in DuckDB).
+    ``with_counts`` adds one redaction-count column per pattern
+    (regexp_count, also JVM)."""
+    out_col = out_col or text_col
+    scrubbed = F.col(text_col)
+    for _name, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    res = df
+    if with_counts:
+        for name, pat, _tok in PII_PATTERNS:
+            res = res.withColumn(
+                f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    return res.withColumn(out_col, scrubbed)

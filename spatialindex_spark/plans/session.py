@@ -85,3 +85,38 @@ def cluster_by_cell(df: DataFrame, cell_col: str = "spt_ind",
 def write_clustered(df: DataFrame, path: str, cell_col: str = "spt_ind",
                     num_partitions: int | None = None, mode: str = "overwrite") -> None:
     cluster_by_cell(df, cell_col, num_partitions).write.mode(mode).parquet(path)
+
+
+def write_bucketed(df: DataFrame, table: str, key_col: str,
+                   num_buckets: int = 32, mode: str = "overwrite") -> None:
+    """Write a BUCKETED table on the join key (Spark bucketBy + sortBy):
+    the persistent form of co-location. Two tables bucketed on the same
+    key with the same bucket count join with NO Exchange and NO Sort on
+    either side (plan-asserted in tests) — at 100 TB this removes the
+    dominant shuffle of repeated tile-to-tile / catalog-to-catalog joins:
+    bucket once at ingest, join for free forever after. Parquet + the
+    session catalog (saveAsTable is required for bucket metadata; a plain
+    .parquet(path) write silently drops it). Exchange elision is
+    unconditional; eliding the join-side Sort additionally needs
+    ``spark.sql.legacy.bucketedTableScan.outputOrdering=true``, which is
+    sound with this writer's single-file-per-bucket layout (Spark hides
+    scan ordering by default because multi-file buckets are only
+    file-wise sorted)."""
+    # one task per bucket => one FILE per bucket: Spark only elides the
+    # join-side Sort when every bucket is a single sorted file (multi-file
+    # buckets are only file-wise sorted). repartition and bucketBy share
+    # the Murmur3 hash, so the alignment is exact.
+    (df.repartition(num_buckets, F.col(key_col))
+       .write.mode(mode).format("parquet")
+       .bucketBy(num_buckets, key_col).sortBy(key_col)
+       .saveAsTable(table))
+
+
+def bucketed_cell_join(spark, left_table: str, right_table: str,
+                       key_col: str = "spt_ind", how: str = "inner"):
+    """Join two same-bucketed tables on their bucket key — resolves to a
+    SortMergeJoin with zero Exchange/Sort when both sides were written by
+    ``write_bucketed`` with equal bucket counts."""
+    lt = spark.table(left_table)
+    rt = spark.table(right_table)
+    return lt.join(rt, key_col, how)

@@ -1182,6 +1182,35 @@ def test_h3_covering_properties():
         h3_hex_validate(h3_id(ra[:100], dec[:100], 5))
 
 
+def test_pii_scrub(spark):
+    """PII redaction: emails, IPv4s, long digit runs replaced; short
+    numbers and normal text untouched; counts match; map-only JVM plan
+    (no Python, no Exchange)."""
+    from spatialindex_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at jane.doe+spam@sub.example.co.uk thanks"),
+        (2, "server 192.168.1.254 answered in 12 ms"),
+        (3, "card 4111111111111111 and ssn 123456789 leaked"),
+        (4, "call 911 or wait 30 minutes at pier 39"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           pii_scrub(df, with_counts=True).collect()}
+    assert out[1].text == "mail me at <EMAIL> thanks"
+    assert out[1].n_email == 1
+    assert out[2].text == "server <IP> answered in 12 ms"
+    assert out[2].n_ipv4 == 1
+    assert out[3].text == "card <NUMBER> and ssn <NUMBER> leaked"
+    assert out[3].n_longnum == 2
+    assert out[4].text == rows[3][1]  # nothing redacted
+    assert out[4].n_email == out[4].n_ipv4 == out[4].n_longnum == 0
+
+    plan = (pii_scrub(df)._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_decontaminate(spark):
     """13-gram decontamination: planted eval overlaps are removed, clean
     docs survive, hash and text probe keys agree, and the training side's

@@ -273,3 +273,50 @@ def test_region_join_shuffle_strategy(spark):
     a = {(r.region_id, r.id) for r in out_b.select("region_id", "id").collect()}
     b = {(r.region_id, r.id) for r in out_s.select("region_id", "id").collect()}
     assert a == b and a
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located bucketed join (J2 at rest): two tables written with
+    write_bucketed on the same cell key and bucket count must join as a
+    SortMergeJoin with ZERO Exchange and ZERO Sort — the shape that
+    removes the dominant shuffle of repeated catalog-to-catalog joins at
+    100 TB. Also checks the join result matches a plain join."""
+    from spatialindex_spark.plans.session import (bucketed_cell_join,
+                                                  write_bucketed)
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    import shutil
+
+    img = synth_images_indexed(spark, 600, level=7, systems=("htm",))
+    a = img.select("image_id", "spt_ind", "ra")
+    b = img.select(F.col("image_id").alias("other_id"), "spt_ind", "dec")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("buck_a", "buck_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)  # orphaned location
+    write_bucketed(a, "buck_a", "spt_ind", num_buckets=8)
+    write_bucketed(b, "buck_b", "spt_ind", num_buckets=8)
+
+    # model two BIG tables (the regime bucketing exists for): with
+    # broadcast available, tiny test tables would be broadcast instead and
+    # the planner rightly skips the bucketed scan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # propagate the on-disk sort order (sound: write_bucketed emits ONE
+        # file per bucket; Spark 3+ hides scan ordering by default because
+        # multi-file buckets are only file-wise sorted)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+        j = bucketed_cell_join(spark, "buck_a", "buck_b", "spt_ind")
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan[:1500]
+        assert "Exchange" not in plan, plan[:1500]
+        # bucket-sorted on write: no Sort operator either
+        assert "Sort " not in plan.replace("SortMergeJoin", ""), plan[:1500]
+        want = a.join(b, "spt_ind").count()
+        assert j.count() == want > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false")
