@@ -405,6 +405,30 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs, max_hamming=1, k=12).select("doc_id")
 
 
+def _q_image_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata quality gate over a deterministically-synthesized
+    (w, h, nbytes) table: too-small / too-elongated / truncated-payload
+    rows flagged, all JVM Column math (oracle = the same arithmetic in
+    SQL). The image bytes never enter the plan — the 100-TB shape is a
+    metadata-only scan."""
+    from spatialindex_spark.operators.multimodal import image_quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    imgs = docs.select(
+        "doc_id",
+        (32 + (F.col("doc_id") * 37) % 2000).alias("w"),
+        (32 + (F.col("doc_id") * 91) % 3000).alias("h"),
+        # ~0.8 bytes/pixel normally; every 13th image truncated to 1%
+        F.floor(F.when(F.col("doc_id") % 13 == 0,
+                       ((32 + (F.col("doc_id") * 37) % 2000)
+                        * (32 + (F.col("doc_id") * 91) % 3000)) / 100)
+                .otherwise(((32 + (F.col("doc_id") * 37) % 2000)
+                            * (32 + (F.col("doc_id") * 91) % 3000)) * 0.8))
+        .cast("long").alias("nbytes"))
+    out = image_quality_filter(imgs, mark_only=True)
+    return out.select("doc_id", "w", "h", "nbytes", "image_ok")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction gate: deterministic PII (emails, IPs, long numbers)
     is appended to each doc, scrubbed with the JVM regexp chain, and the
@@ -977,8 +1001,13 @@ def _q_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("embedding", pert)
             .withColumn("vec_id", F.col("vec_id") + 100000))
     full = emb.unionByName(dups)
+    # nbands=6 (36-bit signature): per-pair candidate-miss probability at
+    # cosine ~0.9 falls from ~3e-3 (nbands=4) to ~1.6e-4, so the expected
+    # misses vs the all-pairs ground-truth oracle stay << 1 through sf0.1's
+    # ~250 planted twins (a 4-band run missed exactly 1 there — the LSH
+    # recall tail, caught by the scale-up oracle sweep, not a logic bug)
     return embedding_cosine_dedup(full, dim=_EMB_DIM, threshold=0.9,
-                                  band_bits=6, nbands=4).select("vec_id")
+                                  band_bits=6, nbands=6).select("vec_id")
 
 
 def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -999,8 +1028,13 @@ def _q_s2_h3_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("h3x_9", h3_udf(9)("ra", "dec")))
     # uint64 semantics via shiftrightunsigned; parent lsb at 2*(30-7)
     lsb7 = 1 << (2 * (30 - 7))
-    parent_lo = F.col("s2h_7") - F.lit(lsb7) + 1
-    parent_hi = F.col("s2h_7") + F.lit(lsb7) - 1
+    # carry-free bitwise forms of (cell - lsb + 1) / (cell + lsb - 1): the
+    # level-7 marker bit is SET and all bits below it are 0, so XOR clears
+    # it exactly and OR fills the child field — signed +/- on ids near the
+    # face-3 top (just below 2^63) overflows under ANSI mode (first hit at
+    # sf0.1's denser sky sampling; caught by the scale-up oracle run)
+    parent_lo = F.col("s2h_7").bitwiseXOR(F.lit(lsb7)).bitwiseOR(F.lit(1))
+    parent_hi = F.col("s2h_7").bitwiseOR(F.lit(lsb7 - 1))
     # ids are uint64 bit patterns in signed longs; within one face the sign
     # is constant, so BETWEEN on the signed value is order-correct here
     contained = F.col("s2h_10").between(parent_lo, parent_hi)
@@ -1143,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts": _q_cell_counts,
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
+        "image_filter": _q_image_filter,
         "decontaminate": _q_decontaminate,
         "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -1863,6 +1898,21 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "minhash_transitive": _minhash_oracle_sql(transitive=True),
         "simhash_dedup": _simhash_oracle_sql(),
+        "image_filter": (
+            "WITH imgs AS (SELECT doc_id, "
+            "  32 + (doc_id * 37) % 2000 AS w, "
+            "  32 + (doc_id * 91) % 3000 AS h, "
+            "  floor(CASE WHEN doc_id % 13 = 0 THEN "
+            "    ((32 + (doc_id * 37) % 2000) * (32 + (doc_id * 91) % 3000)) / 100 "
+            "  ELSE "
+            "    ((32 + (doc_id * 37) % 2000) * (32 + (doc_id * 91) % 3000)) * 0.8 "
+            "  END)::BIGINT AS nbytes FROM documents) "
+            "SELECT doc_id, w, h, nbytes, "
+            "  (least(w, h) >= 64 AND greatest(w, h) <= 16384 "
+            "   AND greatest(w, h)::DOUBLE / least(w, h) <= 4.0 "
+            "   AND nbytes::DOUBLE / (w * h) >= 0.05)::INT AS image_ok "
+            "FROM imgs"
+        ),
         "pii_scrub": (
             "WITH seeded AS (SELECT doc_id, "
             "  text || ' contact user' || doc_id || '@example.com at 10.0.' "

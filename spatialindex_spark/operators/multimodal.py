@@ -199,3 +199,28 @@ def phash_image_dedup(df, phash_col: str = "phash",
     losers = hamming_dedup_losers(hashed, phash_col, id_col,
                                   band_bits, max_hamming)
     return df.join(losers, id_col, "left_anti")
+
+
+def image_quality_filter(df, w_col: str = "w", h_col: str = "h",
+                         nbytes_col: str = "nbytes",
+                         min_side: int = 64, max_side: int = 16384,
+                         ar_max: float = 4.0, min_bpp: float = 0.05,
+                         mark_only: bool = False):
+    """Pretraining image-quality gate: drop (or flag) images that are too
+    small/large, too elongated (aspect ratio > ``ar_max``), or whose
+    payload is implausibly thin for their pixel count (bytes-per-pixel <
+    ``min_bpp`` — truncated/corrupt files). Pure JVM Column math over the
+    metadata columns — the image BYTES are never touched, so the filter
+    is a metadata-only scan at 100 TB (column pruning keeps the binary
+    column out of the read entirely)."""
+    from pyspark.sql import functions as F
+
+    w = F.col(w_col).cast("double")
+    h = F.col(h_col).cast("double")
+    ar = F.greatest(w, h) / F.least(w, h)
+    bpp = F.col(nbytes_col).cast("double") / (w * h)
+    ok = ((F.least(w, h) >= min_side) & (F.greatest(w, h) <= max_side)
+          & (ar <= ar_max) & (bpp >= min_bpp))
+    if mark_only:
+        return df.withColumn("image_ok", ok.cast("int"))
+    return df.filter(ok)

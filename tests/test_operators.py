@@ -1182,6 +1182,38 @@ def test_h3_covering_properties():
         h3_hex_validate(h3_id(ra[:100], dec[:100], 5))
 
 
+def test_image_quality_filter(spark, tmp_path):
+    """Image metadata gate: each rejection reason fires exactly when it
+    should, and the filter over a table WITH a binary payload column
+    never reads the bytes (ReadSchema excludes it — metadata-only scan)."""
+    from spatialindex_spark.operators.multimodal import image_quality_filter
+
+    rows = [
+        (1, 640, 480, 640 * 480, b"x"),     # fine (bpp 1.0)
+        (2, 32, 480, 32 * 480, b"x"),       # min side too small
+        (3, 20000, 480, 20000 * 480, b"x"),  # max side exceeded
+        (4, 4000, 400, 4000 * 400, b"x"),   # ar 10 > 4
+        (5, 640, 480, 100, b"x"),           # truncated payload (bpp tiny)
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, w int, h int, nbytes long, bytes binary")
+    kept = [r.image_id for r in
+            image_quality_filter(df).select("image_id").collect()]
+    assert kept == [1]
+    flags = {r.image_id: r.image_ok for r in
+             image_quality_filter(df, mark_only=True).collect()}
+    assert flags == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+
+    # column pruning: bytes never read from parquet for the id projection
+    p = str(tmp_path / "imgs")
+    df.write.parquet(p)
+    plan = (image_quality_filter(spark.read.parquet(p))
+            .select("image_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    i = plan.find("ReadSchema")
+    assert i > 0 and "bytes:binary" not in plan[i:i + 300], plan[i:i + 300]
+
+
 def test_pii_scrub(spark):
     """PII redaction: emails, IPv4s, long digit runs replaced; short
     numbers and normal text untouched; counts match; map-only JVM plan
