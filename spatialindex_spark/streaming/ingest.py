@@ -206,3 +206,71 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
            * F.cos(rad(F.col(ra_col)) - rad(F.col("cat_ra")))
            + F.sin(rad(F.col(dec_col))) * F.sin(rad(F.col("cat_dec"))))
     return pairs.filter(dot >= F.lit(cosr))
+
+
+def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id", ts_col: str = "ts",
+                         band_bits: int = 16, max_hamming: int = 3,
+                         k: int = 5, max_per_band: int = 256):
+    """Streaming NEAR-duplicate text detection (banded simhash): emits one
+    loser record (id, ts, dup flag) for every arriving doc whose simhash
+    lies within ``max_hamming`` of ANY earlier doc — the streaming twin of
+    batch ``simhash_dedup``, with the same pigeonhole band guarantee.
+
+    Shape: the 64-bit simhash (one Arrow pass) explodes into 64/band_bits
+    band keys; per band-key state holds the recent (id, hash) pairs
+    (NEVER the text — 16 bytes/doc/band), appended for winners AND losers
+    so transitive chains A~B~C drop both B and C exactly like the batch
+    operator. ``max_per_band`` caps state per key (FIFO evict) to bound
+    memory at firehose rates. Output is the PER-BAND verdict stream: a
+    doc matched in m bands emits m rows, so consumers dedupe on the id
+    (idempotent removal — or chain dropDuplicatesWithinWatermark where
+    the Spark version supports stacking stateful operators)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import _validate_bands, simhash_udf
+
+    nbands = _validate_bands(band_bits, max_hamming)
+    mask = (1 << band_bits) - 1
+    sh = (stream
+          .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+          .withColumn("_sh", simhash_udf(k)(F.col(text_col)))
+          .filter(F.col("_sh").isNotNull()))
+    stacked = sh.select(
+        id_col, ts_col, "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("b"),
+                     F.shiftrightunsigned("_sh", b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("bh"))
+            for b in range(nbands)])).alias("_k")
+    ).select(id_col, ts_col, "_sh", F.col("_k.b").alias("band"),
+             F.col("_k.bh").alias("bh"))
+
+    def update(key, pdfs, state: GroupState):
+        ids, hashes = ([], []) if not state.exists else state.get
+        ids, hashes = list(ids), list(hashes)
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for rid, rts, rhash in zip(pdf[id_col], pdf[ts_col], pdf["_sh"]):
+                dup = any(bin(int(rhash) ^ int(h)).count("1") <= max_hamming
+                          for h in hashes)
+                out.append((rid, rts, dup))
+                ids.append(int(rid))
+                hashes.append(int(rhash))
+        if len(ids) > max_per_band:
+            ids = ids[-max_per_band:]
+            hashes = hashes[-max_per_band:]
+        state.update((ids, hashes))
+        yield pd.DataFrame({id_col: [o[0] for o in out],
+                            ts_col: [o[1] for o in out],
+                            "near_dup": [o[2] for o in out]})
+
+    return (stacked.groupBy("band", "bh")
+            .applyInPandasWithState(
+                update,
+                f"{id_col} long, {ts_col} timestamp, near_dup boolean",
+                "ids array<long>, hashes array<long>",
+                "append", GroupStateTimeout.NoTimeout))

@@ -358,3 +358,61 @@ def test_stream_crossmatch_matches_batch(spark, tmp_path):
         .select("det_id_l", "cat_id_r").collect()}
     assert got == want
     assert len(got) >= half  # jittered copies actually matched
+
+
+def test_stream_simhash_dedup(spark, tmp_path):
+    """Streaming banded-simhash near-dup detection: losers across TWO
+    micro-batches equal the batch simhash_dedup losers when arrival order
+    matches id order; state carries across batches (a batch-2 replay of a
+    batch-1 doc is flagged) and first arrivals are never flagged."""
+    from pyspark.sql import functions as F
+
+    from spatialindex_spark.operators.dedup import simhash_dedup
+    from spatialindex_spark.streaming.ingest import stream_simhash_dedup
+
+    base = [
+        "the quick brown fox jumps over a lazy dog near the old bridge",
+        "completely different content about distributed query engines",
+        "sphere indexing with hierarchical triangular meshes works well",
+        "training data pipelines pack documents into fixed windows",
+    ]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append((i, f"2024-01-01 10:0{i}:00", t * 4))
+    # batch-2: replays (near-dups) of docs 0 and 2, one fresh doc
+    rows2 = [
+        (10, "2024-01-01 10:10:00", base[0] * 4),
+        (11, "2024-01-01 10:11:00", base[2] * 4),
+        (12, "2024-01-01 10:12:00",
+         "a wholly novel paragraph mentioning starlight and parquet " * 4),
+    ]
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, ts string, text string"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_simhash_dedup(stream)
+    ckpt = str(tmp_path / "ckpt")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("sh_stream").option("checkpointLocation", ckpt)
+         .start())
+    q.processAllAvailable()
+    first = {r.doc_id for r in
+             spark.sql("SELECT DISTINCT doc_id FROM sh_stream "
+                       "WHERE near_dup").collect()}
+    assert first == set()     # all batch-1 docs are first arrivals
+
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    losers = {r.doc_id for r in
+              spark.sql("SELECT DISTINCT doc_id FROM sh_stream "
+                        "WHERE near_dup").collect()}
+
+    all_rows = spark.createDataFrame(rows + rows2, schema)
+    kept = {r.doc_id for r in
+            simhash_dedup(all_rows).select("doc_id").collect()}
+    batch_losers = {r[0] for r in rows + rows2} - kept
+    assert losers == batch_losers == {10, 11}
