@@ -1022,7 +1022,13 @@ def h3_polygon_cells(ra_list, dec_list, res: int, split: bool = False):
     vy = np.sin(ra_r) * np.cos(de_r)
     vz = np.sin(de_r)
     c0 = np.array([vx.mean(), vy.mean(), vz.mean()])
-    c0 /= np.linalg.norm(c0)
+    n0 = np.linalg.norm(c0)
+    if n0 < 1e-9:
+        raise ValueError(
+            "polygon vertices average to the origin (hemisphere-spanning "
+            "or degenerate input) — no bounding cap exists; split the "
+            "region or use the HTM/HPX covering")
+    c0 /= n0
     cap_r = float(np.arccos(np.clip(
         vx * c0[0] + vy * c0[1] + vz * c0[2], -1, 1).min()))
     rmax = _h3_cell_rmax(res)

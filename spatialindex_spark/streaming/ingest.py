@@ -225,7 +225,9 @@ def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
     memory at firehose rates. Output is the PER-BAND verdict stream: a
     doc matched in m bands emits m rows, so consumers dedupe on the id
     (idempotent removal — or chain dropDuplicatesWithinWatermark where
-    the Spark version supports stacking stateful operators)."""
+    the Spark version supports stacking stateful operators). Total state
+    is absolutely bounded: at most nbands * 2^band_bits keys (262k at the
+    defaults) x max_per_band 16-byte entries — no timeout needed."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
