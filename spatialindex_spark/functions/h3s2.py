@@ -903,21 +903,44 @@ def _h3_face_disk_cells(face: int, axis, rad_tot: float, res: int):
     ca, sa = np.cos(ang), np.sin(ang)
     xr0 = ca * x0 + sa * y0
     yr0 = -sa * x0 + ca * y0
-    j_lo = int(np.floor((yr0 - r_p) / (_SQRT3 / 2.0 * s))) - 1
-    j_hi = int(np.ceil((yr0 + r_p) / (_SQRT3 / 2.0 * s))) + 1
-    cands = [(xr0 - r_p) / s + 0.5 * j_lo, (xr0 - r_p) / s + 0.5 * j_hi,
-             (xr0 + r_p) / s + 0.5 * j_lo, (xr0 + r_p) / s + 0.5 * j_hi]
-    i_lo = int(np.floor(min(cands))) - 1
-    i_hi = int(np.ceil(max(cands))) + 1
-    n_box = (i_hi - i_lo + 1) * (j_hi - j_lo + 1)
-    if n_box > _H3_COVER_BOX_LIMIT:
+    # per-row CHORD enumeration, intersected with the face disk at the
+    # origin: a square box around the query disk enumerated ~sec^4(theta)
+    # more cells than exist (hypothesis-found: 28M box for a 14k-cell
+    # covering at radius 15 deg, res 6), while the chord intersection is
+    # bounded by the smaller of the two disks' areas.
+    row_h = _SQRT3 / 2.0 * s
+    j_lo = int(np.floor((max(yr0 - r_p, -rho_max)) / row_h)) - 1
+    j_hi = int(np.ceil((min(yr0 + r_p, rho_max)) / row_h)) + 1
+    j_vals = np.arange(j_lo, j_hi + 1, dtype=np.int64)
+    yr_c = j_vals * row_h
+    dyq = r_p * r_p - (yr_c - yr0) ** 2          # query-disk chord
+    dyo = rho_max * rho_max - yr_c ** 2          # face-disk chord
+    ok = (dyq > 0) & (dyo > 0)
+    j_vals, yr_c, dyq, dyo = j_vals[ok], yr_c[ok], dyq[ok], dyo[ok]
+    if len(j_vals) == 0:
+        return (np.empty(0, np.int64),) * 2
+    hq, ho = np.sqrt(dyq), np.sqrt(dyo)
+    x_min = np.maximum(xr0 - hq, -ho)
+    x_max = np.minimum(xr0 + hq, ho)
+    ok = x_min <= x_max
+    j_vals, yr_c, x_min, x_max = j_vals[ok], yr_c[ok], x_min[ok], x_max[ok]
+    if len(j_vals) == 0:
+        return (np.empty(0, np.int64),) * 2
+    # axial i = xr/s + j/2 along each row
+    i_lo_r = np.floor(x_min / s + 0.5 * j_vals).astype(np.int64) - 1
+    i_hi_r = np.ceil(x_max / s + 0.5 * j_vals).astype(np.int64) + 1
+    counts = i_hi_r - i_lo_r + 1
+    n_cells = int(counts.sum())
+    if n_cells > _H3_COVER_BOX_LIMIT:
         raise ValueError(
-            f"h3 covering enumeration box is {n_box} cells at res {res}; "
+            f"h3 covering enumeration is {n_cells} cells at res {res}; "
             "use a coarser res for this region size")
-    ii, jj = np.meshgrid(np.arange(i_lo, i_hi + 1, dtype=np.int64),
-                         np.arange(j_lo, j_hi + 1, dtype=np.int64),
-                         indexing="ij")
-    ii, jj = ii.ravel(), jj.ravel()
+    jj = np.repeat(j_vals, counts)
+    # vectorized ragged arange: offset within each row + row start
+    starts = np.repeat(i_lo_r, counts)
+    offs = np.arange(n_cells, dtype=np.int64) \
+        - np.repeat(np.cumsum(counts) - counts, counts)
+    ii = starts + offs
     x2d, y2d = _axial_to_2d(ii, jj, res)
     near = (x2d - x0) ** 2 + (y2d - y0) ** 2 <= r_p * r_p * 1.0001
     ii, jj, x2d, y2d = ii[near], jj[near], x2d[near], y2d[near]

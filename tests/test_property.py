@@ -110,3 +110,42 @@ def test_constraint_superset_property(ra, dec, radius):
             continue  # numerically outside after wrap — skip
         cell = htm_id(x, y, z, 7)[0]
         assert ((arr[:, 0] <= cell) & (cell <= arr[:, 1])).any()
+
+
+@settings(max_examples=30, deadline=None)
+@given(ra=ra_st, dec=dec_st,
+       radius=st.floats(min_value=0.05, max_value=15.0),
+       res=st.integers(min_value=1, max_value=6))
+def test_h3_cone_cells_properties(ra, dec, radius, res):
+    """Hex cone covering (randomized): sorted unique, contains the cone
+    center's own cell, and the split partitions the covering."""
+    from spatialindex_spark.functions.h3s2 import h3_cone_cells, h3_hex_id
+
+    cells = h3_cone_cells(ra, dec, radius, res)
+    assert len(cells) > 0
+    assert (np.diff(cells) > 0).all()  # sorted, no duplicates
+    own = h3_hex_id(np.array([ra]), np.array([dec]), res)[0]
+    assert own in cells
+    ins, bnd = h3_cone_cells(ra, dec, radius, res, split=True)
+    assert len(ins) + len(bnd) == len(cells)
+    assert np.array_equal(np.sort(np.concatenate([ins, bnd])), cells)
+
+
+@settings(max_examples=30, deadline=None)
+@given(ra=ra_st, dec=dec_st,
+       radius=st.floats(min_value=0.05, max_value=20.0),
+       level=st.integers(min_value=2, max_value=12))
+def test_s2_cap_ranges_properties(ra, dec, radius, level):
+    """S2 cap covering (randomized): ranges sorted/disjoint in uint64
+    order and the cone center's own Hilbert id is covered."""
+    from spatialindex_spark.functions.h3s2 import s2_cap_ranges, s2_cell_id
+
+    rr = s2_cap_ranges(ra, dec, radius, level)
+    assert rr
+    u = np.array(rr, dtype=np.int64).view(np.uint64)
+    assert (u[:, 0] <= u[:, 1]).all()
+    if len(u) > 1:
+        assert (u[1:, 0] > u[:-1, 1]).all()
+    x, y, z = radec_to_xyz(np.array([ra]), np.array([dec]))
+    own = s2_cell_id(x, y, z, level).view(np.uint64)[0]
+    assert ((u[:, 0] <= own) & (own <= u[:, 1])).any()
