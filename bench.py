@@ -374,34 +374,40 @@ def main():
         # zero code change), and the median across pairs is the
         # typical-run number the >=0.8 bar describes. Every run is
         # recorded in `attempts` for auditability.
+        # attempt budget well above PAIR_TARGET: throttle episodes run for
+        # minutes (a run observed 4 of 5 attempts rejected at 13-55%
+        # drift), and a single surviving pair from a degraded window is
+        # exactly what the median across pairs exists to outvote
         PAIR_TARGET = 3
         attempts = []
         pairs = []
         base2 = None
-        for attempt in range(PAIR_TARGET + 2):
+        for attempt in range(PAIR_TARGET + 5):
             if len(pairs) >= PAIR_TARGET:
                 break
             thr2 = isolated_median(geom_scan_job, n_scan, 2)
             if base2 is None:
                 base2 = thr2
-            pre_drift = abs(thr2 / base2 - 1.0)
-            if pre_drift > 0.10:
-                attempts.append({"attempt": attempt, "thr_2": round(thr2, 1),
-                                 "control_drift": round(pre_drift, 3),
-                                 "status": "rejected_pre_drift"})
-                continue
             thr8 = isolated_median(geom_scan_job, n_scan, 8)
             ctrl2 = isolated_median(geom_scan_job, n_scan, 2, reps=1)
-            post_drift = abs(ctrl2 / base2 - 1.0)
+            # WITHIN-PAIR consistency: the post-pair 2-core control must
+            # match the pair's OWN pre-reading — i.e. the host held one
+            # performance state across the whole pair. (A fixed session
+            # baseline would wrongly reject every pair measured after the
+            # host RECOVERS from a degraded first reading; each pair gets
+            # judged on its own window, and the median across accepted
+            # pairs picks the typical state.)
+            drift = abs(ctrl2 / thr2 - 1.0)
             rec = {"attempt": attempt, "thr_2": round(thr2, 1),
                    "thr_8": round(thr8, 1), "control_2": round(ctrl2, 1),
-                   "control_drift": round(post_drift, 3),
+                   "control_drift": round(drift, 3),
+                   "vs_first_reading": round(abs(thr2 / base2 - 1.0), 3),
                    "efficiency": round((thr8 / thr2) / 4, 3)}
-            if post_drift <= 0.10:
+            if drift <= 0.10:
                 rec["status"] = "accepted"
                 pairs.append(rec)
             else:
-                rec["status"] = "rejected_post_drift"
+                rec["status"] = "rejected_drift"
             attempts.append(rec)
         if pairs:
             pairs.sort(key=lambda r: r["efficiency"])
