@@ -405,6 +405,29 @@ def _q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(docs, max_hamming=1, k=12).select("doc_id")
 
 
+def _q_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data pipeline COMPOSITION gate: token-count
+    filter (>= 20 ws tokens) -> test-set decontamination (8-gram vs the
+    doc_id%50 eval split) -> sequence packing (ctx 256, doc_id%4 shards).
+    The single-op gates prove each stage; this one proves the
+    interactions — e.g. pack offsets depend on exactly which docs the
+    upstream filters dropped. All stages stay JVM on the corpus side."""
+    from spatialindex_spark.operators.packing import pack_sequences
+    from spatialindex_spark.operators.text import (decontaminate,
+                                                   with_token_count)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 50 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 50 == 0)
+    toks = with_token_count(train).filter(F.col("ws_tokens") >= 20)
+    clean = decontaminate(toks, eval_df, n=8)
+    packed = pack_sequences(clean.withColumn("shard", F.col("doc_id") % 4),
+                            tokens_col="ws_tokens", ctx_len=256,
+                            shard_col="shard")
+    return packed.select("doc_id", "shard", "pack_offset", "bin_start",
+                         "bin_end", "bin_offset")
+
+
 def _q_image_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image metadata quality gate over a deterministically-synthesized
     (w, h, nbytes) table: too-small / too-elongated / truncated-payload
@@ -1178,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "pii_scrub": _q_pii_scrub,
         "image_filter": _q_image_filter,
+        "train_pipeline": _q_train_pipeline,
         "decontaminate": _q_decontaminate,
         "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -1898,6 +1922,31 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(),
         "minhash_transitive": _minhash_oracle_sql(transitive=True),
         "simhash_dedup": _simhash_oracle_sql(),
+        "train_pipeline": (
+            "WITH t AS (SELECT doc_id, "
+            "  string_split_regex(lower(trim(text)), '\\s+') AS ws "
+            "FROM documents), "
+            "tok AS (SELECT doc_id, len(ws)::BIGINT AS n FROM t "
+            "  WHERE doc_id % 50 != 0 AND len(ws) >= 20), "
+            "g AS (SELECT doc_id, unnest(CASE WHEN len(ws) >= 8 THEN "
+            "  list_transform(range(0, len(ws) - 8 + 1), "
+            "    i -> array_to_string(ws[i+1:i+8], ' ')) "
+            "  ELSE [] END) AS gram FROM t), "
+            "ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT DISTINCT doc_id FROM g "
+            "  WHERE doc_id % 50 != 0 AND gram IN (SELECT gram FROM ev)), "
+            "clean AS (SELECT doc_id, doc_id % 4 AS shard, n FROM tok "
+            "  WHERE doc_id NOT IN (SELECT doc_id FROM hits)), "
+            "o AS (SELECT doc_id, shard, n, "
+            "  coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id "
+            "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off "
+            "FROM clean) "
+            "SELECT doc_id, shard, off::BIGINT AS pack_offset, "
+            "  (off // 256)::BIGINT AS bin_start, "
+            "  ((off + greatest(n, 1) - 1) // 256)::BIGINT AS bin_end, "
+            "  (off % 256)::BIGINT AS bin_offset "
+            "FROM o"
+        ),
         "image_filter": (
             "WITH imgs AS (SELECT doc_id, "
             "  32 + (doc_id * 37) % 2000 AS w, "
