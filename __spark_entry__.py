@@ -241,6 +241,55 @@ def _q_polygon_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.filter(pred).filter(geom).select("o_orderkey")
 
 
+def _q_hull_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 convex hull queried through the TRUE-S2 Hilbert index (hull ->
+    s2_polygon_ranges covering on the biased ids -> exact half-space
+    conjunction); same oracle as hull_htm — the covering is pruning only."""
+    from spatialindex_spark.functions.geometry import xyz_to_radec
+    from spatialindex_spark.functions.h3s2 import s2_polygon_ranges
+    from spatialindex_spark.functions.udfs import s2_udf
+
+    hull = _hull()
+    hra, hdec = zip(*[xyz_to_radec(v.x, v.y, v.z) for v in hull.verts])
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "s2h_7", s2_udf(7, curve="hilbert")("x", "y", "z"))
+    ranges = s2_polygon_ranges(list(hra), list(hdec), 7)
+    BIAS = -1 << 63
+    b = F.col("s2h_7").bitwiseXOR(F.lit(BIAS))
+    pred = None
+    for lo, hi in ranges:
+        c = b.between(lo ^ BIAS, hi ^ BIAS)
+        pred = c if pred is None else (pred | c)
+    geom = None
+    for e in hull.edges:
+        g = (F.lit(e.x) * F.col("x") + F.lit(e.y) * F.col("y")
+             + F.lit(e.z) * F.col("z")) >= 0.0
+        geom = g if geom is None else (geom & g)
+    return df.filter(pred).filter(geom).select("o_orderkey")
+
+
+def _q_hull_h3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 convex hull queried through the hex-H3 cell-list index
+    (h3_polygon_cells covering + exact half-spaces); same oracle as
+    hull_htm."""
+    from spatialindex_spark.functions.geometry import xyz_to_radec
+    from spatialindex_spark.functions.h3s2 import h3_polygon_cells
+    from spatialindex_spark.functions.udfs import h3_udf
+
+    hull = _hull()
+    hra, hdec = zip(*[xyz_to_radec(v.x, v.y, v.z) for v in hull.verts])
+    df = _orders_sky(spark, sf_dir).withColumn(
+        "h3_3", h3_udf(3)("ra", "dec"))
+    cells = [int(c) for c in h3_polygon_cells(list(hra), list(hdec), 3)]
+    geom = None
+    for e in hull.edges:
+        g = (F.lit(e.x) * F.col("x") + F.lit(e.y) * F.col("y")
+             + F.lit(e.z) * F.col("z")) >= 0.0
+        geom = g if geom is None else (geom & g)
+    return df.filter(F.col("h3_3").isin(cells)).filter(geom) \
+             .select("o_orderkey")
+
+
 def _q_region_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A3 region count: indexed count == brute count."""
     df = _orders_sky(spark, sf_dir)
@@ -1226,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": _q_range_join,
         "ellipse_htm": _q_ellipse_htm,
         "hull_htm": _q_hull_htm,
+        "hull_s2": _q_hull_s2,
+        "hull_h3": _q_hull_h3,
         "polygon_hpx": _q_polygon_hpx,
         "cone_base4": _q_cone_base4,
         "count_bounds": _q_count_bounds,
@@ -1829,6 +1880,14 @@ def oracle_sql() -> dict[str, str]:
             + _ellipse_where()
         ),
         "hull_htm": (
+            f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
+            + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
+        ),
+        "hull_s2": (
+            f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
+            + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
+        ),
+        "hull_h3": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
             + _geom_sql("", [(e.x, e.y, e.z, 0.0) for e in _hull().edges])
         ),
