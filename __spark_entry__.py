@@ -2021,28 +2021,31 @@ def oracle_sql() -> dict[str, str]:
             "   AND nbytes::DOUBLE / (w * h) >= 0.05)::INT AS image_ok "
             "FROM imgs"
         ),
+        # counts are PROGRESSIVE (pattern i counted on the text after
+        # patterns 0..i-1 replaced), mirroring pii_scrub's sequential chain
         "pii_scrub": (
             "WITH seeded AS (SELECT doc_id, "
             "  text || ' contact user' || doc_id || '@example.com at 10.0.' "
             "  || (doc_id % 256) || '.' || ((doc_id * 7) % 256) "
-            "  || ' ref ' || (doc_id * 1000003 + 123456789) AS text "
-            "FROM documents) "
+            "  || ' ref ' || (doc_id * 1000003 + 123456789) AS t0 "
+            "FROM documents), "
+            "s1 AS (SELECT doc_id, t0, regexp_replace(t0, "
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "  '<EMAIL>', 'g') AS t1 FROM seeded), "
+            "s2 AS (SELECT doc_id, t0, t1, regexp_replace(t1, "
+            "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
+            "  '<IP>', 'g') AS t2 FROM s1) "
             "SELECT doc_id, "
-            "  regexp_replace(regexp_replace(regexp_replace(text, "
-            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
-            "    '<EMAIL>', 'g'), "
-            "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', "
-            "    '<IP>', 'g'), "
-            "    '\\b\\d{9,}\\b', '<NUMBER>', 'g') AS text, "
-            "  len(regexp_extract_all(text, "
+            "  regexp_replace(t2, '\\b\\d{9,}\\b', '<NUMBER>', 'g') AS text, "
+            "  len(regexp_extract_all(t0, "
             "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT "
             "    AS n_email, "
-            "  len(regexp_extract_all(text, "
+            "  len(regexp_extract_all(t1, "
             "    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT "
             "    AS n_ipv4, "
-            "  len(regexp_extract_all(text, '\\b\\d{9,}\\b'))::INT "
+            "  len(regexp_extract_all(t2, '\\b\\d{9,}\\b'))::INT "
             "    AS n_longnum "
-            "FROM seeded"
+            "FROM s2"
         ),
         "decontaminate": (
             "WITH t AS (SELECT doc_id, "

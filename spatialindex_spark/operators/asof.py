@@ -90,8 +90,12 @@ def sessionize(df, user_col: str = "user_id", ts_col: str = "ts",
                   .cast("double"))
         exceeded = gap_us > gap_minutes * 60.0 * 1e6
     else:
-        sec = F.col(ts_col).cast("double")
-        psec = prev.cast("double")
+        # intermediate cast('timestamp') is a no-op for true TimestampType
+        # but makes string ts columns parse (string -> double casts yield
+        # NULL, which would silently put every row in session 0 — r3
+        # advice fix)
+        sec = F.col(ts_col).cast("timestamp").cast("double")
+        psec = prev.cast("timestamp").cast("double")
         exceeded = (sec - psec) > gap_minutes * 60.0
     new_sess = (prev.isNull() | exceeded).cast("long")
     # running count of boundaries = session index (first boundary -> 1)

@@ -267,14 +267,20 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
         # in-plan layout guard (same zero-extra-stage assert_true pattern
         # as hpx_cell_key): the legacy HEALPix-analogue h3 layout joined
         # against hex-covering cells would silently match nothing — fail
-        # loudly instead. Hex ids: bit63=0, mode nibble (bits 59-62) == 1.
+        # loudly instead. Hex ids: bit63=0, mode nibble (bits 59-62) == 1,
+        # AND the res nibble (bits 55-58) must equal the covering level —
+        # legacy (res << 56) ids at res 8-15 also set the mode-nibble
+        # pattern 1, and a res-mismatched hex column can never equi-match
+        # the covering cells (r3 advice fix).
         c = F.col(cell_col)
         ok = c.isNull() | ((c >= 0)
                            & (F.shiftright(c, 59).bitwiseAND(F.lit(0xF))
-                              == 1))
+                              == 1)
+                           & (F.shiftright(c, 55).bitwiseAND(F.lit(0xF))
+                              == level))
         guard = F.assert_true(
-            ok, f"{cell_col} is not a hex-H3 id (legacy grid='hpx' "
-                "layout? see h3_udf docs)")
+            ok, f"{cell_col} is not a hex-H3 id at res {level} (legacy "
+                "grid='hpx' layout or res mismatch? see h3_udf docs)")
         cell = F.coalesce(F.when(guard.isNull(), c), F.lit(-1))
     else:
         cell = F.coalesce(F.col(cell_col), F.lit(-1))

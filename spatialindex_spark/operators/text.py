@@ -229,14 +229,16 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     operator). Patterns are RE2-compatible by design so the scrub is
     reproducible outside the JVM (the oracle replays it in DuckDB).
     ``with_counts`` adds one redaction-count column per pattern
-    (regexp_count, also JVM)."""
+    (regexp_count, also JVM). Each pattern is counted against the text
+    AFTER the preceding patterns were replaced — mirroring the sequential
+    replacement chain — so the counts reconcile exactly with the
+    redactions actually performed (e.g. a 9+-digit run inside an email is
+    consumed by <EMAIL>, not double-counted by n_longnum; r3 advice fix)."""
     out_col = out_col or text_col
-    scrubbed = F.col(text_col)
-    for _name, pat, token in PII_PATTERNS:
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
     res = df
-    if with_counts:
-        for name, pat, _tok in PII_PATTERNS:
-            res = res.withColumn(
-                f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
-    return res.withColumn(out_col, scrubbed)
+    cur = F.col(text_col)
+    for name, pat, token in PII_PATTERNS:
+        if with_counts:
+            res = res.withColumn(f"n_{name}", F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, token)
+    return res.withColumn(out_col, cur)

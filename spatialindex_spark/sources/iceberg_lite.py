@@ -23,10 +23,16 @@ CLAIMS every bucket with an atomic directory rename into data/, and
 publishes a lineage marker (bucket, cell range, row count, checksum) with
 an atomic file replace. A re-run skips every bucket already marked —
 partially-completed tile-assignment jobs resume idempotently (north-rule
-requirement), and two resumers racing the same crash recover without
-duplicate or torn state (exactly one claim rename wins per bucket; the
-loser discards its staging copy — tested with concurrent threads). The
-final snapshot is the compacted commit log, itself rename-committed.
+requirement). Same-host writers are additionally SERIALIZED with an
+advisory flock on metadata/write.lock (held for the whole write; released
+automatically on process death), so the startup cleanup of unmarked bucket
+dirs can never race a live writer's rename-then-mark window (r3 advice
+fix) — two resumers racing the same crash recover without duplicate or
+torn state (tested with concurrent threads). The rename-claim protocol
+remains in place beneath the lock as defense in depth for shared
+filesystems where flock is unreliable (exactly one claim rename wins per
+bucket; the loser discards its staging copy). The final snapshot is the
+compacted commit log, itself rename-committed.
 """
 
 from __future__ import annotations
@@ -136,17 +142,41 @@ class IcebergLiteTable:
 
         ``fail_after_groups`` is a test hook simulating a mid-job crash.
         Returns the snapshot dict."""
+        import fcntl
+
+        os.makedirs(self.meta_dir, exist_ok=True)
+        # Serialize same-host writers: without this, resumer B's startup
+        # cleanup could rmtree a bucket dir that live writer A renamed into
+        # place but had not yet marked — A then publishes a marker for data
+        # that no longer exists (silent row loss). flock is advisory,
+        # blocking, and auto-released on process death, so a crashed writer
+        # never wedges the table (r3 advice fix).
+        with open(os.path.join(self.meta_dir, "write.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                return self._write_locked(df, group_size, fail_after_groups)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
+    #: staging dirs older than this are presumed crash leftovers. Far above
+    #: any realistic single-group stage write (the previous 60 s threshold
+    #: was shorter than a typical Spark stage, so a late-starting resumer
+    #: could delete a LIVE writer's in-progress staging dir — r3 advice fix;
+    #: with the write lock this now only ever fires on true crash debris).
+    STALE_STAGE_SECS = 6 * 3600
+
+    def _write_locked(self, df: DataFrame, group_size: int,
+                      fail_after_groups: int | None) -> dict:
         import shutil
         import uuid
 
+        # re-read under the lock: a writer that held the lock before us may
+        # have committed buckets after our constructor ran
         done = self.committed_buckets()
         # crash leftovers: (a) bucket dirs that were renamed into place but
         # whose marker never landed, (b) stale staging dirs. Both are
-        # re-creatable from the source, so delete and re-write. NOTE: this
-        # cleanup is safe between sequential resumes (incl. after a crash);
-        # two LIVE writers racing bucket-rename vs cleanup within the same
-        # instant remain out of scope (the commit protocol itself — stage,
-        # claim-by-rename, atomic marker — is race-safe, tested).
+        # re-creatable from the source, so delete and re-write. The write
+        # lock guarantees no live writer's rename/mark can interleave here.
         if os.path.isdir(self.data_dir):
             for d in os.listdir(self.data_dir):
                 if d.startswith("bucket="):
@@ -156,7 +186,8 @@ class IcebergLiteTable:
         if os.path.isdir(self.path):
             for d in os.listdir(self.path):
                 p = os.path.join(self.path, d)
-                if d.startswith(".stage-") and time.time() - os.path.getmtime(p) > 60:
+                if d.startswith(".stage-") and \
+                        time.time() - os.path.getmtime(p) > self.STALE_STAGE_SECS:
                     shutil.rmtree(p, ignore_errors=True)
         todo = [b for b in range(self.num_buckets) if b not in done]
         df = df.withColumn("bucket", self.bucket_expr())

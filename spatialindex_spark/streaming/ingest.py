@@ -184,10 +184,26 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
     import math
 
     from ..functions.geometry import RAD_PER_DEG
-    from ..operators.joins import (_ring1_map_df, hpx_cell_key,
-                                   pick_match_level)
+    from ..functions.healpix import safe_ring1_rad
+    from ..operators.joins import (JVM_RING_MAX_LEVEL, _ring1_map_df,
+                                   hpx_cell_key, pick_match_level)
 
-    lvl = min(pick_match_level(radius_deg), cell_level)
+    # Cap at JVM_RING_MAX_LEVEL like batch crossmatch: _ring1_map_df builds
+    # 12*4^lvl rows on the driver (level 12 ~ 200M rows would OOM), and the
+    # broadcast-map path is only valid when ring-1 adjacency covers the
+    # radius. Coarser levels keep safe_ring1_rad larger, so the cap never
+    # loses pairs — it only widens the candidate set.
+    lvl = min(pick_match_level(radius_deg), cell_level, JVM_RING_MAX_LEVEL)
+    rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
+    if rings > 1:
+        # radius exceeds the ring-1 bound even at the coarsest usable level
+        # (~28 deg at order 0): ring-1 expansion would silently drop true
+        # pairs. Batch crossmatch handles this with multi-ring expansion;
+        # the streaming path fails loudly instead of under-matching.
+        raise ValueError(
+            f"stream_crossmatch: radius {radius_deg} deg needs {rings} "
+            f"neighbor rings at level {lvl}; only ring-1 is supported in "
+            "streaming — use batch crossmatch() for very large radii")
     ring_map = _ring1_map_df(catalog.sparkSession, lvl)
     cat = (catalog.withColumn("_mc", hpx_cell_key(cell_col, cell_level, lvl))
            .withColumnRenamed(ra_col, "cat_ra")

@@ -1125,6 +1125,22 @@ def test_region_join_h3_mode(spark, small_images):
         region_join(pts_bad, regions[:1], level=4,
                     mode=SpatialIndex.H3).count()
 
+    # legacy ids at res 8-15 set (res << 56) bits matching the hex mode
+    # nibble pattern 1 — the r3 guard passed them silently; the res-nibble
+    # check must reject them (r3 advice fix)
+    pts_bad9 = small_images.withColumn(
+        "spt_ind", h3_udf(9, grid="hpx")("ra", "dec"))
+    with pytest.raises(Exception, match="hex-H3"):
+        region_join(pts_bad9, regions[:1], level=4,
+                    mode=SpatialIndex.H3).count()
+
+    # true hex ids at the WRONG res can never equi-match the covering —
+    # the guard must fail loudly instead of returning empty
+    pts_res5 = small_images.withColumn("spt_ind", h3_udf(5)("ra", "dec"))
+    with pytest.raises(Exception, match="hex-H3"):
+        region_join(pts_res5, regions[:1], level=4,
+                    mode=SpatialIndex.H3).count()
+
 
 def test_h3_covering_properties():
     """Hex coverings are complete (random in-region points' assigned

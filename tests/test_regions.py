@@ -359,6 +359,15 @@ def test_stream_crossmatch_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) >= half  # jittered copies actually matched
 
+    # a radius beyond the order-0 ring-1 bound (~28 deg) would need
+    # multi-ring expansion the streaming path doesn't do — it must raise
+    # instead of silently under-matching (r3 advice fix)
+    import pytest
+
+    with pytest.raises(ValueError, match="ring"):
+        stream_crossmatch(stream, catalog, 45.0,
+                          cell_col="hpx7", cell_level=7)
+
 
 def test_stream_simhash_dedup(spark, tmp_path):
     """Streaming banded-simhash near-dup detection: losers across TWO
