@@ -377,14 +377,31 @@ def main():
         # attempt budget well above PAIR_TARGET: throttle episodes run for
         # minutes (a run observed 4 of 5 attempts rejected at 13-55%
         # drift), and a single surviving pair from a degraded window is
-        # exactly what the median across pairs exists to outvote
+        # exactly what the median across pairs exists to outvote.
+        # HOST-STATE CLASSIFICATION (r3 verdict fix): the 2-core control
+        # reading IS a host-state probe — on this VM the same code reads
+        # ~3.7-4.2M rows/s in a clean window and 2.9-3.5M in the documented
+        # hypervisor-throttle band (BENCH.md variance log). A pair whose
+        # own 2-core legs sit below the clean threshold is internally
+        # consistent but measured on a degraded host, so its efficiency
+        # under-reports the engine. We therefore keep attempting (within a
+        # wall-clock budget) until at least one CLEAN-window pair is
+        # captured, report the median over clean accepted pairs, and keep
+        # every attempt (incl. degraded ones) in the audit artifact.
         PAIR_TARGET = 3
+        CLEAN_2CORE = float(os.environ.get("SPARK_GRAFT_CLEAN_2CORE", "3.6e6"))
+        SCALE_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
+        MAX_ATTEMPTS = 14
         attempts = []
         pairs = []
         base2 = None
-        for attempt in range(PAIR_TARGET + 5):
-            if len(pairs) >= PAIR_TARGET:
+        t_scale0 = time.perf_counter()
+        for attempt in range(MAX_ATTEMPTS):
+            have_clean = any(p["host_state"] == "clean" for p in pairs)
+            if len(pairs) >= PAIR_TARGET and have_clean:
                 break
+            if pairs and time.perf_counter() - t_scale0 > SCALE_BUDGET:
+                break   # budget spent; report what we have, flagged below
             thr2 = isolated_median(geom_scan_job, n_scan, 2)
             if base2 is None:
                 base2 = thr2
@@ -402,6 +419,8 @@ def main():
                    "thr_8": round(thr8, 1), "control_2": round(ctrl2, 1),
                    "control_drift": round(drift, 3),
                    "vs_first_reading": round(abs(thr2 / base2 - 1.0), 3),
+                   "host_state": ("clean" if min(thr2, ctrl2) >= CLEAN_2CORE
+                                  else "degraded"),
                    "efficiency": round((thr8 / thr2) / 4, 3)}
             if drift <= 0.10:
                 rec["status"] = "accepted"
@@ -409,10 +428,16 @@ def main():
             else:
                 rec["status"] = "rejected_drift"
             attempts.append(rec)
-        if pairs:
-            pairs.sort(key=lambda r: r["efficiency"])
-            accepted = dict(pairs[len(pairs) // 2],
-                            status=f"median_of_{len(pairs)}_accepted_pairs")
+        clean_pairs = [p for p in pairs if p["host_state"] == "clean"]
+        pool = clean_pairs or pairs
+        if pool:
+            pool = sorted(pool, key=lambda r: r["efficiency"])
+            accepted = dict(
+                pool[len(pool) // 2],
+                status=(f"median_of_{len(clean_pairs)}_clean_pairs"
+                        if clean_pairs else
+                        f"median_of_{len(pairs)}_accepted_pairs"
+                        "_all_degraded_host"))
         else:  # every attempt drifted: report last, flagged
             accepted = dict(attempts[-1], status="accepted_with_drift")
 
@@ -424,12 +449,15 @@ def main():
             "job": "exact-geometry region scan (64 cones/row, JVM codegen)",
             "rows": n_scan,
             "measurement": ("isolated session, warm pass + median-of-3, "
-                            "2-core control-drift guard (<=10%)"),
+                            "2-core control-drift guard (<=10%), "
+                            "host-state-classified (clean 2c >= "
+                            f"{CLEAN_2CORE:.2g} rows/s)"),
             "thr_rows_per_sec": {"2": accepted["thr_2"],
                                  "8": accepted["thr_8"],
                                  "32": round(thr32, 1)},
             "efficiency_2_to_8": accepted["efficiency"],
             "efficiency_8_to_32": round((thr32 / accepted["thr_8"]) / 4, 3),
+            "host_state": accepted.get("host_state", "unknown"),
             "pair_status": accepted["status"],
             "attempts": attempts,
             "ingest_pipeline_thr": {str(c): round(v, 1) for c, v in ing.items()},
@@ -447,7 +475,12 @@ def main():
         with open(probe_path) as f:
             dedup_probe = json.load(f)
 
-    out = {
+    # FULL audit record (every scaling attempt, sf1 details, dedup probe)
+    # goes to bench_artifacts/ — the driver's stdout capture keeps only the
+    # tail of the output, so the stdout line must stay compact (r3 verdict
+    # fix: a single ~3.9 KB line overflowed the 2000-char capture and the
+    # round recorded parsed:null).
+    full = {
         "metric": "spatial_join_tile_assignment",
         "value": results["spatial_join_tiles"],
         "unit": "sec",
@@ -461,7 +494,42 @@ def main():
         "scaling": scaling,
         "dedup_probe": dedup_probe,
     }
-    print(json.dumps(out))
+    art_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_artifacts")
+    os.makedirs(art_dir, exist_ok=True)
+    with open(os.path.join(art_dir, "bench_full.json"), "w") as f:
+        json.dump(full, f, indent=1)
+
+    # compact headline (< ~1.5 KB): per-query secs, sf1 block, scaling
+    # efficiencies + host state. MUST be the final stdout line.
+    sf1_c = {k: sf1[k] for k in ("n_images", "spatial_join_tiles",
+                                 "cone_search", "crossmatch", "knn",
+                                 "throughput_rows_per_sec") if k in sf1}
+    scal_c = {}
+    if scaling:
+        scal_c = {"thr_rows_per_sec": scaling["thr_rows_per_sec"],
+                  "efficiency_2_to_8": scaling["efficiency_2_to_8"],
+                  "efficiency_8_to_32": scaling["efficiency_8_to_32"],
+                  "ingest_efficiency_8_to_32":
+                      scaling["ingest_efficiency_8_to_32"],
+                  "host_state": scaling["host_state"],
+                  "pair_status": scaling["pair_status"],
+                  "n_attempts": len(scaling["attempts"])}
+    out = {
+        "metric": "spatial_join_tile_assignment",
+        "value": results["spatial_join_tiles"],
+        "unit": "sec",
+        "queries": results,
+        "sf": SF,
+        "n_images": n_img,
+        "throughput": {"rows_per_sec": round(n_img / results["spatial_join_tiles"], 1)},
+        "sf1": sf1_c,
+        "scaling": scal_c,
+        "audit": "bench_artifacts/bench_full.json",
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
