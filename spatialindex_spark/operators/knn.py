@@ -260,6 +260,151 @@ def knn(queries: DataFrame, data: DataFrame, k: int,
     return out
 
 
+def knn_join(left: DataFrame, right: DataFrame, k: int,
+             level: int = 4,
+             left_id: str = "left_id", right_id: str = "right_id",
+             l_cols=("ra", "dec"), r_cols=("ra", "dec"),
+             cell_col: str | None = None, cell_level: int | None = None,
+             levels: tuple | None = None,
+             exclude_self: bool = False,
+             on_starved: str = "raise") -> DataFrame:
+    """k nearest ``right`` rows for EVERY ``left`` row — both sides big
+    (the self-kNN / k-nearest-source-per-object statistic; A6+J4 at table
+    scale, reference seed htm.c:1582-1700's ring pruning).
+
+    Unlike :func:`knn` (which broadcasts a small query frame), NEITHER
+    side is broadcast: both sides are keyed at a probe level and the
+    candidate join is a shuffled equi-join on the cell key (plan-asserted
+    in tests) — left explodes into its ring-1 disc via the broadcast
+    (pix -> ring) map (the only broadcast in the plan, 12*4^lvl rows), so
+    every true pair within the verified radius shares a key.
+
+    Per-pass completeness criterion: a left row is SATISFIED when its
+    k-th ranked candidate lies within safe_ring1_rad(level) — then no
+    uncovered point (necessarily farther than the safe radius) can enter
+    the true top-k. Unsatisfied rows re-probe at each coarser level in
+    ``levels`` (default: level, level-2, 0; the coarse pass recomputes
+    their candidates wholesale, so no duplicate pairs). Rows still
+    starved after the coarsest pass (k-th neighbor beyond ~29 deg at
+    level 0) hit ``on_starved``: "raise" (default — never silently
+    partial) or "exact" (a LABELED crossJoin of just the starved rows
+    against ``right`` — complete by construction; the starved set is the
+    sparse tail, so the product stays bounded in practice).
+
+    When both tables carry an ingest-time nested-HPX cell column
+    (``cell_col`` at ``cell_level``), pass keys are shiftrights of it and
+    the whole plan is JVM-only at probe levels <= JVM_RING_MAX_LEVEL
+    (zero ArrowEvalPython, like crossmatch's coarse path).
+
+    Output: one row per (left row, rank): ``left_id``, ``right_id``,
+    ``knn_rank`` (1-based, ordered by exact angular distance with
+    ``right_id`` as the deterministic tiebreak). If the two id column
+    names collide, suffixes ``_l``/``_r`` are appended.
+    """
+    from .joins import JVM_RING_MAX_LEVEL, _ring1_map_df, hpx_cell_key
+
+    if on_starved not in ("raise", "exact"):
+        raise ValueError(f"unknown on_starved {on_starved!r}")
+    use_cell = cell_col is not None and cell_level is not None
+    if use_cell:
+        level = min(level, cell_level)
+    if levels is None:
+        levels = tuple(dict.fromkeys((level, max(level - 2, 0), 0)))
+    else:
+        levels = tuple(levels)
+        if any(l > level for l in levels):
+            raise ValueError("levels must be <= the starting level")
+
+    lr, ld = l_cols
+    rr, rd = r_cols
+    out_lid = left_id + "_l" if left_id == right_id else left_id
+    out_rid = right_id + "_r" if left_id == right_id else right_id
+
+    spark = left.sparkSession
+    lf = left.select(F.col(left_id).alias("_lid"),
+                     F.col(lr).alias("_lra"), F.col(ld).alias("_ldec"),
+                     *([F.col(cell_col).alias("_lcell")] if use_cell else []))
+    rk_base = right.select(F.col(right_id).alias("_rid"),
+                           F.col(rr).alias("_rra"), F.col(rd).alias("_rdec"),
+                           *([F.col(cell_col).alias("_rcell")]
+                             if use_cell else []))
+
+    rad = F.radians
+    dot = (F.cos(rad(F.col("_ldec"))) * F.cos(rad(F.col("_rdec")))
+           * F.cos(rad(F.col("_lra")) - rad(F.col("_rra")))
+           + F.sin(rad(F.col("_ldec"))) * F.sin(rad(F.col("_rdec"))))
+    dist = F.degrees(F.acos(F.least(F.greatest(dot, F.lit(-1.0)),
+                                    F.lit(1.0))))
+
+    def rank_topk(cand: DataFrame) -> DataFrame:
+        if exclude_self:
+            cand = cand.filter(F.col("_lid") != F.col("_rid"))
+        w = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
+                                               F.col("_rid").asc())
+        return (cand.withColumn("_dist", dist)
+                .withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k))
+
+    outputs = []
+    todo = lf
+    for lvl in levels:
+        vr_deg = safe_ring1_rad(lvl) / RAD_PER_DEG
+        if use_cell:
+            lpix = hpx_cell_key("_lcell", cell_level, lvl)
+            rkey = hpx_cell_key("_rcell", cell_level, lvl)
+        else:
+            from ..functions.udfs import hpx_udf
+
+            lpix = hpx_udf(lvl)(F.col("_lra"), F.col("_ldec"))
+            rkey = hpx_udf(lvl)(F.col("_rra"), F.col("_rdec"))
+        if lvl <= JVM_RING_MAX_LEVEL:
+            ring_map = _ring1_map_df(spark, lvl)
+            lk = (todo.withColumn("_pix", lpix)
+                  .join(F.broadcast(ring_map), "_pix", "inner")
+                  .withColumn("_mc", F.explode("_ring"))
+                  .drop("_ring", "_pix"))
+        else:
+            disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"), F.col("_ldec"))
+            lk = todo.withColumn("_mc", F.explode(disc))
+        rk = rk_base.withColumn("_mc", rkey)
+        topk = rank_topk(lk.join(rk, "_mc").drop("_mc"))
+        # satisfied: the k-th candidate exists AND lies within the pass's
+        # verified radius — then ring-1 coverage proves the top-k exact
+        sat = (topk.filter((F.col("_rk") == k) & (F.col("_dist") <= vr_deg))
+               .select("_lid"))
+        outputs.append(
+            topk.join(sat, "_lid", "semi")
+            .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
+        # starved ids are a bounded projection of left; localCheckpoint
+        # truncates the per-pass lineage (Spark 4.1 iterative-loop
+        # pathology — see knn()/graph.py) before the next pass reuses it
+        todo = (todo.join(sat, "_lid", "left_anti")
+                .localCheckpoint(eager=True))
+        if todo.limit(1).count() == 0:
+            todo = None
+            break
+
+    if todo is not None and todo.limit(1).count() > 0:
+        if on_starved == "raise":
+            n = todo.count()
+            raise RuntimeError(
+                f"knn_join: {n} left rows still starved after the "
+                f"level-{levels[-1]} pass (k-th neighbor beyond its "
+                f"~{safe_ring1_rad(levels[-1]) / RAD_PER_DEG:.0f} deg "
+                "verified radius); pass on_starved='exact' or add coarser "
+                "levels — results would otherwise be silently partial")
+        # LABELED exact fallback: all-pairs for the starved tail only
+        topk = rank_topk(todo.crossJoin(rk_base))
+        outputs.append(topk.select("_lid", "_rid",
+                                   F.col("_rk").alias("knn_rank")))
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionByName(o)
+    return out.select(F.col("_lid").alias(out_lid),
+                      F.col("_rid").alias(out_rid), "knn_rank")
+
+
 def verified_radius_deg(level: int, rings: int = 1) -> float:
     """Radius within which knn() results are guaranteed complete. Uses the
     measured SAFE ring-1 radius (healpix.safe_ring1_rad), not max_pix_rad:

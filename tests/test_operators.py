@@ -241,6 +241,60 @@ def test_iceberg_resume(spark, tmp_path):
     assert back.select("image_id").distinct().count() == 600
 
 
+def test_knn_join_big_query_side(spark, small_images):
+    """J4 at table scale (r3 verdict item #3): k nearest neighbors for
+    EVERY row, both sides big. Cell path == non-cell path == brute force
+    (self-kNN with exclude_self), and the starved tail raises unless
+    on_starved='exact'."""
+    import numpy as np
+
+    from spatialindex_spark.operators.knn import knn_join
+
+    img = small_images.select("image_id", "ra", "dec", "hpx7") \
+        .localCheckpoint(eager=True)
+
+    got_cell = {(r.image_id_l, r.knn_rank): r.image_id_r for r in
+                knn_join(img, img, k=3, level=4,
+                         left_id="image_id", right_id="image_id",
+                         cell_col="hpx7", cell_level=7,
+                         exclude_self=True, on_starved="exact").collect()}
+    got_udf = {(r.image_id_l, r.knn_rank): r.image_id_r for r in
+               knn_join(img, img, k=3, level=4,
+                        left_id="image_id", right_id="image_id",
+                        exclude_self=True, on_starved="exact").collect()}
+    assert got_cell == got_udf
+
+    rows = img.collect()
+    ids = [r.image_id for r in rows]
+    ra = np.radians(np.array([r.ra for r in rows]))
+    dec = np.radians(np.array([r.dec for r in rows]))
+    x = np.cos(ra) * np.cos(dec)
+    y = np.sin(ra) * np.cos(dec)
+    z = np.sin(dec)
+    dots = np.clip(np.outer(x, x) + np.outer(y, y) + np.outer(z, z), -1, 1)
+    dist = np.degrees(np.arccos(dots))
+    n_checked = 0
+    for i in range(0, len(ids), 7):
+        order = sorted((float(dist[i, j]), ids[j])
+                       for j in range(len(ids)) if ids[j] != ids[i])
+        for rk in range(1, 4):
+            assert got_cell[(ids[i], rk)] == order[rk - 1][1]
+            n_checked += 1
+    assert n_checked > 100
+
+    # every left row got exactly k neighbors (total result)
+    assert len(got_cell) == 3 * len(ids)
+
+    # sparse right side at fine-only levels: starved rows must raise
+    import pytest
+
+    tiny = img.filter(F.abs(F.xxhash64("image_id")) % 97 == 0)  # ~6 rows
+    with pytest.raises(RuntimeError, match="starved"):
+        knn_join(img, tiny, k=5, level=7, levels=(7, 6),
+                 left_id="image_id", right_id="image_id",
+                 cell_col="hpx7", cell_level=7).collect()
+
+
 def test_iceberg_concurrent_resume_race(spark, tmp_path):
     """Two resumers racing the same crashed write must recover without
     duplicate rows, missing rows, or torn metadata (r2 verdict item: the
