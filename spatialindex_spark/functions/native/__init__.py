@@ -56,6 +56,10 @@ def get_lib():
         lib.htm_id_batch.argtypes = [pd, pd, pd, i64, ctypes.c_int, pl]
         lib.hpx_id_batch.argtypes = [pd, pd, i64, ctypes.c_int, pl]
         lib.radec_to_xyz_batch.argtypes = [pd, pd, i64, pd, pd, pd]
+        pu8 = ctypes.POINTER(ctypes.c_uint8)
+        pu64 = ctypes.POINTER(ctypes.c_uint64)
+        lib.minhash_sig_batch.argtypes = [pu8, pl, i64, ctypes.c_int,
+                                          pu64, pu64, ctypes.c_int, pl, pu8]
         _lib = lib
     except Exception:
         _lib = None
@@ -95,6 +99,37 @@ def hpx_id_native(order: int, ra, dec):
     lib.hpx_id_batch(ra.ctypes.data_as(pd), dec.ctypes.data_as(pd),
                      len(ra), order, out.ctypes.data_as(pl))
     return out
+
+
+def minhash_sig_native(texts, k: int, a, b):
+    """Batch minhash signatures (int64 (ndocs, num_perm) array + validity
+    mask) — bit-identical to dedup._batch_signatures; None when the native
+    lib is absent or the parameters exceed the kernel's stack bounds."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or k > 64 or len(a) > 256:
+        return None
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    ndocs = len(enc)
+    offsets = np.zeros(ndocs + 1, dtype=np.int64)
+    if ndocs:
+        np.cumsum(np.array([len(e) for e in enc], dtype=np.int64),
+                  out=offsets[1:])
+    data = np.frombuffer(b"".join(enc) or b"\0", dtype=np.uint8)
+    a = np.ascontiguousarray(a, dtype=np.uint64)
+    b = np.ascontiguousarray(b, dtype=np.uint64)
+    num_perm = len(a)
+    sigs = np.empty((ndocs, num_perm), dtype=np.int64)
+    valid = np.empty(ndocs, dtype=np.uint8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    pu64 = ctypes.POINTER(ctypes.c_uint64)
+    pl = ctypes.POINTER(ctypes.c_int64)
+    lib.minhash_sig_batch(
+        data.ctypes.data_as(pu8), offsets.ctypes.data_as(pl),
+        ndocs, k, a.ctypes.data_as(pu64), b.ctypes.data_as(pu64),
+        num_perm, sigs.ctypes.data_as(pl), valid.ctypes.data_as(pu8))
+    return sigs, valid.astype(bool)
 
 
 def radec_to_xyz_native(ra, dec):

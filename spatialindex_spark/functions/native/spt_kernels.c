@@ -188,3 +188,51 @@ void radec_to_xyz_batch(const double *ras, const double *decs, int64_t n,
         zs[i] = z / nrm;
     }
 }
+
+/* ---- MinHash signature batch kernel (operators/dedup.py hot stage) ----
+ *
+ * Bit-identical to the numpy kernel _batch_signatures:
+ *   shingle hash  h_i = sum_{j<k} byte[i+j] * 257^j      (mod 2^64)
+ *   sig[p]        = (min_i (h_i * a[p] + b[p])) >> 1     (stored int64)
+ * Duplicate shingles cannot change a minimum, so the numpy path's
+ * np.unique (which canonicalizes the SET for the verify stage only) is
+ * unnecessary here. uint64 wrap in C is the same mod-2^64 arithmetic
+ * numpy uses, so signatures — and therefore the SQL oracle replays —
+ * are unchanged to the bit.
+ *
+ * The numpy kernel materializes an (nshingles x perm-chunk) workspace
+ * per batch (memory-bandwidth-bound); here the 64 running minima live
+ * in registers/L1 and the loop is pure ALU — the difference is ~4x at
+ * 5M-doc scale (bench_artifacts/dedup_probe.json).
+ */
+
+void minhash_sig_batch(const uint8_t *data, const int64_t *offsets,
+                       int64_t ndocs, int k,
+                       const uint64_t *a, const uint64_t *b, int num_perm,
+                       int64_t *sigs, uint8_t *valid)
+{
+    uint64_t pw[64];            /* wrapper enforces k <= 64 */
+    uint64_t acc[256];          /* wrapper enforces num_perm <= 256 */
+    pw[0] = 1ULL;
+    for (int j = 1; j < k; j++) pw[j] = pw[j - 1] * 257ULL;
+    for (int64_t d = 0; d < ndocs; d++) {
+        const uint8_t *s = data + offsets[d];
+        int64_t len = offsets[d + 1] - offsets[d];
+        if (len < k) { valid[d] = 0; continue; }
+        valid[d] = 1;
+        for (int p = 0; p < num_perm; p++) acc[p] = UINT64_MAX;
+        int64_t nsh = len - k + 1;
+        for (int64_t i = 0; i < nsh; i++) {
+            uint64_t h = 0;
+            for (int j = 0; j < k; j++)
+                h += (uint64_t)s[i + j] * pw[j];
+            for (int p = 0; p < num_perm; p++) {
+                uint64_t v = h * a[p] + b[p];
+                if (v < acc[p]) acc[p] = v;
+            }
+        }
+        int64_t *out = sigs + d * (int64_t)num_perm;
+        for (int p = 0; p < num_perm; p++)
+            out[p] = (int64_t)(acc[p] >> 1);
+    }
+}

@@ -92,12 +92,28 @@ def _batch_signatures(texts, num_perm: int, k: int,
 
 def minhash_udf(num_perm: int = 64, k: int = 5):
     """Minhash signature per doc; NULL for docs with no shingles (shorter
-    than k bytes) — such docs can never be dedup candidates."""
+    than k bytes) — such docs can never be dedup candidates.
+
+    Hot path is the ctypes C kernel (spt_kernels.c minhash_sig_batch —
+    the signature stage dominated the 5M-doc probe at 596 s; the kernel
+    keeps the per-permutation minima in registers instead of numpy's
+    shingle x permutation workspace). Bit-identical to the numpy fallback
+    (same mod-2^64 multiply-shift family), so the SQL oracles and banded
+    keys are unchanged."""
     a, b = _minhash_params(num_perm)
 
     @pandas_udf("array<long>")
     def _udf(text: pd.Series) -> pd.Series:
-        _, sigs = _batch_signatures(text.fillna(""), num_perm, k, a, b)
+        from ..functions import native
+
+        texts = text.fillna("")
+        res = native.minhash_sig_native(list(texts), k, a, b)
+        if res is not None:
+            sigs, valid = res
+            return pd.Series(
+                [sigs[i].tolist() if valid[i] else None
+                 for i in range(len(texts))], dtype=object)
+        _, sigs = _batch_signatures(texts, num_perm, k, a, b)
         return pd.Series(sigs)
 
     return _udf

@@ -248,13 +248,27 @@ class IcebergLiteTable:
             shutil.rmtree(stage, ignore_errors=True)
         return self.commit_snapshot()
 
-    def commit_snapshot(self) -> dict:
-        done = self.committed_buckets()
-        snap_n = 0
-        cur_path = os.path.join(self.meta_dir, "current.json")
-        if os.path.exists(cur_path):
+    def _snapshot_meta(self, snapshot: int | None = None) -> dict | None:
+        """Snapshot dict (current one when ``snapshot`` is None), or None
+        when the table has no snapshot yet."""
+        if snapshot is None:
+            cur_path = os.path.join(self.meta_dir, "current.json")
+            if not os.path.exists(cur_path):
+                return None
             with open(cur_path) as f:
-                snap_n = json.load(f)["snapshot"] + 1
+                snapshot = json.load(f)["snapshot"]
+        with open(os.path.join(self.meta_dir,
+                               f"snapshot-{snapshot}.json")) as f:
+            return json.load(f)
+
+    def commit_snapshot(self, data_rel: str | None = None) -> dict:
+        done = self.committed_buckets()
+        cur = self._snapshot_meta()
+        snap_n = cur["snapshot"] + 1 if cur else 0
+        if data_rel is None:
+            # inherit the current generation dir (a compaction moved it);
+            # legacy snapshots without the key read the original "data"
+            data_rel = cur.get("data_rel", "data") if cur else "data"
         snapshot = {
             "snapshot": snap_n,
             "table": self.path,
@@ -265,6 +279,7 @@ class IcebergLiteTable:
             "buckets": sorted(done),
             "total_rows": sum(r["row_count"] for r in done.values()),
             "manifest": [done[b] for b in sorted(done)],
+            "data_rel": data_rel,
         }
         os.makedirs(self.meta_dir, exist_ok=True)
         # rename-based commit: a reader never observes a torn snapshot or
@@ -282,6 +297,63 @@ class IcebergLiteTable:
             os.replace(tmp, final)
         return snapshot
 
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, spark: SparkSession) -> dict:
+        """Small-file compaction + re-cluster: rewrite the CURRENT
+        generation into a fresh generation directory (one sorted file per
+        bucket, rows re-sorted by ``cell_col`` for row-group pruning),
+        then commit a new snapshot pointing at it — a lineage-committed
+        snapshot operation, the table-format maintenance job every
+        long-lived 100-TB table needs.
+
+        Time travel is preserved: each snapshot records its own
+        ``data_rel`` generation dir and old generations are left on disk,
+        so reading a pre-compaction snapshot still reads the old layout
+        byte-for-byte. Per-bucket lineage stats (row counts, cell ranges,
+        checksums) are content properties, not layout properties — the
+        bucket assignment is unchanged — so the commit log stays valid
+        across generations.
+
+        Requires a fully-committed table (every bucket marked): a
+        compaction racing a half-finished write would freeze a partial
+        bucket set into the new generation. Serialized against writers by
+        the same write lock."""
+        import fcntl
+        import shutil
+        import uuid
+
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(os.path.join(self.meta_dir, "write.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                done = self.committed_buckets()
+                if sorted(done) != list(range(self.num_buckets)):
+                    raise RuntimeError(
+                        f"compact: table has {len(done)}/{self.num_buckets} "
+                        "committed buckets; finish (or resume) the write "
+                        "first")
+                cur = self._snapshot_meta()
+                src_rel = cur.get("data_rel", "data") if cur else "data"
+                src = os.path.join(self.path, src_rel)
+                df = spark.read.option("basePath", src).parquet(src)
+                stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
+                # sort by (bucket, cell): the dynamic-partition writer
+                # requires a bucket ordering and would otherwise re-sort
+                # by bucket alone, destroying the cell clustering
+                (df.repartition(self.num_buckets, F.col("bucket"))
+                   .sortWithinPartitions("bucket", self.cell_col)
+                   .write.mode("overwrite").partitionBy("bucket")
+                   .parquet(stage))
+                snap_n = (cur["snapshot"] + 1) if cur else 0
+                new_rel = f"data-g{snap_n}"
+                dst = os.path.join(self.path, new_rel)
+                if os.path.isdir(dst):      # crashed previous compaction
+                    shutil.rmtree(dst)
+                os.rename(stage, dst)       # atomic claim, like write()
+                return self.commit_snapshot(data_rel=new_rel)
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
     # -- read ----------------------------------------------------------------
     def read(self, spark: SparkSession, ranges: list[list[int]] | None = None,
              snapshot: int | None = None) -> DataFrame:
@@ -290,12 +362,14 @@ class IcebergLiteTable:
         row groups inside them. ``snapshot`` time-travels to an earlier
         commit: buckets are written exactly once and snapshots are
         append-only bucket lists, so snapshot N is the table restricted to
-        the buckets its manifest recorded."""
-        df = spark.read.option("basePath", self.data_dir).parquet(self.data_dir)
+        the buckets its manifest recorded — read through snapshot N's OWN
+        generation dir, so a later compaction never rewrites what a
+        time-traveled reader sees."""
+        snap = self._snapshot_meta(snapshot)
+        data_rel = snap.get("data_rel", "data") if snap else "data"
+        data_dir = os.path.join(self.path, data_rel)
+        df = spark.read.option("basePath", data_dir).parquet(data_dir)
         if snapshot is not None:
-            snap_path = os.path.join(self.meta_dir, f"snapshot-{snapshot}.json")
-            with open(snap_path) as f:
-                snap = json.load(f)
             df = df.filter(F.col("bucket").isin([int(b) for b in snap["buckets"]]))
         if ranges:
             from ..functions.cover import ranges_predicate
