@@ -19,6 +19,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1178,6 +1180,49 @@ def _q_angsep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "sep")
 
 
+def _q_h3_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex k-ring invariants through the driver gate (previously
+    pytest-only): for every orders-sky point at res 4, kring(1) must (a)
+    lead with the cell itself, (b) contain only well-formed hex ids at
+    the same res (or -1 face-clip sentinels), (c) hold 1..7 distinct
+    valid members. All construction-guaranteed, so the oracle emits
+    count(*) per flag."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    df = _orders_sky(spark, sf_dir)
+
+    @pandas_udf("long")
+    def flags(ra: pd.Series, dec: pd.Series) -> pd.Series:
+        import numpy as np
+
+        from spatialindex_spark.functions.h3s2 import (h3_hex_id,
+                                                       h3_hex_kring)
+
+        ids = h3_hex_id(ra.values, dec.values, 4)
+        ring = h3_hex_kring(ids, 1)
+        valid = ring >= 0
+        nval = valid.sum(axis=1)
+        mode = (ring >> 59) & 0xF
+        res = (ring >> 55) & 0xF
+        layout_ok = ((mode == 1) & (res == 4) | ~valid).all(axis=1)
+        srt = np.sort(ring, axis=1)
+        dup = ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)).any(axis=1)
+        packed = ((ring[:, 0] == ids).astype("int64")
+                  | (layout_ok.astype("int64") << 1)
+                  | ((~dup).astype("int64") << 2)
+                  | (((nval >= 1) & (nval <= 7)).astype("int64") << 3))
+        return pd.Series(packed)
+
+    f = df.select(flags("ra", "dec").alias("_f"))
+    bit = lambda i: F.shiftright(F.col("_f"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    return f.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bit(0)).alias("n_self_ok"),
+        F.sum(bit(1)).alias("n_layout_ok"),
+        F.sum(bit(2)).alias("n_distinct_ok"),
+        F.sum(bit(3)).alias("n_nvalid_ok"))
+
+
 def _q_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed connected components over a deterministic pair graph
     (dedup-cluster labeling). Edges link consecutive doc_ids whose token
@@ -1252,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in r4
         "knn_join": _q_knn_join,
+        "h3_kring": _q_h3_kring,
         # never driver-gated before r4 (r3 verdict item #2)
         "count_bounds_ellipse_s2": _q_count_bounds_ellipse_s2,
         "count_bounds_h3": _q_count_bounds_h3,
@@ -1304,9 +1350,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hull_htm": _q_hull_htm,
         "hull_s2": _q_hull_s2,
         "hull_h3": _q_hull_h3,
-        "polygon_hpx": _q_polygon_hpx,
         # ---- driver gate window ends around here (first 50) ----
         # longest-stable rows: identical code + name green in r1-r3
+        "polygon_hpx": _q_polygon_hpx,
         "count_bounds": _q_count_bounds,
         "cone_base4": _q_cone_base4,
         "exact_dedup": _q_exact_dedup,
@@ -1731,6 +1777,15 @@ def oracle_sql() -> dict[str, str]:
             "  cos(radians(c.dec))*cos(radians(s.dec))*cos(radians(c.ra)-radians(s.ra)) "
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
+        ),
+        # every flag is construction-guaranteed, so the oracle's expected
+        # sum per flag is the row count itself
+        "h3_kring": (
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "count(*)::BIGINT AS n_self_ok, "
+            "count(*)::BIGINT AS n_layout_ok, "
+            "count(*)::BIGINT AS n_distinct_ok, "
+            "count(*)::BIGINT AS n_nvalid_ok FROM orders"
         ),
         "knn_join": (
             f"{_CUST_CTE} "
