@@ -33,9 +33,53 @@ from ..functions.healpix import max_pix_rad
 # J1: point-in-region filter-join
 # ---------------------------------------------------------------------------
 
+def _region_radius_deg(r: dict) -> float:
+    """Approximate angular radius of a region dict (for level choice only
+    — any covering level is sound, this just sizes it)."""
+    import numpy as np
+
+    if r["kind"] == "cone":
+        return float(r["radius"])
+    if r["kind"] == "ellipse":
+        return float(r["a"])
+    ra = np.radians(np.asarray(r["ra"], dtype=float))
+    dec = np.radians(np.asarray(r["dec"], dtype=float))
+    x = np.cos(ra) * np.cos(dec)
+    y = np.sin(ra) * np.cos(dec)
+    z = np.sin(dec)
+    cx, cy, cz = x.mean(), y.mean(), z.mean()
+    n = math.sqrt(cx * cx + cy * cy + cz * cz) or 1.0
+    dots = np.clip((x * cx + y * cy + z * cz) / n, -1.0, 1.0)
+    return float(np.degrees(np.arccos(dots.min())))
+
+
+def auto_covering_level(region: dict, cell_level: int,
+                        mode: int = SpatialIndex.HTM,
+                        cell_budget: int = 1024) -> int:
+    """Per-region covering level: deepest level whose covering stays
+    within ~``cell_budget`` cells for this region's size (cells halve in
+    angular size per level, so cell count grows 4x). Tiny regions get
+    DEEP, tight coverings — at a level-20-indexed table a 0.01-deg cone
+    covered at the fixed level-7 default drags in ~40x more
+    false-positive candidate rows than its level-13 covering; huge
+    regions coarsen so the driver-side range list stays bounded. Any
+    choice is sound (the exact geometry filter runs either way); this
+    only moves work off the residual filter. Mirrors the reference's
+    per-query default-resolution rules (spatial_index.pyx:89-104)."""
+    r = max(_region_radius_deg(region), 1e-7)
+    s0 = 45.0 if mode == SpatialIndex.HTM else 58.6  # ~level-0 cell size
+    # covering cells ~ (2r / s(L))^2 with s(L) = s0 / 2^L; deepest L with
+    # that <= budget:  2r * 2^L / s0 <= sqrt(budget)
+    level = int(math.floor(math.log2(
+        max(math.sqrt(cell_budget) * s0 / (2.0 * r), 1.0))))
+    return max(0, min(level, cell_level))
+
+
 def region_ranges_df(spark, regions: list[dict], level: int = 7,
                      mode: int = SpatialIndex.HTM, anchor_shift: int = 8,
-                     max_anchor_rows: int = 200_000):
+                     max_anchor_rows: int = 200_000,
+                     levels: dict | None = None,
+                     scale_to: int | None = None):
     """regions: [{'region_id': .., 'kind': 'cone'|'poly', ...params}] ->
     (DataFrame (region_id, cell_lo, cell_hi, anchor), geoms dict,
     anchor_shift actually used).
@@ -50,7 +94,14 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
     ``max_anchor_rows``: at deep levels a single covering range spans 4^k
     cells, and a fixed shift would otherwise enumerate billions of driver
     rows (wider anchors only grow the residual filter's false-positive
-    band, never lose matches)."""
+    band, never lose matches).
+
+    ``levels`` (HTM/HPX only) overrides the covering level per region_id
+    (see auto_covering_level); ``scale_to`` rescales every range into the
+    id space of a DEEPER nested level — [lo, hi] at level L becomes
+    [lo * 4^d, (hi+1) * 4^d - 1] at level L+d (exact: nested children of
+    a cell are a contiguous id block) — so regions covered at different
+    levels all join against one cell column."""
     si = SpatialIndex()
     rows = []
     geoms = {}
@@ -61,9 +112,10 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
         return _h3_region_ranges_df(spark, regions, level, anchor_shift,
                                     max_anchor_rows)
     for r in regions:
+        r_level = (levels or {}).get(r["region_id"], level)
         if r["kind"] == "cone":
             c = si.cone_search(r["ra"], r["dec"], r["radius"], mode=mode,
-                               level=level, encoding=0,
+                               level=r_level, encoding=0,
                                colname="spt_ind", as_constraints=True)
             geom = c.geom
             ranges = c.ranges
@@ -82,22 +134,30 @@ def region_ranges_df(spark, regions: list[dict], level: int = 7,
                 sc_to_v3(r["ra"], r["dec"]), r["a"], r["b"],
                 r.get("angle", 0.0))
             if mode == SpatialIndex.HTM:
-                ranges = htm_ellipse_ranges(ell, level)
+                ranges = htm_ellipse_ranges(ell, r_level)
             else:
                 from ..functions.cover import hpx_cone_ranges
 
-                ranges = hpx_cone_ranges(level, r["ra"], r["dec"], r["a"],
+                ranges = hpx_cone_ranges(r_level, r["ra"], r["dec"], r["a"],
                                          exact_ends=True)
             geom = {"ellipse": ell}
             c = None
         else:
-            c = si.polygon_search(r["ra"], r["dec"], mode=mode, level=level,
-                                  encoding=0, colname="spt_ind",
-                                  as_constraints=True)
+            c = si.polygon_search(r["ra"], r["dec"], mode=mode,
+                                  level=r_level, encoding=0,
+                                  colname="spt_ind", as_constraints=True)
             geom = c.geom
             ranges = c.ranges
         if c is not None and c.status:
             raise ValueError(f"region {r['region_id']}: {c.error_message}")
+        if scale_to is not None:
+            if scale_to < r_level:
+                raise ValueError(
+                    f"scale_to={scale_to} is coarser than region "
+                    f"{r['region_id']}'s covering level {r_level}")
+            f = 1 << (2 * (scale_to - r_level))
+            ranges = [[int(lo) * f, (int(hi) + 1) * f - 1]
+                      for lo, hi in ranges]
         geoms[r["region_id"]] = geom
         rows.append((r["region_id"], ranges))
     return _ranges_to_df(spark, rows, geoms, anchor_shift, max_anchor_rows)
@@ -218,16 +278,25 @@ def _h3_region_ranges_df(spark, regions, level, anchor_shift,
 REGION_BROADCAST_LIMIT = 2_000_000
 
 
-def region_join(points: DataFrame, regions: list[dict], level: int = 7,
+def region_join(points: DataFrame, regions: list[dict],
+                level: int | None = 7,
                 mode: int = SpatialIndex.HTM, cell_col: str = "spt_ind",
                 xcol: str = "x", ycol: str = "y", zcol: str = "z",
-                preplanned=None, strategy: str = "auto") -> DataFrame:
+                preplanned=None, strategy: str = "auto",
+                col_level: int | None = None) -> DataFrame:
     """Assign every point to every region containing it.
 
     Plan: range-join on the cell covering (coarse superset) then exact
     per-region geometry. Output = points columns + region_id.
     ``preplanned`` accepts a cached (ranges_df, geoms, anchor_shift) tuple
     from region_ranges_df so repeated joins skip driver-side covering work.
+
+    ``level=None`` picks the covering level PER REGION by its angular size
+    (auto_covering_level: tiny regions get deep tight coverings, huge ones
+    coarsen to a bounded range list) and rescales every range into
+    ``col_level``'s nested id space, so mixed-size region sets each pay
+    only their own false-positive band. Requires ``col_level`` (the level
+    of ``cell_col``'s ids) and mode HTM/HPX (nested grids).
 
     ``strategy``: "broadcast" ships the covering + geometry to every
     executor (both joins stay BroadcastHashJoin — right for up to ~10^6
@@ -244,6 +313,18 @@ def region_join(points: DataFrame, regions: list[dict], level: int = 7,
         # travels with the plan so cached plans can't silently join on
         # mismatched anchors
         ranges, geoms, anchor_shift = preplanned
+    elif level is None:
+        if mode not in (SpatialIndex.HTM, SpatialIndex.HPX):
+            raise ValueError("level=None (auto) requires a nested grid "
+                             "(mode=HTM or HPX)")
+        if col_level is None:
+            raise ValueError("level=None (auto) requires col_level — the "
+                             f"level of {cell_col}'s ids")
+        lvls = {r["region_id"]: auto_covering_level(r, col_level, mode)
+                for r in regions}
+        ranges, geoms, anchor_shift = region_ranges_df(
+            spark, regions, level=col_level, mode=mode,
+            levels=lvls, scale_to=col_level)
     else:
         ranges, geoms, anchor_shift = region_ranges_df(spark, regions, level, mode)
     if strategy == "auto":

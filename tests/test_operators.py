@@ -274,6 +274,48 @@ def test_iceberg_resume(spark, tmp_path):
     assert back.select("image_id").distinct().count() == 600
 
 
+def test_region_join_auto_level(spark, small_images):
+    """level=None sizes the covering PER REGION (tiny -> deep/tight,
+    huge -> coarse/bounded), rescales ranges into the deep cell column's
+    id space, and returns exactly the fixed-level result."""
+    from spatialindex_spark.functions.udfs import htm_udf
+    from spatialindex_spark.operators.joins import (auto_covering_level,
+                                                    region_join)
+
+    regions = [
+        {"region_id": 1, "kind": "cone", "ra": 129.4, "dec": 43.7,
+         "radius": 0.3},
+        {"region_id": 2, "kind": "cone", "ra": 34.0, "dec": 45.0,
+         "radius": 6.0},
+        {"region_id": 3, "kind": "poly", "ra": [30.0, 40.0, 40.0, 30.0],
+         "dec": [40.0, 40.0, 50.0, 50.0]},
+        {"region_id": 4, "kind": "ellipse", "ra": 129.4, "dec": 43.7,
+         "a": 2.0, "b": 1.0, "angle": 30.0},
+    ]
+    # the tiny cone must get a deeper covering than the 6-degree one
+    lt = auto_covering_level(regions[0], 14)
+    lb = auto_covering_level(regions[1], 14)
+    assert lt > lb
+    assert auto_covering_level({"kind": "cone", "ra": 0, "dec": 0,
+                                "radius": 0.001}, 14) == 14  # capped
+
+    pts14 = small_images.withColumn("spt14", htm_udf(14)("x", "y", "z"))
+    got_auto = {(r.region_id, r.image_id) for r in
+                region_join(pts14, regions, level=None, col_level=14,
+                            cell_col="spt14")
+                .select("region_id", "image_id").collect()}
+    got_fixed = {(r.region_id, r.image_id) for r in
+                 region_join(small_images, regions, level=7)
+                 .select("region_id", "image_id").collect()}
+    assert got_auto == got_fixed
+    assert got_auto  # non-trivial
+
+    import pytest
+
+    with pytest.raises(ValueError, match="col_level"):
+        region_join(pts14, regions, level=None, cell_col="spt14")
+
+
 def test_knn_join_big_query_side(spark, small_images):
     """J4 at table scale (r3 verdict item #3): k nearest neighbors for
     EVERY row, both sides big. Cell path == non-cell path == brute force
