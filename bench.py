@@ -275,6 +275,23 @@ def main():
     t_knn, _ = timed_steady(run_knn, images, passes=3)
     results["knn"] = round(t_knn, 3)
 
+    # kNN join: k nearest for EVERY image (both sides the full table; no
+    # broadcast of either side). Probe level rises with density so the
+    # ring-1 disc holds ~the top-k and the starved tail stays small.
+    from spatialindex_spark.operators.knn import knn_join
+
+    def run_knn_join(img):
+        n = img.count()
+        lvl = 5 if n < 300_000 else 6
+        side = img.select("image_id", "ra", "dec", "hpx7")
+        return knn_join(side, side, k=3, level=lvl,
+                        left_id="image_id", right_id="image_id",
+                        cell_col="hpx7", cell_level=7,
+                        exclude_self=True, on_starved="exact").count()
+
+    t_kj, _ = timed_steady(run_knn_join, images)
+    results["knn_join"] = round(t_kj, 3)
+
     # dedup + ANN over driver tables
     from spatialindex_spark.operators.dedup import minhash_lsh_dedup
 
@@ -311,11 +328,13 @@ def main():
         t_c1, _ = timed_steady(cone, img1)
         t_x1, _ = timed_steady(xmatch, img1)
         t_k1, _ = timed_steady(run_knn, img1)
+        t_kj1, _ = timed_steady(run_knn_join, img1)
         sf1 = {"n_images": n1, "build_sec": round(t_b1, 3),
                "spatial_join_tiles": round(t_h1, 3),
                "cone_search": round(t_c1, 3),
                "crossmatch": round(t_x1, 3),
                "knn": round(t_k1, 3),
+               "knn_join": round(t_kj1, 3),
                "headline_output_rows": rows1,
                "throughput_rows_per_sec": round(n1 / t_h1, 1)}
 
@@ -504,7 +523,8 @@ def main():
     # efficiencies + host state. MUST be the final stdout line.
     sf1_c = {k: sf1[k] for k in ("n_images", "spatial_join_tiles",
                                  "cone_search", "crossmatch", "knn",
-                                 "throughput_rows_per_sec") if k in sf1}
+                                 "knn_join", "throughput_rows_per_sec")
+             if k in sf1}
     scal_c = {}
     if scaling:
         scal_c = {"thr_rows_per_sec": scaling["thr_rows_per_sec"],

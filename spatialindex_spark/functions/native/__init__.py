@@ -60,6 +60,7 @@ def get_lib():
         pu64 = ctypes.POINTER(ctypes.c_uint64)
         lib.minhash_sig_batch.argtypes = [pu8, pl, i64, ctypes.c_int,
                                           pu64, pu64, ctypes.c_int, pl, pu8]
+        lib.simhash_batch.argtypes = [pu8, pl, i64, ctypes.c_int, pl, pu8]
         _lib = lib
     except Exception:
         _lib = None
@@ -110,13 +111,8 @@ def minhash_sig_native(texts, k: int, a, b):
     lib = get_lib()
     if lib is None or k > 64 or len(a) > 256:
         return None
-    enc = [t.encode("utf-8", "ignore") for t in texts]
-    ndocs = len(enc)
-    offsets = np.zeros(ndocs + 1, dtype=np.int64)
-    if ndocs:
-        np.cumsum(np.array([len(e) for e in enc], dtype=np.int64),
-                  out=offsets[1:])
-    data = np.frombuffer(b"".join(enc) or b"\0", dtype=np.uint8)
+    data, offsets = _encode_batch(texts)
+    ndocs = len(texts)
     a = np.ascontiguousarray(a, dtype=np.uint64)
     b = np.ascontiguousarray(b, dtype=np.uint64)
     num_perm = len(a)
@@ -130,6 +126,38 @@ def minhash_sig_native(texts, k: int, a, b):
         ndocs, k, a.ctypes.data_as(pu64), b.ctypes.data_as(pu64),
         num_perm, sigs.ctypes.data_as(pl), valid.ctypes.data_as(pu8))
     return sigs, valid.astype(bool)
+
+
+def _encode_batch(texts):
+    import numpy as np
+
+    enc = [t.encode("utf-8", "ignore") for t in texts]
+    offsets = np.zeros(len(enc) + 1, dtype=np.int64)
+    if enc:
+        np.cumsum(np.array([len(e) for e in enc], dtype=np.int64),
+                  out=offsets[1:])
+    data = np.frombuffer(b"".join(enc) or b"\0", dtype=np.uint8)
+    return data, offsets
+
+
+def simhash_native(texts, k: int):
+    """Batch 64-bit simhashes (int64 array + validity mask) — bit-identical
+    to dedup.simhash_udf's numpy kernel; None when the lib is absent."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or k > 64:
+        return None
+    data, offsets = _encode_batch(texts)
+    ndocs = len(texts)
+    out = np.empty(ndocs, dtype=np.int64)
+    valid = np.empty(ndocs, dtype=np.uint8)
+    pu8 = ctypes.POINTER(ctypes.c_uint8)
+    pl = ctypes.POINTER(ctypes.c_int64)
+    lib.simhash_batch(data.ctypes.data_as(pu8), offsets.ctypes.data_as(pl),
+                      ndocs, k, out.ctypes.data_as(pl),
+                      valid.ctypes.data_as(pu8))
+    return out, valid.astype(bool)
 
 
 def radec_to_xyz_native(ra, dec):

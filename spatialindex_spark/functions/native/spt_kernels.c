@@ -236,3 +236,59 @@ void minhash_sig_batch(const uint8_t *data, const int64_t *offsets,
             out[p] = (int64_t)(acc[p] >> 1);
     }
 }
+
+/* ---- SimHash batch kernel (operators/dedup.py simhash_udf hot path) ----
+ * Bit-identical to the numpy kernel: shingle hashes as in
+ * minhash_sig_batch, per-doc UNIQUE shingle set (duplicates DO change
+ * the majority vote, unlike a min), per-bit signed score
+ * 2*ones - nuniq, bit set iff score > 0. */
+
+#include <stdlib.h>
+
+static int spt_cmp_u64(const void *a, const void *b)
+{
+    uint64_t x = *(const uint64_t *)a, y = *(const uint64_t *)b;
+    return (x > y) - (x < y);
+}
+
+void simhash_batch(const uint8_t *data, const int64_t *offsets,
+                   int64_t ndocs, int k, int64_t *out, uint8_t *valid)
+{
+    uint64_t pw[64];
+    pw[0] = 1ULL;
+    for (int j = 1; j < k; j++) pw[j] = pw[j - 1] * 257ULL;
+    uint64_t *buf = NULL;
+    int64_t cap = 0;
+    for (int64_t d = 0; d < ndocs; d++) {
+        const uint8_t *s = data + offsets[d];
+        int64_t len = offsets[d + 1] - offsets[d];
+        if (len < k) { valid[d] = 0; out[d] = 0; continue; }
+        int64_t nsh = len - k + 1;
+        if (nsh > cap) {
+            cap = nsh * 2;
+            buf = (uint64_t *)realloc(buf, (size_t)cap * sizeof(uint64_t));
+        }
+        for (int64_t i = 0; i < nsh; i++) {
+            uint64_t h = 0;
+            for (int j = 0; j < k; j++)
+                h += (uint64_t)s[i + j] * pw[j];
+            buf[i] = h;
+        }
+        qsort(buf, (size_t)nsh, sizeof(uint64_t), spt_cmp_u64);
+        int64_t cnt[64] = {0};
+        int64_t nuniq = 0;
+        for (int64_t i = 0; i < nsh; i++) {
+            if (i > 0 && buf[i] == buf[i - 1]) continue;
+            nuniq++;
+            uint64_t h = buf[i];
+            for (int j = 0; j < 64; j++)
+                cnt[j] += (int64_t)((h >> j) & 1ULL);
+        }
+        uint64_t bits = 0;
+        for (int j = 0; j < 64; j++)
+            if (2 * cnt[j] - nuniq > 0) bits |= 1ULL << j;
+        out[d] = (int64_t)bits;
+        valid[d] = 1;
+    }
+    free(buf);
+}

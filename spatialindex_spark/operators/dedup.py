@@ -138,6 +138,15 @@ def shingles_udf(k: int = 5):
 def simhash_udf(k: int = 5):
     @pandas_udf("long")
     def _udf(text: pd.Series) -> pd.Series:
+        from ..functions import native
+
+        texts = text.fillna("")
+        res = native.simhash_native(list(texts), k)
+        if res is not None:
+            hashes, valid = res
+            return pd.Series(
+                [int(hashes[i]) if valid[i] else None
+                 for i in range(len(texts))], dtype=object)
         # batch-vectorized per-bit majority: concatenate every doc's unique
         # shingle set, count ones per (doc, bit) with one reduceat per bit
         # chunk — no per-row Python in the hot loop. Score accumulates

@@ -437,18 +437,37 @@ JVM_RING_MAX_LEVEL = 8
 _RING1_MAP_CACHE: dict = {}
 
 
-def _ring1_map_df(spark, lvl: int) -> DataFrame:
-    """Complete (pix, sorted deduped ring-1 cell list) map at ``lvl`` —
-    the broadcast side of crossmatch's JVM ring expansion. Cached per
-    (session, lvl): the driver-side numpy build + local-data plan
-    conversion costs ~1 s at level 7 and a long-running job pays it once,
-    but a bench loop calling crossmatch repeatedly would otherwise pay it
-    per call (measured +1.2 s/call)."""
-    key = (spark, lvl)   # session object itself: no id()-reuse aliasing
+def _ring1_map_df(spark, lvl: int, rings: int = 1) -> DataFrame:
+    """Complete (pix, sorted deduped ring-``rings`` disc cell list) map at
+    ``lvl`` — the broadcast side of crossmatch's JVM ring expansion.
+    Cached per (session, lvl, rings): the driver-side numpy build +
+    local-data plan conversion costs ~1 s at level 7 and a long-running
+    job pays it once, but a bench loop calling crossmatch repeatedly
+    would otherwise pay it per call (measured +1.2 s/call).
+
+    rings > 1 is the very-large-radius path (radius beyond the level's
+    safe ring-1 bound): callers coarsen the level first, so the disc
+    enumeration stays tiny (12 pixels at level 0); a guard bounds the
+    map size rather than ever building a silent monster."""
+    key = (spark, lvl, rings)  # session object itself: no id()-reuse alias
     cached = _RING1_MAP_CACHE.get(key)
     if cached is not None:
         return cached
     npix = 12 << (2 * lvl)
+    if rings > 1:
+        if npix * (2 * rings + 1) ** 2 > 4_000_000:
+            raise ValueError(
+                f"ring map at level {lvl} with {rings} rings would exceed "
+                "the broadcast budget; coarsen the level")
+        from .knn import _disc_cells
+
+        pdf = pd.DataFrame({
+            "_pix": np.arange(npix, dtype=np.int64),
+            "_ring": [_disc_cells(lvl, p, rings).tolist()
+                      for p in range(npix)]})
+        df = spark.createDataFrame(pdf, "_pix long, _ring array<long>")
+        _RING1_MAP_CACHE[key] = df
+        return df
     pix = np.arange(npix, dtype=np.int64)
     nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
     keep = np.ones(nb.shape, dtype=bool)

@@ -190,21 +190,20 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
 
     # Cap at JVM_RING_MAX_LEVEL like batch crossmatch: _ring1_map_df builds
     # 12*4^lvl rows on the driver (level 12 ~ 200M rows would OOM), and the
-    # broadcast-map path is only valid when ring-1 adjacency covers the
+    # broadcast-map path is only valid when the disc adjacency covers the
     # radius. Coarser levels keep safe_ring1_rad larger, so the cap never
-    # loses pairs — it only widens the candidate set.
+    # loses pairs — it only widens the candidate set. Radii beyond even
+    # the order-0 ring-1 bound (~29 deg) drop to level 0 with a
+    # multi-ring disc map (12 pixels, trivially broadcastable) — the same
+    # chain-coverage argument as batch crossmatch's rings>1 path, so no
+    # radius silently under-matches (r3 advice fix).
     lvl = min(pick_match_level(radius_deg), cell_level, JVM_RING_MAX_LEVEL)
     rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
     if rings > 1:
-        # radius exceeds the ring-1 bound even at the coarsest usable level
-        # (~28 deg at order 0): ring-1 expansion would silently drop true
-        # pairs. Batch crossmatch handles this with multi-ring expansion;
-        # the streaming path fails loudly instead of under-matching.
-        raise ValueError(
-            f"stream_crossmatch: radius {radius_deg} deg needs {rings} "
-            f"neighbor rings at level {lvl}; only ring-1 is supported in "
-            "streaming — use batch crossmatch() for very large radii")
-    ring_map = _ring1_map_df(catalog.sparkSession, lvl)
+        lvl = 0
+        rings = max(1, math.ceil(radius_deg * RAD_PER_DEG
+                                 / safe_ring1_rad(0)))
+    ring_map = _ring1_map_df(catalog.sparkSession, lvl, rings)
     cat = (catalog.withColumn("_mc", hpx_cell_key(cell_col, cell_level, lvl))
            .withColumnRenamed(ra_col, "cat_ra")
            .withColumnRenamed(dec_col, "cat_dec")

@@ -219,6 +219,26 @@ def test_minhash_native_kernel_bit_exact():
             assert valid[i]
             assert sigs_c[i].tolist() == s, f"doc {i} diverged"
 
+    # simhash kernel: same rolling-hash family, UNIQUE shingle majority
+    import numpy as np
+
+    from spatialindex_spark.operators.dedup import _shingle_hashes
+
+    sh_c, sh_valid = native.simhash_native(texts, 5)
+    for i, t in enumerate(texts):
+        s = _shingle_hashes(t, 5)
+        if len(s) == 0:
+            assert not sh_valid[i]
+            continue
+        assert sh_valid[i]
+        want = 0
+        for j in range(64):
+            ones = int(((s >> np.uint64(j)) & np.uint64(1)).sum())
+            if 2 * ones - len(s) > 0:
+                want |= 1 << j
+        want = want if want < (1 << 63) else want - (1 << 64)
+        assert int(sh_c[i]) == want, f"doc {i} simhash diverged"
+
 
 def test_minhash_dedup_drops_near_dups(spark):
     base = "the quick brown fox jumps over the lazy dog " * 8
@@ -827,10 +847,13 @@ def test_knn_starved_query_widens_exactly(spark):
         mine = got[got.query_id == qid].sort_values("knn_rank").pid.tolist()
         assert mine == [int(i) for i in order], f"query {qid} not exact"
 
-    # structural guarantee: no cross-join anywhere in the operator
+    # structural guarantee: no cross-join anywhere in the knn operator
+    # (knn_join in the same module has an explicitly-LABELED crossJoin
+    # fallback for its starved tail — that one is scoped and intentional,
+    # so the assertion targets the knn function's own source)
     import inspect
-    import spatialindex_spark.operators.knn as knn_mod
-    src = inspect.getsource(knn_mod)
+    from spatialindex_spark.operators.knn import knn as knn_fn
+    src = inspect.getsource(knn_fn)
     assert "crossJoin" not in src and "cross_join" not in src
 
 

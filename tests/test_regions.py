@@ -359,14 +359,22 @@ def test_stream_crossmatch_matches_batch(spark, tmp_path):
     assert got == want
     assert len(got) >= half  # jittered copies actually matched
 
-    # a radius beyond the order-0 ring-1 bound (~28 deg) would need
-    # multi-ring expansion the streaming path doesn't do — it must raise
-    # instead of silently under-matching (r3 advice fix)
-    import pytest
-
-    with pytest.raises(ValueError, match="ring"):
-        stream_crossmatch(stream, catalog, 45.0,
-                          cell_col="hpx7", cell_level=7)
+    # a radius beyond the order-0 ring-1 bound (~29 deg) takes the
+    # level-0 multi-ring disc path — results must still equal batch
+    # crossmatch exactly (r3 advice: the old code silently under-matched)
+    out45 = stream_crossmatch(stream, catalog, 45.0,
+                              cell_col="hpx7", cell_level=7)
+    q45 = (out45.select("det_id", "cat_id").writeStream
+           .outputMode("append").format("memory").queryName("xm45")
+           .trigger(availableNow=True).start())
+    q45.awaitTermination(120)
+    got45 = {(r.det_id, r.cat_id) for r in
+             spark.sql("SELECT * FROM xm45").collect()}
+    want45 = {(r.det_id_l, r.cat_id_r) for r in crossmatch(
+        det_batch, catalog, 45.0, cell_col="hpx7", cell_level=7)
+        .select("det_id_l", "cat_id_r").collect()}
+    assert got45 == want45
+    assert len(got45) > len(got)  # 45-deg matches strictly more pairs
 
 
 def test_stream_simhash_dedup(spark, tmp_path):
