@@ -85,6 +85,14 @@ for n in (50_000, 500_000, 5_000_000):
     minhash_lsh_dedup(docs, threshold=THRESHOLD).count()
     rec["minhash_total_sec"] = round(time.perf_counter() - t0, 2)
     rec["per_doc_ms"] = round(rec["minhash_total_sec"] / n * 1e3, 4)
+
+    # simhash end-to-end (native kernel path), warm
+    from spatialindex_spark.operators.dedup import simhash_dedup
+
+    simhash_dedup(docs).count()  # warm
+    t0 = time.perf_counter()
+    rec["simhash_kept"] = simhash_dedup(docs).count()
+    rec["simhash_total_sec"] = round(time.perf_counter() - t0, 2)
     results.append(rec)
     print(json.dumps(rec), flush=True)
     docs.unpersist()
