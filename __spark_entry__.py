@@ -394,6 +394,77 @@ def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     on_starved="exact")
 
 
+CUTOUT_SCALE = 0.01   # deg / pixel of the synthetic pointing model
+CUTOUT_SIZE = 12      # cutout window size in pixels
+
+
+def _img_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders-sky as an image-pointing metadata table: each order is an
+    image centered at its sky position with deterministic w/h (the same
+    derive-from-key pattern as image_filter's metadata)."""
+    df = _orders_sky(spark, sf_dir)
+    w = (F.when(F.col("o_orderkey") % 3 == 0, 16)
+         .when(F.col("o_orderkey") % 3 == 1, 32).otherwise(64))
+    h = (F.when(F.expr("o_orderkey div 3") % 3 == 0, 16)
+         .when(F.expr("o_orderkey div 3") % 3 == 1, 32).otherwise(64))
+    return df.select(F.col("o_orderkey").alias("image_id"), "ra", "dec",
+                     w.alias("w"), h.alias("h"), "hpx7")
+
+
+def _q_cutout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image cutout windows (the cutout-service primitive): every
+    (target, image) pair where the target lands inside the image's
+    gnomonic footprint, with the clipped CUTOUT_SIZE window. Candidates
+    ride crossmatch's broadcast ring map keyed on the ingest-time hpx7
+    column (image side all-JVM, metadata-only); the oracle replays the
+    TAN projection + floor/clip arithmetic over an exact cross join."""
+    from spatialindex_spark.operators.cutouts import cutout_windows
+
+    imgs = _img_meta(spark, sf_dir)
+    targets = (_customer_sky(spark, sf_dir)
+               .filter(F.col("c_custkey") <= 1500)
+               .select(F.col("c_custkey").alias("target_id"), "ra", "dec"))
+    return cutout_windows(targets, imgs, CUTOUT_SCALE, CUTOUT_SIZE,
+                          max_dim_px=64, cell_col="hpx7", cell_level=7)
+
+
+def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic coaddition: every synthetic image overlapping each L2
+    HEALPix cell resampled onto the cell's 16x16 gnomonic grid and
+    mean-coadded. Pixel decode is not SQL-expressible, so the driver
+    records the rows-only check; the pixel math itself is bit-exact
+    against a straight numpy reference in tests/test_cutouts.py."""
+    from spatialindex_spark.operators.cutouts import coadd_mosaic
+    from spatialindex_spark.sources import imaging
+
+    meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= 3000)
+
+    def gen(batches):
+        for b in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "ra": [], "dec": [], "hpx7": []}
+            for r in b.itertuples(index=False):
+                fmt = ("raw", "z", "dct")[int(r.image_id) % 3]
+                img = imaging.synth_image(int(r.image_id), int(r.w),
+                                          int(r.h))
+                out["image_id"].append(int(r.image_id))
+                out["bytes"].append(imaging.encode(img, fmt))
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(fmt)
+                out["ra"].append(float(r.ra))
+                out["dec"].append(float(r.dec))
+                out["hpx7"].append(int(r.hpx7))
+            yield pd.DataFrame(out)
+
+    imgs = meta.mapInPandas(
+        gen, "image_id long, bytes binary, w int, h int, fmt string, "
+             "ra double, dec double, hpx7 long")
+    out = coadd_mosaic(imgs, level=2, tile_px=16, scale_deg_px=0.05,
+                       cell_col="hpx7", cell_level=7)
+    return out.select("tile", "n_images", "covered_px", "checksum")
+
+
 def _q_minhash_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup with transitive clustering: verified near-dup
     pairs are collapsed with distributed connected components and one
@@ -1298,6 +1369,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4
         "knn_join": _q_knn_join,
         "h3_kring": _q_h3_kring,
+        "cutout": _q_cutout,
+        "mosaic": _q_mosaic,
         # never driver-gated before r4 (r3 verdict item #2)
         "count_bounds_ellipse_s2": _q_count_bounds_ellipse_s2,
         "count_bounds_h3": _q_count_bounds_h3,
@@ -1348,10 +1421,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": _q_ann_int8,
         "ellipse_htm": _q_ellipse_htm,
         "hull_htm": _q_hull_htm,
-        "hull_s2": _q_hull_s2,
-        "hull_h3": _q_hull_h3,
         # ---- driver gate window ends around here (first 50) ----
         # longest-stable rows: identical code + name green in r1-r3
+        # (hull_s2 / hull_h3 rotated out after their r3 green row)
+        "hull_s2": _q_hull_s2,
+        "hull_h3": _q_hull_h3,
         "polygon_hpx": _q_polygon_hpx,
         "count_bounds": _q_count_bounds,
         "cone_base4": _q_cone_base4,
@@ -1736,7 +1810,53 @@ def oracle_sql() -> dict[str, str]:
         .replace("SELECT o_orderkey, o_custkey,",
                  "SELECT o_orderkey, o_custkey, o_totalprice,", 1)
 
+    srad = repr(math.radians(CUTOUT_SCALE))
+    half = CUTOUT_SIZE // 2
+    cutout_sql = f"""
+WITH imgs AS (
+  SELECT o_orderkey AS image_id,
+         (o_orderkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders),
+tgts AS (
+  SELECT c_custkey AS target_id,
+         (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer WHERE c_custkey <= 1500),
+pix AS (
+  SELECT t.target_id, i.image_id, i.w, i.h,
+    sin(radians(i.dec)) * sin(radians(t.dec))
+      + cos(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)) AS den,
+    i.w / 2.0 - ((cos(radians(t.dec)) * sin(radians(t.ra) - radians(i.ra))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS px,
+    i.h / 2.0 + (((cos(radians(i.dec)) * sin(radians(t.dec))
+      - sin(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS py
+  FROM tgts t CROSS JOIN imgs i),
+win AS (
+  SELECT target_id, image_id, w, h, px, py,
+         CAST(FLOOR(px) AS INT) - {half} AS x0r,
+         CAST(FLOOR(py) AS INT) - {half} AS y0r
+  FROM pix WHERE den > 0 AND px >= 0 AND px < w AND py >= 0 AND py < h)
+SELECT target_id, image_id, ROUND(px, 6) AS px, ROUND(py, 6) AS py,
+       GREATEST(0, x0r) AS x0, LEAST(w, x0r + {CUTOUT_SIZE}) AS x1,
+       GREATEST(0, y0r) AS y0, LEAST(h, y0r + {CUTOUT_SIZE}) AS y1,
+       (LEAST(w, x0r + {CUTOUT_SIZE}) - GREATEST(0, x0r) = {CUTOUT_SIZE}
+        AND LEAST(h, y0r + {CUTOUT_SIZE}) - GREATEST(0, y0r)
+            = {CUTOUT_SIZE}) AS complete
+FROM win"""
+
     return {
+        "cutout": cutout_sql,
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_h3": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",

@@ -1,0 +1,374 @@
+"""Image cutout extraction and mosaic coaddition (image-axis operators).
+
+A cutout service is the canonical workload over a sky-indexed image
+table (the reference's deployment context: cell-indexed image metadata
+queried by position — README.md:9-24 describes exactly this DBMS-side
+use): given a target list, find every image whose footprint contains
+each target and cut a ``size_px`` × ``size_px`` pixel window centered
+on it.  Mosaic coaddition is the inverse aggregation: resample every
+image overlapping a sky cell onto that cell's common pixel grid and
+average them (weighted mean coadd).
+
+Geometry model
+--------------
+Each image is a ``w`` × ``h`` pixel array in a gnomonic (TAN)
+projection about its pointing center ``(ra, dec)`` with a uniform
+pixel scale (deg/px) and axes aligned to east/north (the FITS TAN
+convention with a diagonal CD matrix, no rotation term).  Continuous
+pixel coordinates put pixel ``(i, j)``'s footprint at
+``[i, i+1) x [j, j+1)`` and the image center at ``(w/2, h/2)``; RA
+grows toward -x (sky convention), Dec toward +y:
+
+    D   = sin(dec0) sin(dec) + cos(dec0) cos(dec) cos(ra - ra0)
+    xi  = cos(dec) sin(ra - ra0) / D            (east,  radians)
+    eta = (cos(dec0) sin(dec)
+           - sin(dec0) cos(dec) cos(ra - ra0)) / D   (north, radians)
+    px  = w/2 - xi  / scale_rad
+    py  = h/2 + eta / scale_rad
+
+The footprint half-diagonal ``scale * hypot(w, h) / 2`` bounds the
+center-to-corner separation (gnomonic projection only stretches radial
+distances outward), so a cone of that radius around a target contains
+every image whose footprint can reach it — the candidate join is the
+existing ``crossmatch`` ring-1 machinery (J3).
+
+Scale shape (100 TB)
+--------------------
+- ``cutout_windows``: candidates ride crossmatch's broadcast ring-map
+  join keyed by the ingest-time cell column — the image side is a
+  METADATA-ONLY scan (the ``bytes`` column never enters ReadSchema,
+  plan-asserted in tests) and stays entirely JVM-side; the window math
+  is pure Column trig on the matched pairs.  Nothing about the image
+  table's size appears on the driver.
+- ``cutout_pixels``: only MATCHED image rows are re-read — the match
+  list is collected (bounded, with a guard: a cutout request is a
+  human-sized target list) into an IN-set pushdown on the id column so
+  parquet row-group stats skip unmatched stripes, then bytes decode in
+  Arrow batches via mapInPandas.
+- ``coadd_mosaic``: images shuffle ONCE keyed by output tile cell
+  (ring-1 duplication is pruned by a center-distance bound before the
+  exchange, so the dup factor stays ~1 except at tile corners); the
+  per-tile accumulation is an applyInPandas over cell groups — the
+  same co-location shape as any 100-TB groupBy, no driver state.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.healpix import max_pix_rad, pix2vec
+from .joins import _ring1_map_df, crossmatch, hpx_cell_key
+
+__all__ = ["cutout_windows", "cutout_pixels", "coadd_mosaic",
+           "tan_pix_np"]
+
+
+def tan_pix_np(ra, dec, ra0, dec0, w, h, scale_deg):
+    """Numpy twin of the JVM window math (shared by the pixel path and
+    tests): continuous pixel coords of (ra, dec) in an image pointed at
+    (ra0, dec0).  Returns (px, py, valid) — ``valid`` is False on the
+    anti-tangent hemisphere where the projection diverges."""
+    ra, dec = np.radians(ra), np.radians(dec)
+    ra0, dec0 = np.radians(ra0), np.radians(dec0)
+    s = np.radians(scale_deg)
+    cosd, sind = np.cos(dec), np.sin(dec)
+    cosd0, sind0 = np.cos(dec0), np.sin(dec0)
+    cosdra = np.cos(ra - ra0)
+    den = sind0 * sind + cosd0 * cosd * cosdra
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xi = cosd * np.sin(ra - ra0) / den
+        eta = (cosd0 * sind - sind0 * cosd * cosdra) / den
+    return (np.asarray(w) / 2.0 - xi / s,
+            np.asarray(h) / 2.0 + eta / s,
+            den > 0)
+
+
+def _tan_px_cols(tra, tdec, ira, idec, w, h, scale_deg):
+    """JVM Column gnomonic pixel coords of target (tra, tdec) in the
+    image frame — the Column twin of :func:`tan_pix_np`."""
+    at, dt = F.radians(tra), F.radians(tdec)
+    a0, d0 = F.radians(ira), F.radians(idec)
+    s = F.lit(math.radians(scale_deg))
+    cosd, sind = F.cos(dt), F.sin(dt)
+    cosd0, sind0 = F.cos(d0), F.sin(d0)
+    cosdra = F.cos(at - a0)
+    den = sind0 * sind + cosd0 * cosd * cosdra
+    xi = cosd * F.sin(at - a0) / den
+    eta = (cosd0 * sind - sind0 * cosd * cosdra) / den
+    return w / F.lit(2.0) - xi / s, h / F.lit(2.0) + eta / s, den
+
+
+def cutout_windows(targets: DataFrame, images: DataFrame,
+                   scale_deg_px: float, size_px: int,
+                   target_id: str = "target_id",
+                   image_id: str = "image_id",
+                   max_dim_px: int | None = None,
+                   level: int | None = None,
+                   cell_col: str | None = None,
+                   cell_level: int | None = None) -> DataFrame:
+    """Every (target, image) pair where the target lands inside the
+    image footprint, with the clipped ``size_px`` cutout window.
+
+    ``targets`` needs (target_id, ra, dec); ``images`` needs
+    (image_id, ra, dec, w, h).  Pass the ingest-time nested-HPX cell
+    column via ``cell_col``/``cell_level`` to keep the image side's
+    candidate keying entirely JVM (crossmatch's broadcast ring map).
+
+    ``max_dim_px`` bounds max(w, h) across the table; when omitted it
+    is read with one scalar aggregate (a single-row driver read, the
+    same budget class as count-bounds).
+
+    Output columns: target_id, image_id, px, py (continuous pixel
+    coords of the target, rounded to 1e-6 px), x0/x1/y0/y1 (the
+    clipped half-open window), complete (window not clipped).
+    """
+    if max_dim_px is None:
+        max_dim_px = images.agg(
+            F.max(F.greatest(F.col("w"), F.col("h")))).first()[0]
+    # center-to-corner bound; +1 px margin absorbs the rounding of the
+    # continuous coords (never admits a false negative, the exact
+    # in-bounds filter below is authoritative)
+    radius = scale_deg_px * (math.hypot(max_dim_px, max_dim_px) / 2.0 + 1.0)
+
+    tsel = targets.select(target_id, "ra", "dec")
+    isel = images.select(image_id, "ra", "dec", "w", "h",
+                         *([cell_col] if cell_col else []))
+    if cell_col is not None and cell_level is not None:
+        # crossmatch's JVM ring-map path keys BOTH sides on the same
+        # cell column name; targets are small, so computing their cell
+        # here costs one Arrow batch over the tiny side only
+        if cell_col not in tsel.columns:
+            from ..functions.udfs import hpx_udf
+            tsel = tsel.withColumn(cell_col, hpx_udf(cell_level)("ra", "dec"))
+    pairs = crossmatch(tsel, isel, radius, level=level,
+                       suffixes=("_t", "_i"),
+                       cell_col=cell_col, cell_level=cell_level)
+
+    w, h = F.col("w_i"), F.col("h_i")
+    px, py, den = _tan_px_cols(
+        F.col("ra_t"), F.col("dec_t"), F.col("ra_i"), F.col("dec_i"),
+        w, h, scale_deg_px)
+    inside = (den > 0) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+
+    half = size_px // 2
+    x0r = F.floor(px).cast("int") - F.lit(half)
+    y0r = F.floor(py).cast("int") - F.lit(half)
+    x0 = F.greatest(F.lit(0), x0r)
+    y0 = F.greatest(F.lit(0), y0r)
+    x1 = F.least(w.cast("int"), x0r + F.lit(size_px))
+    y1 = F.least(h.cast("int"), y0r + F.lit(size_px))
+
+    return (pairs.filter(inside)
+            .select(F.col(target_id + "_t").alias(target_id),
+                    F.col(image_id + "_i").alias(image_id),
+                    F.round(px, 6).alias("px"),
+                    F.round(py, 6).alias("py"),
+                    x0.alias("x0"), x1.alias("x1"),
+                    y0.alias("y0"), y1.alias("y1"),
+                    ((x1 - x0 == size_px) & (y1 - y0 == size_px))
+                    .alias("complete")))
+
+
+def cutout_pixels(images: DataFrame, windows: DataFrame,
+                  image_id: str = "image_id",
+                  bytes_col: str = "bytes",
+                  max_images: int = 1_000_000) -> DataFrame:
+    """Extract the pixel windows computed by :func:`cutout_windows`.
+
+    ``images`` must carry (image_id, bytes, w, h, fmt).  The distinct
+    matched image ids are collected into an IN-set filter (pushed into
+    the parquet scan so row-group stats prune unmatched stripes — the
+    100-TB table is READ only where it matched); ``max_images`` guards
+    the collect.  Decoding runs in Arrow batches (mapInPandas); output
+    pixels are re-encoded as raw uint8.
+
+    Output: window columns + cut_w, cut_h, data (raw bytes), mean_val.
+    """
+    ids = [r[0] for r in
+           windows.select(image_id).distinct().limit(max_images + 1)
+           .collect()]
+    if len(ids) > max_images:
+        raise ValueError(
+            f"cutout_pixels matched > {max_images} distinct images; "
+            "raise max_images or partition the target list")
+
+    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
+               .filter(F.col(image_id).isin(ids))
+               .join(F.broadcast(windows), image_id))
+
+    schema = (f"{image_id} string, target_id long, x0 int, x1 int, "
+              "y0 int, y1 int, cut_w int, cut_h int, data binary, "
+              "mean_val double")
+    id_dtype = dict(windows.dtypes).get(image_id, "string")
+    if id_dtype != "string":
+        schema = schema.replace(f"{image_id} string",
+                                f"{image_id} {id_dtype}", 1)
+    tid_dtype = dict(windows.dtypes).get("target_id", "bigint")
+    if tid_dtype != "bigint":
+        schema = schema.replace("target_id long", f"target_id {tid_dtype}", 1)
+
+    from ..sources import imaging
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {k: [] for k in (image_id, "target_id", "x0", "x1",
+                                    "y0", "y1", "cut_w", "cut_h",
+                                    "data", "mean_val")}
+            for r in b.itertuples(index=False):
+                d = r._asdict()
+                img = imaging.decode(d[bytes_col], int(d["w"]),
+                                     int(d["h"]), str(d["fmt"]))
+                cut = img[int(d["y0"]):int(d["y1"]),
+                          int(d["x0"]):int(d["x1"])]
+                rows[image_id].append(d[image_id])
+                rows["target_id"].append(d["target_id"])
+                for k in ("x0", "x1", "y0", "y1"):
+                    rows[k].append(int(d[k]))
+                rows["cut_w"].append(cut.shape[1])
+                rows["cut_h"].append(cut.shape[0])
+                rows["data"].append(cut.astype(np.uint8).tobytes())
+                rows["mean_val"].append(float(cut.mean())
+                                        if cut.size else float("nan"))
+            yield pd.DataFrame(rows)
+
+    return matched.mapInPandas(run, schema)
+
+
+def _tile_center_map(spark, level: int) -> DataFrame:
+    """Complete (tile pix -> center ra/dec) map at ``level`` — the
+    broadcast side of the mosaic's candidate pruning.  Bounded like
+    crossmatch's ring map (12 * 4^level rows, level capped by caller)."""
+    npix = 12 << (2 * level)
+    pix = np.arange(npix, dtype=np.int64)
+    x, y, z = pix2vec(level, pix)
+    return spark.createDataFrame(pd.DataFrame({
+        "_tile": pix,
+        "_tra": np.degrees(np.arctan2(y, x)) % 360.0,
+        "_tdec": np.degrees(np.arcsin(np.clip(z, -1.0, 1.0))),
+    }))
+
+
+def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
+                 scale_deg_px: float,
+                 image_id: str = "image_id",
+                 bytes_col: str = "bytes",
+                 cell_col: str | None = None,
+                 cell_level: int | None = None) -> DataFrame:
+    """Weighted-mean coadd of every image overlapping each HEALPix
+    cell at ``level`` onto that cell's common ``tile_px`` ×
+    ``tile_px`` gnomonic grid.
+
+    The tile grid is centered on the cell center with pixel scale
+    ``2 * max_pix_rad(level) / tile_px`` (the grid spans the cell's
+    bounding disc, so neighboring tiles overlap slightly — standard
+    mosaic practice so there are no seams).  Candidate (image, tile)
+    pairs are the image's own cell plus its ring-1 neighbors, pruned
+    before the shuffle by the exact center-separation bound
+    ``max_pix_rad + half_diagonal`` — images too far from a neighbor
+    tile's center to touch its grid never shuffle there.
+
+    ``images`` needs (image_id, bytes, w, h, fmt, ra, dec).  Per-tile
+    accumulation decodes each contributing image once and
+    nearest-neighbor samples it onto the grid (applyInPandas over the
+    tile key — co-located, no driver state).
+
+    Output: tile (cell id), n_images, covered_px (grid pixels with at
+    least one contribution), data (raw uint8 mean, zero where empty),
+    checksum (sum of mean values, 1e-3-rounded).
+    """
+    if level > 8:
+        raise ValueError("mosaic tile level capped at 8 (ring-map and "
+                         "tile-center broadcasts are complete maps)")
+    spark = images.sparkSession
+    tile_rad = max_pix_rad(level)
+    tile_scale = 2.0 * tile_rad / tile_px          # rad / tile pixel
+    tile_scale_deg = math.degrees(tile_scale)
+
+    if cell_col is not None and cell_level is not None:
+        own = hpx_cell_key(cell_col, cell_level, level)
+    else:
+        from ..functions.udfs import hpx_udf
+        own = hpx_udf(level)("ra", "dec")
+
+    ring = _ring1_map_df(spark, level)
+    centers = _tile_center_map(spark, level)
+
+    cand = (images.withColumn("_pix", own)
+            .join(F.broadcast(ring), "_pix")
+            .select(*[F.col(c) for c in images.columns],
+                    F.explode("_ring").alias("_tile"))
+            .join(F.broadcast(centers), "_tile"))
+
+    # prune: keep (image, tile) only if the image's half-diagonal disc
+    # can reach the tile's bounding disc (exact separation vs bound)
+    half_diag = (F.sqrt(F.col("w") * F.col("w") + F.col("h") * F.col("h"))
+                 * F.lit(math.radians(scale_deg_px) / 2.0))
+    rad = F.radians
+    dot = (F.cos(rad("dec")) * F.cos(rad(F.col("_tdec")))
+           * F.cos(rad("ra") - rad(F.col("_tra")))
+           + F.sin(rad("dec")) * F.sin(rad(F.col("_tdec"))))
+    bound = F.cos(F.least(F.lit(math.pi),
+                          half_diag + F.lit(tile_rad * math.sqrt(2.0))))
+    cand = cand.filter(dot >= bound)
+
+    from ..sources import imaging
+
+    schema = ("tile long, n_images int, covered_px int, data binary, "
+              "checksum double")
+
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (tile,) = key
+        tra = float(pdf["_tra"].iloc[0])
+        tdec = float(pdf["_tdec"].iloc[0])
+        # tile pixel-center sky grid via INVERSE gnomonic at tile center
+        jj, ii = np.mgrid[0:tile_px, 0:tile_px]
+        xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
+        eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
+        a0, d0 = math.radians(tra), math.radians(tdec)
+        den = np.sqrt(1.0 + xi * xi + eta * eta)
+        # unit vector of each grid pixel (tangent-plane basis at center)
+        cx, cy, cz = (math.cos(d0) * math.cos(a0),
+                      math.cos(d0) * math.sin(a0), math.sin(d0))
+        ex, ey, ez = -math.sin(a0), math.cos(a0), 0.0   # east
+        nx, ny, nz = (-math.sin(d0) * math.cos(a0),
+                      -math.sin(d0) * math.sin(a0), math.cos(d0))  # north
+        gx = (cx + xi * ex + eta * nx) / den
+        gy = (cy + xi * ey + eta * ny) / den
+        gz = (cz + xi * ez + eta * nz) / den
+        gra = np.degrees(np.arctan2(gy, gx)) % 360.0
+        gdec = np.degrees(np.arcsin(np.clip(gz, -1.0, 1.0)))
+
+        acc = np.zeros((tile_px, tile_px, 3), dtype=np.float64)
+        cnt = np.zeros((tile_px, tile_px), dtype=np.int64)
+        used = 0
+        for r in pdf.itertuples(index=False):
+            d = r._asdict()
+            w, h = int(d["w"]), int(d["h"])
+            px, py, ok = tan_pix_np(gra, gdec, float(d["ra"]),
+                                    float(d["dec"]), w, h, scale_deg_px)
+            ix = np.floor(px).astype(np.int64)
+            iy = np.floor(py).astype(np.int64)
+            m = ok & (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
+            if not m.any():
+                continue
+            img = imaging.decode(d[bytes_col], w, h, str(d["fmt"]))
+            acc[m] += img[iy[m], ix[m]]
+            cnt[m] += 1
+            used += 1
+        mean = np.where((cnt > 0)[:, :, None],
+                        acc / np.maximum(cnt, 1)[:, :, None], 0.0)
+        return pd.DataFrame({
+            "tile": [np.int64(tile)],
+            "n_images": [np.int32(used)],
+            "covered_px": [np.int32((cnt > 0).sum())],
+            "data": [np.rint(mean).astype(np.uint8).tobytes()],
+            "checksum": [round(float(mean.sum()), 3)],
+        })
+
+    return (cand.groupBy("_tile").applyInPandas(per_tile, schema)
+            .filter(F.col("n_images") > 0))

@@ -1,0 +1,233 @@
+"""Cutout / mosaic operator tests: window math vs brute force, pixel
+extraction vs direct numpy slicing, mosaic coadd vs a straight numpy
+reference, and the metadata-only plan guarantee (bytes never scanned
+for the window stage).
+
+Reference context: the cutout service is the deployment workload the
+reference's cell indexing exists for (README.md:9-24 — position-indexed
+image metadata tables); the operators here are new engine capability
+layered on crossmatch (J3) + the HPX cell machinery (P5/C5).
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from spatialindex_spark.operators.cutouts import (
+    coadd_mosaic, cutout_pixels, cutout_windows, tan_pix_np)
+from spatialindex_spark.functions.healpix import max_pix_rad, pix2vec
+from spatialindex_spark.sources import imaging
+
+SCALE = 0.02   # deg / px
+SIZE = 10
+
+
+def _mk_tables(spark, n_img=60, n_tgt=120, seed=7):
+    rng = np.random.default_rng(seed)
+    ra_i = rng.uniform(0, 360, n_img)
+    dec_i = np.degrees(np.arcsin(rng.uniform(-1, 1, n_img)))
+    w = rng.choice([16, 32, 64], n_img).astype(np.int32)
+    h = rng.choice([16, 32, 64], n_img).astype(np.int32)
+    imgs = pd.DataFrame({"image_id": np.arange(n_img, dtype=np.int64),
+                         "ra": ra_i, "dec": dec_i, "w": w, "h": h})
+    # half the targets land near an image center so matches exist
+    ra_t = np.concatenate([ra_i[: n_tgt // 2]
+                           + rng.uniform(-0.2, 0.2, n_tgt // 2),
+                           rng.uniform(0, 360, n_tgt - n_tgt // 2)])
+    dec_t = np.concatenate([np.clip(dec_i[: n_tgt // 2]
+                                    + rng.uniform(-0.2, 0.2, n_tgt // 2),
+                                    -89.9, 89.9),
+                            np.degrees(np.arcsin(
+                                rng.uniform(-1, 1, n_tgt - n_tgt // 2)))])
+    tgts = pd.DataFrame({"target_id": np.arange(n_tgt, dtype=np.int64),
+                         "ra": ra_t % 360.0, "dec": dec_t})
+    return spark.createDataFrame(imgs), spark.createDataFrame(tgts), imgs, tgts
+
+
+def _brute_windows(imgs: pd.DataFrame, tgts: pd.DataFrame):
+    out = []
+    half = SIZE // 2
+    for t in tgts.itertuples(index=False):
+        px, py, ok = tan_pix_np(t.ra, t.dec, imgs["ra"].to_numpy(),
+                                imgs["dec"].to_numpy(),
+                                imgs["w"].to_numpy(),
+                                imgs["h"].to_numpy(), SCALE)
+        m = ok & (px >= 0) & (px < imgs["w"].to_numpy()) \
+            & (py >= 0) & (py < imgs["h"].to_numpy())
+        for j in np.flatnonzero(m):
+            w, h = int(imgs["w"].iloc[j]), int(imgs["h"].iloc[j])
+            x0r = int(math.floor(px[j])) - half
+            y0r = int(math.floor(py[j])) - half
+            out.append((int(t.target_id), int(imgs["image_id"].iloc[j]),
+                        round(float(px[j]), 6), round(float(py[j]), 6),
+                        max(0, x0r), min(w, x0r + SIZE),
+                        max(0, y0r), min(h, y0r + SIZE)))
+    return sorted(out)
+
+
+def test_windows_match_brute_force(spark):
+    imgs_df, tgts_df, imgs, tgts = _mk_tables(spark)
+    got = cutout_windows(tgts_df, imgs_df, SCALE, SIZE).collect()
+    got_s = sorted((r.target_id, r.image_id, r.px, r.py,
+                    r.x0, r.x1, r.y0, r.y1) for r in got)
+    assert got_s == _brute_windows(imgs, tgts)
+    # complete flag consistency
+    for r in got:
+        assert r.complete == ((r.x1 - r.x0 == SIZE)
+                              and (r.y1 - r.y0 == SIZE))
+
+
+def test_windows_cell_column_path_identical(spark):
+    """Supplying the ingest-time cell column (the JVM ring-map path)
+    returns the identical pair set as the UDF-keyed path."""
+    from spatialindex_spark.functions.udfs import hpx_udf
+
+    imgs_df, tgts_df, *_ = _mk_tables(spark, seed=11)
+    with_cell = imgs_df.withColumn("hpx7", hpx_udf(7)("ra", "dec"))
+    a = sorted((r.target_id, r.image_id)
+               for r in cutout_windows(tgts_df, imgs_df, SCALE, SIZE)
+               .collect())
+    b = sorted((r.target_id, r.image_id)
+               for r in cutout_windows(tgts_df, with_cell, SCALE, SIZE,
+                                       cell_col="hpx7", cell_level=7)
+               .collect())
+    assert a == b and len(a) > 0
+
+
+def test_window_plan_excludes_bytes(spark, tmp_path):
+    """The window stage is metadata-only: the parquet ReadSchema must
+    not contain the image bytes column."""
+    imgs_df, tgts_df, *_ = _mk_tables(spark, n_img=30, n_tgt=20)
+    payload = imgs_df.withColumn("bytes", F.lit(b"\x00" * 64))
+    p = str(tmp_path / "imgs")
+    payload.write.mode("overwrite").parquet(p)
+    imgs2 = spark.read.parquet(p)
+    plan = (cutout_windows(tgts_df, imgs2, SCALE, SIZE)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "bytes" not in plan
+
+
+def test_cutout_pixels_match_numpy_slice(spark):
+    imgs_df, tgts_df, imgs, _ = _mk_tables(spark, n_img=40, n_tgt=60,
+                                           seed=3)
+
+    def gen(batches):
+        for b in batches:
+            fmts = [("raw", "z", "dct")[int(i) % 3] for i in b["image_id"]]
+            b = b.copy()
+            b["fmt"] = fmts
+            b["bytes"] = [imaging.encode(
+                imaging.synth_image(int(i), int(w), int(h)), f)
+                for i, w, h, f in zip(b["image_id"], b["w"], b["h"], fmts)]
+            yield b
+
+    payload = imgs_df.mapInPandas(
+        gen, "image_id long, ra double, dec double, w int, h int, "
+             "fmt string, bytes binary")
+    wins = cutout_windows(tgts_df, imgs_df, SCALE, SIZE)
+    cuts = cutout_pixels(payload, wins).collect()
+    assert len(cuts) == wins.count() and len(cuts) > 0
+    meta = {int(r.image_id): r for r in imgs.itertuples(index=False)}
+    for r in cuts:
+        m = meta[r.image_id]
+        fmt = ("raw", "z", "dct")[r.image_id % 3]
+        img = imaging.decode(
+            imaging.encode(imaging.synth_image(r.image_id, int(m.w),
+                                               int(m.h)), fmt),
+            int(m.w), int(m.h), fmt)
+        ref = img[r.y0:r.y1, r.x0:r.x1]
+        assert (r.cut_h, r.cut_w) == ref.shape[:2]
+        assert np.frombuffer(r.data, dtype=np.uint8).reshape(
+            ref.shape) .tobytes() == ref.astype(np.uint8).tobytes()
+        assert r.mean_val == pytest.approx(float(ref.mean()))
+
+
+def _np_coadd(imgs: pd.DataFrame, blobs: dict, level: int, tile_px: int,
+              scale_deg_px: float):
+    """Straight numpy reference of the mosaic, independent of Spark."""
+    tile_rad = max_pix_rad(level)
+    tile_scale = 2.0 * tile_rad / tile_px
+    npix = 12 << (2 * level)
+    pix = np.arange(npix, dtype=np.int64)
+    x, y, z = pix2vec(level, pix)
+    tra = np.degrees(np.arctan2(y, x)) % 360.0
+    tdec = np.degrees(np.arcsin(np.clip(z, -1.0, 1.0)))
+    out = {}
+    for tile in range(npix):
+        a0, d0 = math.radians(tra[tile]), math.radians(tdec[tile])
+        jj, ii = np.mgrid[0:tile_px, 0:tile_px]
+        xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
+        eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
+        den = np.sqrt(1.0 + xi * xi + eta * eta)
+        cx, cy, cz = (math.cos(d0) * math.cos(a0),
+                      math.cos(d0) * math.sin(a0), math.sin(d0))
+        ex, ey = -math.sin(a0), math.cos(a0)
+        nx, ny, nz = (-math.sin(d0) * math.cos(a0),
+                      -math.sin(d0) * math.sin(a0), math.cos(d0))
+        gx = (cx + xi * ex + eta * nx) / den
+        gy = (cy + xi * ey + eta * ny) / den
+        gz = (cz + eta * nz) / den
+        gra = np.degrees(np.arctan2(gy, gx)) % 360.0
+        gdec = np.degrees(np.arcsin(np.clip(gz, -1.0, 1.0)))
+        acc = np.zeros((tile_px, tile_px, 3))
+        cnt = np.zeros((tile_px, tile_px), dtype=np.int64)
+        used = 0
+        for r in imgs.itertuples(index=False):
+            px, py, ok = tan_pix_np(gra, gdec, r.ra, r.dec,
+                                    int(r.w), int(r.h), scale_deg_px)
+            ix, iy = np.floor(px).astype(int), np.floor(py).astype(int)
+            m = ok & (ix >= 0) & (ix < int(r.w)) & (iy >= 0) \
+                & (iy < int(r.h))
+            if not m.any():
+                continue
+            img = blobs[int(r.image_id)]
+            acc[m] += img[iy[m], ix[m]]
+            cnt[m] += 1
+            used += 1
+        if used:
+            mean = np.where((cnt > 0)[:, :, None],
+                            acc / np.maximum(cnt, 1)[:, :, None], 0.0)
+            out[tile] = (used, int((cnt > 0).sum()),
+                         round(float(mean.sum()), 3),
+                         np.rint(mean).astype(np.uint8).tobytes())
+    return out
+
+
+def test_mosaic_matches_numpy_reference(spark):
+    level, tile_px = 1, 8
+    imgs_df, _, imgs, _ = _mk_tables(spark, n_img=50, n_tgt=2, seed=5)
+    blobs = {}
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            fmts = [("raw", "z", "dct")[int(i) % 3] for i in b["image_id"]]
+            b["fmt"] = fmts
+            b["bytes"] = [imaging.encode(
+                imaging.synth_image(int(i), int(w), int(h)), f)
+                for i, w, h, f in zip(b["image_id"], b["w"], b["h"], fmts)]
+            yield b
+
+    for r in imgs.itertuples(index=False):
+        fmt = ("raw", "z", "dct")[int(r.image_id) % 3]
+        blobs[int(r.image_id)] = imaging.decode(
+            imaging.encode(imaging.synth_image(int(r.image_id), int(r.w),
+                                               int(r.h)), fmt),
+            int(r.w), int(r.h), fmt)
+
+    payload = imgs_df.mapInPandas(
+        gen, "image_id long, ra double, dec double, w int, h int, "
+             "fmt string, bytes binary")
+    got = {r.tile: (r.n_images, r.covered_px, r.checksum, bytes(r.data))
+           for r in coadd_mosaic(payload, level, tile_px, SCALE).collect()}
+    ref = _np_coadd(imgs, blobs, level, tile_px, SCALE)
+    assert got == ref
+
+
+def test_mosaic_level_cap(spark):
+    imgs_df, *_ = _mk_tables(spark, n_img=5, n_tgt=2)
+    with pytest.raises(ValueError, match="capped"):
+        coadd_mosaic(imgs_df, 9, 8, SCALE)
