@@ -223,6 +223,87 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
     return pairs.filter(dot >= F.lit(cosr))
 
 
+def stream_cutout(stream_images: DataFrame, targets: DataFrame,
+                  scale_deg_px: float, size_px: int, max_dim_px: int,
+                  cell_col: str = "hpx7", cell_level: int = 7,
+                  target_id: str = "target_id",
+                  image_id: str = "image_id"):
+    """Streaming cutout service: as images arrive, emit the clipped
+    ``size_px`` window for every STATIC target that lands inside each
+    new image's footprint — the postage-stamp/alert pattern (new
+    exposures trigger cutouts at known source positions).
+
+    Plan shape mirrors :func:`stream_crossmatch`: the static target list
+    is keyed once at the match level; the STREAM side explodes into its
+    ring-1 (or multi-ring at level 0) neighbor cells via the broadcast
+    map, so the per-micro-batch join is a stateless equi-join — no
+    watermark or state store. Window math is the batch operator's JVM
+    Column trig (operators/cutouts.py); results across micro-batches
+    equal the batch ``cutout_windows`` on the same rows (pytest-gated).
+
+    ``max_dim_px`` must bound max(w, h) of the stream (a stream cannot
+    be aggregated at plan time); rows exceeding it raise at runtime via
+    an in-plan guard rather than silently under-matching.
+    """
+    import math
+
+    from ..functions.geometry import RAD_PER_DEG
+    from ..functions.healpix import safe_ring1_rad
+    from ..operators.cutouts import _tan_px_cols
+    from ..operators.joins import (JVM_RING_MAX_LEVEL, _ring1_map_df,
+                                   hpx_cell_key, pick_match_level)
+
+    radius = scale_deg_px * (math.hypot(max_dim_px, max_dim_px) / 2.0 + 1.0)
+    lvl = min(pick_match_level(radius), cell_level, JVM_RING_MAX_LEVEL)
+    rings = max(1, math.ceil(radius * RAD_PER_DEG / safe_ring1_rad(lvl)))
+    if rings > 1:
+        lvl = 0
+        rings = max(1, math.ceil(radius * RAD_PER_DEG / safe_ring1_rad(0)))
+    ring_map = _ring1_map_df(stream_images.sparkSession, lvl, rings)
+
+    tgt = (targets.select(target_id, F.col("ra").alias("t_ra"),
+                          F.col("dec").alias("t_dec"))
+           .withColumn("_mc", hpx_udf(lvl)("t_ra", "t_dec")))
+
+    # guard folded into the join key (the repo's zero-extra-stage
+    # assert_true pattern, joins.py): an image wider than the declared
+    # bound would make the candidate radius unsound — fail loudly
+    guard = F.assert_true(
+        F.greatest(F.col("w"), F.col("h")) <= F.lit(max_dim_px),
+        "stream_cutout: image exceeds declared max_dim_px — "
+        "candidate radius bound is unsound; raise max_dim_px")
+    pixkey = F.coalesce(
+        F.when(guard.isNull(), hpx_cell_key(cell_col, cell_level, lvl)),
+        F.lit(-1))
+    s = stream_images.withColumn("_pix", pixkey)
+    s = (s.join(F.broadcast(ring_map), s["_pix"] == ring_map["_pix"],
+                "inner")
+         .drop(ring_map["_pix"])
+         .withColumn("_mc", F.explode("_ring"))
+         .drop("_ring", "_pix"))
+    pairs = s.join(tgt, "_mc").drop("_mc")
+
+    w, h = F.col("w"), F.col("h")
+    px, py, den = _tan_px_cols(F.col("t_ra"), F.col("t_dec"),
+                               F.col("ra"), F.col("dec"), w, h,
+                               scale_deg_px)
+    inside = (den > 0) & (px >= 0) & (px < w) & (py >= 0) & (py < h)
+    half = size_px // 2
+    x0r = F.floor(px).cast("int") - F.lit(half)
+    y0r = F.floor(py).cast("int") - F.lit(half)
+    x0 = F.greatest(F.lit(0), x0r)
+    y0 = F.greatest(F.lit(0), y0r)
+    x1 = F.least(w.cast("int"), x0r + F.lit(size_px))
+    y1 = F.least(h.cast("int"), y0r + F.lit(size_px))
+    return (pairs.filter(inside)
+            .select(target_id, image_id,
+                    F.round(px, 6).alias("px"), F.round(py, 6).alias("py"),
+                    x0.alias("x0"), x1.alias("x1"),
+                    y0.alias("y0"), y1.alias("y1"),
+                    ((x1 - x0 == size_px) & (y1 - y0 == size_px))
+                    .alias("complete")))
+
+
 def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
                          id_col: str = "doc_id", ts_col: str = "ts",
                          band_bits: int = 16, max_hamming: int = 3,

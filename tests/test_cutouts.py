@@ -231,3 +231,48 @@ def test_mosaic_level_cap(spark):
     imgs_df, *_ = _mk_tables(spark, n_img=5, n_tgt=2)
     with pytest.raises(ValueError, match="capped"):
         coadd_mosaic(imgs_df, 9, 8, SCALE)
+
+
+def test_stream_cutout_matches_batch(spark, tmp_path):
+    """Streaming cutout across two micro-batches returns exactly the
+    batch cutout_windows rows for the same images, and the in-plan
+    max_dim_px guard trips on an oversize image."""
+    from spatialindex_spark.functions.udfs import hpx_udf
+    from spatialindex_spark.streaming.ingest import stream_cutout
+
+    imgs_df, tgts_df, imgs, _ = _mk_tables(spark, n_img=50, n_tgt=80,
+                                           seed=19)
+    src = str(tmp_path / "imgs_stream")
+    pdf = imgs.copy()
+    half = len(pdf) // 2
+    schema = "image_id long, ra double, dec double, w int, h int"
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(schema).parquet(src)
+              .withColumn("hpx7", hpx_udf(7)("ra", "dec")))
+    out = stream_cutout(stream, tgts_df, SCALE, SIZE, max_dim_px=64)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("cut_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.target_id, r.image_id, r.px, r.py, r.x0, r.x1, r.y0, r.y1,
+            r.complete)
+           for r in spark.sql("SELECT * FROM cut_stream").collect()}
+    want = {(r.target_id, r.image_id, r.px, r.py, r.x0, r.x1, r.y0, r.y1,
+             r.complete)
+            for r in cutout_windows(tgts_df, imgs_df, SCALE, SIZE,
+                                    max_dim_px=64).collect()}
+    assert got == want and len(got) > 0
+
+    # oversize image trips the in-plan guard (declared bound 16 < real 64)
+    bad = stream_cutout(
+        spark.readStream.schema(schema).parquet(src)
+        .withColumn("hpx7", hpx_udf(7)("ra", "dec")),
+        tgts_df, SCALE, SIZE, max_dim_px=16)
+    qb = (bad.writeStream.outputMode("append").format("memory")
+          .queryName("cut_bad").trigger(availableNow=True).start())
+    with pytest.raises(Exception, match="max_dim_px"):
+        qb.awaitTermination(120)
+        if qb.exception() is not None:
+            raise qb.exception()
