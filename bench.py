@@ -292,6 +292,29 @@ def main():
     t_kj, _ = timed_steady(run_knn_join, images)
     results["knn_join"] = round(t_kj, 3)
 
+    # cutout service: 512 targets jittered off a deterministic image
+    # subset -> every containing footprint's clipped 16px window. The
+    # image side is metadata-only (bytes never scanned) and rides the
+    # crossmatch ring map on the ingest-time hpx7 column.
+    from spatialindex_spark.operators.cutouts import cutout_windows
+
+    def run_cutout(img):
+        n = img.count()
+        tg = (img.filter(F.abs(F.xxhash64("image_id")) % (n // 512 + 1)
+                         == 0)
+              .select(F.xxhash64("image_id").alias("target_id"),
+                      ((F.col("ra") + 0.003) % 360).alias("ra"),
+                      F.greatest(F.lit(-89.9), F.least(
+                          F.lit(89.9), F.col("dec") + 0.003)).alias("dec"))
+              .limit(512).localCheckpoint(eager=True))
+        return cutout_windows(
+            tg, img.select("image_id", "ra", "dec", "w", "h", "hpx7"),
+            0.01, 16, max_dim_px=64, cell_col="hpx7",
+            cell_level=7).count()
+
+    t_cut, _ = timed_steady(run_cutout, images)
+    results["cutout"] = round(t_cut, 3)
+
     # dedup + ANN over driver tables
     from spatialindex_spark.operators.dedup import minhash_lsh_dedup
 
@@ -329,12 +352,14 @@ def main():
         t_x1, _ = timed_steady(xmatch, img1)
         t_k1, _ = timed_steady(run_knn, img1)
         t_kj1, _ = timed_steady(run_knn_join, img1)
+        t_cut1, _ = timed_steady(run_cutout, img1)
         sf1 = {"n_images": n1, "build_sec": round(t_b1, 3),
                "spatial_join_tiles": round(t_h1, 3),
                "cone_search": round(t_c1, 3),
                "crossmatch": round(t_x1, 3),
                "knn": round(t_k1, 3),
                "knn_join": round(t_kj1, 3),
+               "cutout": round(t_cut1, 3),
                "headline_output_rows": rows1,
                "throughput_rows_per_sec": round(n1 / t_h1, 1)}
 

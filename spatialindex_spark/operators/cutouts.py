@@ -258,7 +258,9 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
                  image_id: str = "image_id",
                  bytes_col: str = "bytes",
                  cell_col: str | None = None,
-                 cell_level: int | None = None) -> DataFrame:
+                 cell_level: int | None = None,
+                 skew_threshold: int = 4096,
+                 n_salts: int = 16) -> DataFrame:
     """Weighted-mean coadd of every image overlapping each HEALPix
     cell at ``level`` onto that cell's common ``tile_px`` ×
     ``tile_px`` gnomonic grid.
@@ -276,6 +278,15 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     accumulation decodes each contributing image once and
     nearest-neighbor samples it onto the grid (applyInPandas over the
     tile key — co-located, no driver state).
+
+    Dense-sky skew (the J6 problem at the coadd layer): a tile whose
+    candidate count exceeds ``skew_threshold`` is salted — its images
+    split into ``n_salts`` deterministic sub-groups, each coadded to an
+    integer partial (sum grid + count grid), merged per tile in a second
+    tiny aggregation.  Because source pixels are uint8, the float64 sums
+    are integer-exact, so the salted result is BIT-IDENTICAL to the
+    unsalted one (tested).  The hot-tile list is a bounded driver
+    aggregate (<= npix rows), same budget class as J6's hot-cell list.
 
     Output: tile (cell id), n_images, covered_px (grid pixels with at
     least one contribution), data (raw uint8 mean, zero where empty),
@@ -304,8 +315,8 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
                     F.explode("_ring").alias("_tile"))
             .join(F.broadcast(centers), "_tile"))
 
-    # prune: keep (image, tile) only if the image's half-diagonal disc
-    # can reach the tile's bounding disc (exact separation vs bound)
+    # prune 1 (disc): keep (image, tile) only if the image's
+    # half-diagonal disc can reach the tile grid's bounding disc
     half_diag = (F.sqrt(F.col("w") * F.col("w") + F.col("h") * F.col("h"))
                  * F.lit(math.radians(scale_deg_px) / 2.0))
     rad = F.radians
@@ -316,13 +327,34 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
                           half_diag + F.lit(tile_rad * math.sqrt(2.0))))
     cand = cand.filter(dot >= bound)
 
+    # prune 2 (grid box): the grid spans exactly |xi|,|eta| <= tile_rad
+    # in the tile's tangent plane, so an image can only contribute if
+    # its center projects within half_diag (gnomonic-stretched) of that
+    # square — ~2x tighter than the disc on uniform sky (the disc
+    # circumscribes the square's corners).  The stretch factor 2.0
+    # over-covers sec^2 of the worst field angle for level >= 1
+    # (sqrt(2)*tile_rad + half_diag < 45 deg), keeping the box sound;
+    # at level 0 the angle can exceed 45 deg, so only the disc applies.
+    if level >= 1:
+        cpx, cpy, cden = _tan_px_cols(
+            F.col("ra"), F.col("dec"), F.col("_tra"), F.col("_tdec"),
+            F.lit(tile_px), F.lit(tile_px), math.degrees(tile_scale))
+        margin = half_diag * F.lit(2.0) / F.lit(tile_scale)
+        cand = cand.filter(
+            (cden > 0)
+            & (cpx >= -margin) & (cpx <= F.lit(float(tile_px)) + margin)
+            & (cpy >= -margin) & (cpy <= F.lit(float(tile_px)) + margin))
+
     from ..sources import imaging
 
     schema = ("tile long, n_images int, covered_px int, data binary, "
               "checksum double")
 
-    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        (tile,) = key
+    def _accum(pdf: pd.DataFrame):
+        """Integer-exact (sum, count, used) accumulation of one group
+        onto its tile's grid.  acc holds sums of uint8 pixels in
+        float64 — exact integers, so accumulation order is
+        irrelevant (the salted path relies on this)."""
         tra = float(pdf["_tra"].iloc[0])
         tdec = float(pdf["_tdec"].iloc[0])
         # tile pixel-center sky grid via INVERSE gnomonic at tile center
@@ -360,6 +392,9 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
             acc[m] += img[iy[m], ix[m]]
             cnt[m] += 1
             used += 1
+        return acc, cnt, used
+
+    def _finalize(tile, acc, cnt, used) -> pd.DataFrame:
         mean = np.where((cnt > 0)[:, :, None],
                         acc / np.maximum(cnt, 1)[:, :, None], 0.0)
         return pd.DataFrame({
@@ -370,5 +405,47 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
             "checksum": [round(float(mean.sum()), 3)],
         })
 
-    return (cand.groupBy("_tile").applyInPandas(per_tile, schema)
-            .filter(F.col("n_images") > 0))
+    def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (tile,) = key
+        return _finalize(tile, *_accum(pdf))
+
+    # dense-sky skew: tiles whose candidate count exceeds the threshold
+    # get a salted two-stage coadd (integer partials, exact merge).
+    # The hot list is a bounded driver aggregate over tile counts.
+    hot = [int(r[0]) for r in
+           cand.groupBy("_tile").count()
+           .filter(F.col("count") > skew_threshold).collect()]
+    if not hot:
+        return (cand.groupBy("_tile").applyInPandas(per_tile, schema)
+                .filter(F.col("n_images") > 0))
+
+    partial_schema = "tile long, used int, acc binary, cnt binary"
+
+    def per_partial(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tile = int(key[0])
+        acc, cnt, used = _accum(pdf)
+        return pd.DataFrame({
+            "tile": [np.int64(tile)], "used": [np.int32(used)],
+            "acc": [acc.astype(np.int64).tobytes()],
+            "cnt": [cnt.tobytes()]})
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        (tile,) = key
+        acc = np.zeros((tile_px, tile_px, 3), dtype=np.int64)
+        cnt = np.zeros((tile_px, tile_px), dtype=np.int64)
+        used = 0
+        for r in pdf.itertuples(index=False):
+            acc += np.frombuffer(r.acc, dtype=np.int64).reshape(acc.shape)
+            cnt += np.frombuffer(r.cnt, dtype=np.int64).reshape(cnt.shape)
+            used += int(r.used)
+        return _finalize(tile, acc.astype(np.float64), cnt, used)
+
+    cold = (cand.filter(~F.col("_tile").isin(hot))
+            .groupBy("_tile").applyInPandas(per_tile, schema))
+    hot_out = (cand.filter(F.col("_tile").isin(hot))
+               .withColumn("_salt",
+                           F.pmod(F.xxhash64(image_id), F.lit(n_salts)))
+               .groupBy("_tile", "_salt")
+               .applyInPandas(per_partial, partial_schema)
+               .groupBy("tile").applyInPandas(merge, schema))
+    return cold.unionByName(hot_out).filter(F.col("n_images") > 0)

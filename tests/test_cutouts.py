@@ -276,3 +276,32 @@ def test_stream_cutout_matches_batch(spark, tmp_path):
         qb.awaitTermination(120)
         if qb.exception() is not None:
             raise qb.exception()
+
+
+def test_mosaic_salted_path_bit_identical(spark):
+    """Forcing the hot-tile salted two-stage coadd (skew_threshold=1)
+    returns byte-identical tiles to the single-stage path — uint8 pixel
+    sums are integer-exact in float64, so partial-merge order cannot
+    change the mean."""
+    imgs_df, _, imgs, _ = _mk_tables(spark, n_img=40, n_tgt=2, seed=23)
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            fmts = [("raw", "z", "dct")[int(i) % 3] for i in b["image_id"]]
+            b["fmt"] = fmts
+            b["bytes"] = [imaging.encode(
+                imaging.synth_image(int(i), int(w), int(h)), f)
+                for i, w, h, f in zip(b["image_id"], b["w"], b["h"], fmts)]
+            yield b
+
+    payload = imgs_df.mapInPandas(
+        gen, "image_id long, ra double, dec double, w int, h int, "
+             "fmt string, bytes binary").localCheckpoint(eager=True)
+    plain = {r.tile: (r.n_images, r.covered_px, r.checksum, bytes(r.data))
+             for r in coadd_mosaic(payload, 1, 8, SCALE,
+                                   skew_threshold=10**9).collect()}
+    salted = {r.tile: (r.n_images, r.covered_px, r.checksum, bytes(r.data))
+              for r in coadd_mosaic(payload, 1, 8, SCALE,
+                                    skew_threshold=1, n_salts=4).collect()}
+    assert plain == salted and len(plain) > 0
