@@ -188,10 +188,30 @@ def spt_index_udf(level: int, systems: tuple = ("htm", "hpx")):
 
 
 def with_spatial_columns(df, level: int = 7, ra_col: str = "ra", dec_col: str = "dec",
-                         systems: tuple = ("htm", "hpx"), spt_ind: str | None = "htm"):
+                         systems: tuple = ("htm", "hpx"), spt_ind: str | None = "htm",
+                         spt_encoding: str = "raw"):
     """The engine's ingest augmentation (sptIndx analogue): adds x,y,z plus
     cell-ID columns ``htm<L>/hpx<L>/s2<L>/h3<L>`` and a canonical ``spt_ind``
-    clustering key. One fused Arrow UDF crossing (see spt_index_udf)."""
+    clustering key. One fused Arrow UDF crossing (see spt_index_udf).
+
+    ``spt_encoding`` selects the ``spt_ind`` id layout:
+
+    - ``"raw"`` (default): the bit-encoded cell id — what every operator in
+      this package keys on (they pass ``encoding=DECIMAL`` explicitly when
+      rendering constraints against it).
+    - ``"base4"``: the reference table convention (spatial_index.pyx's
+      default resolution rule renders ``spt_ind`` constraints in BASE4 when
+      neither colname nor encoding is given — spatial_index.pyx:41-42) —
+      use this when splicing ``SpatialIndex().cone_search(...)`` DEFAULT
+      constraint strings into SQL over the ingested table. HTM-keyed
+      ``spt_ind`` only; raises otherwise (BASE4 digits are an HTM id
+      rendering).
+    """
+    if spt_encoding not in ("raw", "base4"):
+        raise ValueError(f"unknown spt_encoding {spt_encoding!r}")
+    if spt_encoding == "base4" and spt_ind != "htm":
+        raise ValueError("spt_encoding='base4' requires spt_ind='htm' "
+                         "(BASE4 is an HTM id rendering)")
     s = spt_index_udf(level, systems)(F.col(ra_col), F.col(dec_col))
     df = df.withColumn("_spt", s)
     cols = {"x": F.col("_spt.x"), "y": F.col("_spt.y"), "z": F.col("_spt.z")}
@@ -199,7 +219,10 @@ def with_spatial_columns(df, level: int = 7, ra_col: str = "ra", dec_col: str = 
         cols[f"{sysname}{level}"] = F.col(f"_spt.{sysname}{level}")
     df = df.withColumns(cols).drop("_spt")
     if spt_ind:
-        df = df.withColumn("spt_ind", F.col(f"{spt_ind}{level}"))
+        key = F.col(f"{spt_ind}{level}")
+        if spt_encoding == "base4":
+            key = htm_idtodec_udf(key)
+        df = df.withColumn("spt_ind", key)
     return df
 
 

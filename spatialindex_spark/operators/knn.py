@@ -367,7 +367,14 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"), F.col("_ldec"))
             lk = todo.withColumn("_mc", F.explode(disc))
         rk = rk_base.withColumn("_mc", rkey)
-        topk = rank_topk(lk.join(rk, "_mc").drop("_mc"))
+        # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
+        # cols): sat, the output branch, and todo's eager checkpoint all
+        # re-derive from it — without this the candidate join + window
+        # (the heavy stage) runs twice per pass (anti-join materialization
+        # now, output evaluation later)
+        topk = (rank_topk(lk.join(rk, "_mc").drop("_mc"))
+                .select("_lid", "_rid", "_rk", "_dist")
+                .localCheckpoint(eager=True))
         # satisfied: the k-th candidate exists AND lies within the pass's
         # verified radius — then ring-1 coverage proves the top-k exact
         sat = (topk.filter((F.col("_rk") == k) & (F.col("_dist") <= vr_deg))

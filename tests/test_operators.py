@@ -1,6 +1,8 @@
 """Operator-level tests: exact neighbor completeness, join/kNN correctness
 vs brute force, dedup invariants, codecs, Iceberg-lite resume."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -1676,3 +1678,57 @@ def test_ann_int8_recall(spark):
              for r in brute_force_topk(q, df, k=k).collect()}
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_default_constraint_splice_base4(spark):
+    """The reference's DEFAULT resolution rule (no colname, no encoding ->
+    BASE4 digits against 'spt_ind', spatial_index.pyx:89-104) must splice
+    directly into SQL over a table ingested with spt_encoding='base4':
+    the coherence gap a raw-id spt_ind leaves (silently empty results) is
+    exactly what this end-to-end test closes."""
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.functions.geometry import radec_to_xyz
+    from spatialindex_spark.functions.udfs import with_spatial_columns
+
+    n = 4000
+    base = (spark.range(0, n)
+            .withColumn("ra", (F.col("id") * 7.31) % 360)
+            .withColumn("dec", F.degrees(F.asin(
+                2 * ((F.col("id") * 0.377) % 1) - 1))))
+    ra0, dec0, radius = 129.4, 43.7, 4.0
+
+    # reference-convention table: BASE4-decimal spt_ind + x,y,z
+    pts = with_spatial_columns(base, level=7, systems=("htm",),
+                               spt_encoding="base4")
+    pts.createOrReplaceTempView("splice_t")
+    c = SpatialIndex().cone_search(ra0, dec0, radius)  # all defaults
+    assert c["status"] == 0
+    got = sorted(r.id for r in spark.sql(
+        f"SELECT id FROM splice_t WHERE ({c['index_constraint']}) "
+        f"AND ({c['geom_constraint']})").collect())
+
+    rows = base.select("id", "ra", "dec").toPandas()
+    x, y, z = radec_to_xyz(rows.ra.values, rows.dec.values)
+    qx, qy, qz = radec_to_xyz(np.array([ra0]), np.array([dec0]))
+    dots = x * qx[0] + y * qy[0] + z * qz[0]
+    want = sorted(rows.id.values[dots >= math.cos(math.radians(radius))]
+                  .tolist())
+    assert got == want and len(want) > 0
+
+    # raw ingest (the package default) keeps working with the explicit
+    # DECIMAL encoding the operators use internally
+    raw = with_spatial_columns(base, level=7, systems=("htm",))
+    raw.createOrReplaceTempView("splice_raw_t")
+    c2 = SpatialIndex().cone_search(ra0, dec0, radius, colname="spt_ind",
+                                    encoding=SpatialIndex.DECIMAL)
+    got_raw = sorted(r.id for r in spark.sql(
+        f"SELECT id FROM splice_raw_t WHERE ({c2['index_constraint']}) "
+        f"AND ({c2['geom_constraint']})").collect())
+    assert got_raw == want
+
+    # base4 is an HTM id rendering; any other spt_ind family must refuse
+    with pytest.raises(ValueError):
+        with_spatial_columns(base, level=7, systems=("hpx",),
+                             spt_ind="hpx", spt_encoding="base4")
+    with pytest.raises(ValueError):
+        with_spatial_columns(base, level=7, spt_encoding="base16")
