@@ -266,6 +266,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
              l_cols=("ra", "dec"), r_cols=("ra", "dec"),
              cell_col: str | None = None, cell_level: int | None = None,
              levels: tuple | None = None,
+             auto_levels: bool = False,
+             oversample: float = 3.0,
+             max_fine_level: int = 12,
              exclude_self: bool = False,
              on_starved: str = "raise") -> DataFrame:
     """k nearest ``right`` rows for EVERY ``left`` row — both sides big
@@ -291,6 +294,25 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     against ``right`` — complete by construction; the starved set is the
     sparse tail, so the product stays bounded in practice).
 
+    ``auto_levels=True`` replaces the fixed ladder with DENSITY-ADAPTIVE
+    per-row probe levels — the skew fix a real sky needs: a dense region
+    (e.g. 10k rows inside one probe cell) turns the cell equi-join into a
+    single 10k x 10k shuffle key (~1e8 pair rows in ONE task) at any
+    global level that suits the sparse sky. The right side is counted
+    per cell at a reference level capped at 8 (<= 786k rows —
+    broadcastable REGARDLESS of table size, it is level-bounded), and
+    each left row starts at the FINEST level whose verified radius is
+    expected to hold ``oversample * k`` rows at its local density — the
+    level where it can both SATISFY (k-th within vr) and keep its
+    candidate pull minimal; the two goals align because vr shrinks with
+    level. Correctness never depends on the level choice (the
+    satisfaction criterion re-checks), only the pair explosion does.
+    Starved rows cascade adaptively: a row whose pass FOUND a k-th
+    candidate at distance D (> vr, else it would have satisfied) jumps
+    straight to the coarsest-needed level with vr >= D — D upper-bounds
+    the true k-th distance, so that pass is guaranteed to satisfy it;
+    rows with fewer than k candidates drop two levels per pass.
+
     When both tables carry an ingest-time nested-HPX cell column
     (``cell_col`` at ``cell_level``), pass keys are shiftrights of it and
     the whole plan is JVM-only at probe levels <= JVM_RING_MAX_LEVEL
@@ -305,10 +327,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
 
     if on_starved not in ("raise", "exact"):
         raise ValueError(f"unknown on_starved {on_starved!r}")
+    if auto_levels and levels is not None:
+        raise ValueError("auto_levels=True replaces the fixed `levels` "
+                         "ladder; pass one or the other")
     use_cell = cell_col is not None and cell_level is not None
     if use_cell:
         level = min(level, cell_level)
-    if levels is None:
+    if auto_levels:
+        levels = ()  # per-row rungs, built below from the density profile
+    elif levels is None:
         levels = tuple(dict.fromkeys((level, max(level - 2, 0), 0)))
     else:
         levels = tuple(levels)
@@ -345,27 +372,80 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                 .withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= k))
 
+    from ..functions.udfs import hpx_udf
+
     outputs = []
     todo = lf
+    vr_table = {L: safe_ring1_rad(L) / RAD_PER_DEG
+                for L in range(0, max(max_fine_level, level) + 1)}
+    if auto_levels:
+        # right-side density at a reference level capped at 8: the counts
+        # frame is bounded by 12*4^8 = 786k rows whatever the table size,
+        # so the broadcast below never depends on data volume
+        ref_c = min(cell_level if use_cell else level, JVM_RING_MAX_LEVEL)
+        rref = (hpx_cell_key("_rcell", cell_level, ref_c) if use_cell
+                else hpx_udf(ref_c)(F.col("_rra"), F.col("_rdec")))
+        lref = (hpx_cell_key("_lcell", cell_level, ref_c) if use_cell
+                else hpx_udf(ref_c)(F.col("_lra"), F.col("_ldec")))
+        counts = rk_base.groupBy(rref.alias("_dcell")).agg(
+            F.count(F.lit(1)).alias("_dn"))
+        # start level = finest L whose verified-radius disc is expected to
+        # hold oversample*k rows: need d >= T(L) with
+        # T(L) = oversample * k * cell_area(ref_c) / (pi * vr(L)^2)
+        area_ref = 41252.96124941928 / (12 << (2 * ref_c))  # sq deg / cell
+        d = F.coalesce(F.col("_dn"), F.lit(0)).cast("double")
+        albl = None
+        for L in range(max_fine_level, 0, -1):
+            thresh = oversample * k * area_ref / (math.pi * vr_table[L] ** 2)
+            cond = d >= thresh
+            albl = (F.when(cond, L) if albl is None
+                    else albl.when(cond, L))
+        albl = F.lit(0) if albl is None else albl.otherwise(0)
+        todo = (lf.withColumn("_dcell", lref)
+                .join(F.broadcast(counts), "_dcell", "left")
+                .withColumn("_albl", albl)
+                .drop("_dcell", "_dn")
+                .localCheckpoint(eager=True))
+        present = {r._albl
+                   for r in todo.select("_albl").distinct().collect()}
+        if not present:  # empty left side: one vacuous pass, empty result
+            present = {0}
+        # full descending ladder: starved rows are REASSIGNED per pass to
+        # the exact level their observed k-th distance needs, so most take
+        # one extra pass; levels with no active rows are skipped by a
+        # cheap limit(1) probe on checkpointed todo
+        levels = tuple(range(max(present), -1, -1))
+
+    import os as _os
+    import time as _time
+    _dbg = bool(_os.environ.get("SPT_KNN_DEBUG"))
     for lvl in levels:
+        _t0 = _time.perf_counter()
+        if auto_levels:
+            active = todo.filter(F.col("_albl") >= lvl)
+            if active.limit(1).count() == 0:
+                if _dbg:
+                    print(f"[knn_join] lvl={lvl} skipped "
+                          f"({_time.perf_counter() - _t0:.1f}s probe)")
+                continue
+        else:
+            active = todo
         vr_deg = safe_ring1_rad(lvl) / RAD_PER_DEG
-        if use_cell:
+        if use_cell and lvl <= cell_level:
             lpix = hpx_cell_key("_lcell", cell_level, lvl)
             rkey = hpx_cell_key("_rcell", cell_level, lvl)
         else:
-            from ..functions.udfs import hpx_udf
-
             lpix = hpx_udf(lvl)(F.col("_lra"), F.col("_ldec"))
             rkey = hpx_udf(lvl)(F.col("_rra"), F.col("_rdec"))
         if lvl <= JVM_RING_MAX_LEVEL:
             ring_map = _ring1_map_df(spark, lvl)
-            lk = (todo.withColumn("_pix", lpix)
+            lk = (active.withColumn("_pix", lpix)
                   .join(F.broadcast(ring_map), "_pix", "inner")
                   .withColumn("_mc", F.explode("_ring"))
                   .drop("_ring", "_pix"))
         else:
             disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"), F.col("_ldec"))
-            lk = todo.withColumn("_mc", F.explode(disc))
+            lk = active.withColumn("_mc", F.explode(disc))
         rk = rk_base.withColumn("_mc", rkey)
         # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
         # cols): sat, the output branch, and todo's eager checkpoint all
@@ -385,8 +465,29 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # starved ids are a bounded projection of left; localCheckpoint
         # truncates the per-pass lineage (Spark 4.1 iterative-loop
         # pathology — see knn()/graph.py) before the next pass reuses it
-        todo = (todo.join(sat, "_lid", "left_anti")
-                .localCheckpoint(eager=True))
+        todo = todo.join(sat, "_lid", "left_anti")
+        if auto_levels:
+            # adaptive cascade: a starved row whose pass found a k-th
+            # candidate at _kd (> vr, else satisfied) jumps straight to
+            # the finest level whose vr covers _kd — that pass is
+            # guaranteed to satisfy it (_kd bounds the true k-th
+            # distance). No k-th candidate at all -> drop two levels.
+            kth = (topk.filter(F.col("_rk") == k)
+                   .select("_lid", F.col("_dist").alias("_kd")))
+            newlbl = F.when(F.col("_kd").isNull(), F.lit(max(lvl - 2, 0)))
+            for L in range(lvl - 1, 0, -1):
+                newlbl = newlbl.when(F.col("_kd") <= vr_table[L], L)
+            newlbl = newlbl.otherwise(0)
+            todo = (todo.join(kth, "_lid", "left")
+                    .withColumn("_albl",
+                                F.when(F.col("_albl") >= lvl, newlbl)
+                                .otherwise(F.col("_albl")))
+                    .drop("_kd"))
+        todo = todo.localCheckpoint(eager=True)
+        if _dbg:
+            print(f"[knn_join] lvl={lvl} pass done in "
+                  f"{_time.perf_counter() - _t0:.1f}s, todo left: "
+                  f"{todo.count()}")
         if todo.limit(1).count() == 0:
             todo = None
             break
@@ -405,6 +506,10 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         outputs.append(topk.select("_lid", "_rid",
                                    F.col("_rk").alias("knn_rank")))
 
+    if not outputs:  # every pass skipped (empty left side)
+        outputs.append(
+            rank_topk(todo.limit(0).crossJoin(rk_base))
+            .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
     out = outputs[0]
     for o in outputs[1:]:
         out = out.unionByName(o)

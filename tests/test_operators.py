@@ -392,6 +392,60 @@ def test_knn_join_big_query_side(spark, small_images):
                  cell_col="hpx7", cell_level=7).collect()
 
 
+def test_knn_join_auto_levels(spark):
+    """Density-adaptive knn_join (skew fix): a dense clump and a sparse
+    field probe at DIFFERENT per-row levels, and the result is identical
+    to the fixed-ladder path and to numpy brute force. Correctness must
+    never depend on the level assignment — only the pair explosion does."""
+    import numpy as np
+    import pandas as pd
+    import pytest
+
+    from spatialindex_spark.operators.knn import knn_join
+
+    rng = np.random.default_rng(7)
+    # dense clump: 500 pts inside a 0.25-deg disc; sparse field: 150 pts
+    # over a 60-deg band — the clump needs a fine level, the field a coarse
+    n_d, n_s = 500, 150
+    ra = np.concatenate([40.0 + rng.uniform(-0.25, 0.25, n_d),
+                         rng.uniform(0, 60, n_s)])
+    dec = np.concatenate([10.0 + rng.uniform(-0.25, 0.25, n_d),
+                          rng.uniform(-30, 30, n_s)])
+    pdf = pd.DataFrame({"pid": np.arange(n_d + n_s, dtype=np.int64),
+                        "ra": ra, "dec": dec})
+    pts = spark.createDataFrame(pdf).localCheckpoint(eager=True)
+
+    got_auto = {(r.pid_l, r.knn_rank): r.pid_r for r in
+                knn_join(pts, pts, k=3, auto_levels=True,
+                         left_id="pid", right_id="pid",
+                         exclude_self=True, on_starved="exact").collect()}
+    got_fixed = {(r.pid_l, r.knn_rank): r.pid_r for r in
+                 knn_join(pts, pts, k=3, level=6, levels=(6, 4, 2, 0),
+                          left_id="pid", right_id="pid",
+                          exclude_self=True,
+                          on_starved="exact").collect()}
+    assert got_auto == got_fixed
+    assert len(got_auto) == 3 * (n_d + n_s)
+
+    # numpy brute-force spot check across both populations
+    rar, decr = np.radians(ra), np.radians(dec)
+    x = np.cos(rar) * np.cos(decr)
+    y = np.sin(rar) * np.cos(decr)
+    z = np.sin(decr)
+    dots = np.clip(np.outer(x, x) + np.outer(y, y) + np.outer(z, z), -1, 1)
+    dist = np.degrees(np.arccos(dots))
+    for i in list(range(0, n_d, 50)) + list(range(n_d, n_d + n_s, 15)):
+        order = sorted((float(dist[i, j]), j)
+                       for j in range(n_d + n_s) if j != i)
+        for rk in range(1, 4):
+            assert got_auto[(i, rk)] == order[rk - 1][1]
+
+    # mutually exclusive with an explicit ladder
+    with pytest.raises(ValueError, match="auto_levels"):
+        knn_join(pts, pts, k=3, levels=(4, 0), auto_levels=True,
+                 left_id="pid", right_id="pid")
+
+
 def test_iceberg_compaction_snapshot(spark, tmp_path):
     """Maintenance job (r3 verdict item #5): compaction rewrites the
     current generation into one sorted file per bucket as a NEW
