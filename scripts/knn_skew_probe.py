@@ -1,0 +1,104 @@
+"""knn_join skew probe: fixed global probe ladder vs density-adaptive
+auto_levels on a clump+field sky — the self-kNN shape a real survey has.
+
+Synthetic sky: N_FIELD rows uniform over the sphere band plus N_CLUMP
+rows inside one CLUMP_R-deg box (a dense-cluster hot spot). Self-kNN
+(k nearest neighbors for EVERY row, exclude_self). The fixed ladder must
+start at a level coarse enough for the sparse field, which turns the
+clump into one enormous shuffle key (clump^2 candidate pairs ranked in
+one window partition); auto_levels starts each row at the finest level
+its local density supports, so the clump probes fine cells and the field
+coarse ones.
+
+Measured in isolated sessions (one per config); result equality is
+asserted via a full checksum. Writes bench_artifacts/knn_skew_probe.json.
+Run ISOLATED (single-box co-tenancy swings shuffle timings 2x).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+N_FIELD = int(os.environ.get("KNN_PROBE_FIELD", "500000"))
+N_CLUMP = int(os.environ.get("KNN_PROBE_CLUMP", "10000"))
+CLUMP_R = 0.2        # deg half-width of the clump box
+K = 5
+FIXED_LEVELS = (7, 5, 3, 0)   # what the sparse field alone would want
+
+
+def get_session(tag: str):
+    from spatialindex_spark.plans.session import get_session as gs
+
+    spark = gs(app=f"knnskew-{tag}", cores=32, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def sky(spark):
+    u1 = (F.pmod(F.xxhash64(F.col("id") * 3 + 1), F.lit(10 ** 9))
+          .cast("double") / 1e9)
+    u2 = (F.pmod(F.xxhash64(F.col("id") * 3 + 2), F.lit(10 ** 9))
+          .cast("double") / 1e9)
+    field = (spark.range(0, N_FIELD, 1, 64)
+             .select(F.col("id").alias("pid"),
+                     (u1 * 360.0).alias("ra"),
+                     (F.degrees(F.asin(u2 * 1.6 - 0.8))).alias("dec")))
+    clump = (spark.range(N_FIELD, N_FIELD + N_CLUMP, 1, 8)
+             .select(F.col("id").alias("pid"),
+                     (40.0 + (u1 * 2 - 1) * CLUMP_R).alias("ra"),
+                     (10.0 + (u2 * 2 - 1) * CLUMP_R).alias("dec")))
+    return field.unionByName(clump).localCheckpoint(eager=True)
+
+
+def run(tag: str, **kw):
+    from spatialindex_spark.operators.knn import knn_join
+
+    spark = get_session(tag)
+    pts = sky(spark)
+    t0 = time.perf_counter()
+    out = knn_join(pts, pts, k=K, left_id="pid", right_id="pid",
+                   exclude_self=True, on_starved="exact", **kw)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.xxhash64(F.col("pid_l"), F.col("pid_r"),
+                                F.col("knn_rank")),
+                     F.lit(10 ** 9))).alias("chk")).collect()[0]
+    secs = time.perf_counter() - t0
+    spark.stop()
+    return {"config": tag, "secs": round(secs, 2),
+            "rows": agg["n"], "checksum": int(agg["chk"])}
+
+
+def main():
+    results = [
+        run("auto_levels", level=8, auto_levels=True),
+        run("fixed_ladder", level=FIXED_LEVELS[0], levels=FIXED_LEVELS),
+    ]
+    assert results[0]["rows"] == results[1]["rows"] == K * (N_FIELD + N_CLUMP)
+    assert results[0]["checksum"] == results[1]["checksum"], \
+        "auto and fixed results differ"
+    out = {
+        "n_field": N_FIELD, "n_clump": N_CLUMP, "clump_halfwidth_deg": CLUMP_R,
+        "k": K, "fixed_levels": list(FIXED_LEVELS),
+        "measurement": "isolated session per config, single timed run",
+        "results": results,
+        "speedup_auto_over_fixed": round(
+            results[1]["secs"] / results[0]["secs"], 2),
+    }
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench_artifacts")
+    os.makedirs(art, exist_ok=True)
+    with open(os.path.join(art, "knn_skew_probe.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

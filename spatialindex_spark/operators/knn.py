@@ -267,8 +267,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
              cell_col: str | None = None, cell_level: int | None = None,
              levels: tuple | None = None,
              auto_levels: bool = False,
-             oversample: float = 3.0,
+             oversample: float = 2.0,
              max_fine_level: int = 12,
+             prune_max_active: int = 200_000,
              exclude_self: bool = False,
              on_starved: str = "raise") -> DataFrame:
     """k nearest ``right`` rows for EVERY ``left`` row — both sides big
@@ -299,13 +300,19 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     (e.g. 10k rows inside one probe cell) turns the cell equi-join into a
     single 10k x 10k shuffle key (~1e8 pair rows in ONE task) at any
     global level that suits the sparse sky. The right side is counted
-    per cell at a reference level capped at 8 (<= 786k rows —
-    broadcastable REGARDLESS of table size, it is level-bounded), and
+    ONCE per cell at a reference level capped at 8 (<= 786k rows —
+    broadcastable REGARDLESS of table size, it is level-bounded) with
+    coarser grids derived by shiftright rollups; each left row reads
+    its local density from the finest grid whose count is
+    statistically stable (multi-resolution — a dense clump sees its
+    fine-cell density, the sparse field a stable coarse-cell one), and
     each left row starts at the FINEST level whose verified radius is
-    expected to hold ``oversample * k`` rows at its local density — the
-    level where it can both SATISFY (k-th within vr) and keep its
-    candidate pull minimal; the two goals align because vr shrinks with
-    level. Correctness never depends on the level choice (the
+    expected to hold ``k + oversample * sqrt(k)`` rows at its local
+    density — enough that the k-th neighbor lies within vr with high
+    Poisson probability, but no more: every even rung coarser costs 16x
+    the candidate pairs, so a multiplicative margin (3*k-style) drags
+    rows onto rungs quadratically more expensive than they need.
+    Correctness never depends on the level choice (the
     satisfaction criterion re-checks), only the pair explosion does.
     Starved rows cascade adaptively: a row whose pass FOUND a k-th
     candidate at distance D (> vr, else it would have satisfied) jumps
@@ -382,54 +389,97 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # right-side density at a reference level capped at 8: the counts
         # frame is bounded by 12*4^8 = 786k rows whatever the table size,
         # so the broadcast below never depends on data volume
-        ref_c = min(cell_level if use_cell else level, JVM_RING_MAX_LEVEL)
-        rref = (hpx_cell_key("_rcell", cell_level, ref_c) if use_cell
-                else hpx_udf(ref_c)(F.col("_rra"), F.col("_rdec")))
-        lref = (hpx_cell_key("_lcell", cell_level, ref_c) if use_cell
-                else hpx_udf(ref_c)(F.col("_lra"), F.col("_ldec")))
-        counts = rk_base.groupBy(rref.alias("_dcell")).agg(
-            F.count(F.lit(1)).alias("_dn"))
-        # start level = finest L whose verified-radius disc is expected to
-        # hold oversample*k rows: need d >= T(L) with
-        # T(L) = oversample * k * cell_area(ref_c) / (pi * vr(L)^2)
-        area_ref = 41252.96124941928 / (12 << (2 * ref_c))  # sq deg / cell
-        d = F.coalesce(F.col("_dn"), F.lit(0)).cast("double")
+        ref_top = min(cell_level, JVM_RING_MAX_LEVEL) if use_cell \
+            else JVM_RING_MAX_LEVEL
+        refs = list(range(ref_top, -1, -2))  # finest ... coarsest
+        # MULTI-RESOLUTION density: a single global reference grid
+        # cannot serve a skewed sky — too coarse and a dense clump's
+        # density dilutes over the big cell (rows probe far too coarse,
+        # quadratic pair blow-up); too fine and the sparse field's
+        # per-cell counts are 0/1 Poisson noise (rows smear over every
+        # rung). Instead: ONE groupBy at the finest reference level,
+        # coarser grids derived by shiftright rollups (the nested-id
+        # hierarchy), and each left row reads its density from the
+        # FINEST grid whose cell count is statistically stable.
+        MIN_CNT = 48  # ~14% relative Poisson error
+        rref = (hpx_cell_key("_rcell", cell_level, ref_top) if use_cell
+                else hpx_udf(ref_top)(F.col("_rra"), F.col("_rdec")))
+        lref = (hpx_cell_key("_lcell", cell_level, ref_top) if use_cell
+                else hpx_udf(ref_top)(F.col("_lra"), F.col("_ldec")))
+        counts_top = (rk_base.groupBy(rref.alias("_dc"))
+                      .agg(F.count(F.lit(1)).alias("_dn"))
+                      .localCheckpoint(eager=True))
+
+        def area(R):
+            return 41252.96124941928 / (12 << (2 * R))  # sq deg / cell
+
+        todo = lf.withColumn("_p", lref)
+        for R in refs:
+            cR = (counts_top if R == ref_top else
+                  counts_top.groupBy(
+                      F.shiftright("_dc", 2 * (ref_top - R)).alias("_dc"))
+                  .agg(F.sum("_dn").alias("_dn")))
+            cR = cR.select(F.col("_dc").alias(f"_dc{R}"),
+                           F.col("_dn").alias(f"_dn{R}"))
+            todo = (todo.withColumn(
+                f"_dc{R}", F.shiftright("_p", 2 * (ref_top - R)))
+                .join(F.broadcast(cR), f"_dc{R}", "left"))
+        d = None  # rows / sq deg at the finest stable grid
+        for R in refs:
+            cnt = F.coalesce(F.col(f"_dn{R}"), F.lit(0)).cast("double")
+            dens = cnt / F.lit(area(R))
+            d = (F.when(cnt >= MIN_CNT, dens) if d is None
+                 else d.when(cnt >= MIN_CNT, dens))
+        cnt0 = F.coalesce(F.col(f"_dn{refs[-1]}"), F.lit(0)).cast("double")
+        d = d.otherwise(cnt0 / F.lit(area(refs[-1])))
+        # start level = finest even L whose verified-radius disc is
+        # expected to hold need = k + oversample*sqrt(k) rows at the
+        # row's local density (Poisson-aware: enough to satisfy with
+        # high probability, and every even rung coarser costs 16x the
+        # candidate pairs). EVEN rungs only: each pass has real fixed
+        # cost, and one-level granularity buys nothing the satisfaction
+        # check doesn't re-verify.
+        even_top = max_fine_level - (max_fine_level % 2)
+        need = k + oversample * math.sqrt(k)
         albl = None
-        for L in range(max_fine_level, 0, -1):
-            thresh = oversample * k * area_ref / (math.pi * vr_table[L] ** 2)
+        for L in range(even_top, 0, -2):
+            thresh = need / (math.pi * vr_table[L] ** 2)  # rows / sq deg
             cond = d >= thresh
             albl = (F.when(cond, L) if albl is None
                     else albl.when(cond, L))
         albl = F.lit(0) if albl is None else albl.otherwise(0)
-        todo = (lf.withColumn("_dcell", lref)
-                .join(F.broadcast(counts), "_dcell", "left")
-                .withColumn("_albl", albl)
-                .drop("_dcell", "_dn")
+        drop_cols = (["_p"] + [f"_dc{R}" for R in refs]
+                     + [f"_dn{R}" for R in refs])
+        todo = (todo.withColumn("_albl", albl)
+                .drop(*drop_cols)
                 .localCheckpoint(eager=True))
-        present = {r._albl
-                   for r in todo.select("_albl").distinct().collect()}
-        if not present:  # empty left side: one vacuous pass, empty result
-            present = {0}
-        # full descending ladder: starved rows are REASSIGNED per pass to
-        # the exact level their observed k-th distance needs, so most take
-        # one extra pass; levels with no active rows are skipped by a
-        # cheap limit(1) probe on checkpointed todo
-        levels = tuple(range(max(present), -1, -1))
 
     import os as _os
     import time as _time
     _dbg = bool(_os.environ.get("SPT_KNN_DEBUG"))
-    for lvl in levels:
+    _fixed_iter = iter(levels)
+    while True:
         _t0 = _time.perf_counter()
         if auto_levels:
+            # each pass serves the FINEST outstanding per-row level: one
+            # tiny agg(max) job on the shrinking checkpointed frame,
+            # instead of probing every rung of a global ladder (cascade
+            # reassignment makes intermediate rungs empty in practice)
+            if todo is None:
+                break
+            _m = todo.agg(F.max("_albl").alias("_m")).collect()[0]["_m"]
+            if _m is None:  # left side exhausted (or empty from the start)
+                todo = None
+                break
+            lvl = int(_m)
             active = todo.filter(F.col("_albl") >= lvl)
-            if active.limit(1).count() == 0:
-                if _dbg:
-                    print(f"[knn_join] lvl={lvl} skipped "
-                          f"({_time.perf_counter() - _t0:.1f}s probe)")
-                continue
+            n_active = active.count()
         else:
+            lvl = next(_fixed_iter, None)
+            if lvl is None:
+                break
             active = todo
+            n_active = None
         vr_deg = safe_ring1_rad(lvl) / RAD_PER_DEG
         if use_cell and lvl <= cell_level:
             lpix = hpx_cell_key("_lcell", cell_level, lvl)
@@ -447,6 +497,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"), F.col("_ldec"))
             lk = active.withColumn("_mc", F.explode(disc))
         rk = rk_base.withColumn("_mc", rkey)
+        if n_active is not None and 0 < n_active <= prune_max_active:
+            # cascade passes serve a small left tail: semi-joining the
+            # right side against the tail's (bounded, broadcastable)
+            # candidate-cell set keeps the full right table from
+            # re-shuffling on every pass — only matching rows reach the
+            # exchange. The big first passes skip this (the cell set
+            # covers most of the sky, so the prune would reject nothing).
+            cells = lk.select("_mc").distinct()
+            rk = rk.join(F.broadcast(cells), "_mc", "semi")
         # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
         # cols): sat, the output branch, and todo's eager checkpoint all
         # re-derive from it — without this the candidate join + window
@@ -475,7 +534,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             kth = (topk.filter(F.col("_rk") == k)
                    .select("_lid", F.col("_dist").alias("_kd")))
             newlbl = F.when(F.col("_kd").isNull(), F.lit(max(lvl - 2, 0)))
-            for L in range(lvl - 1, 0, -1):
+            cas_top = lvl - 1 - ((lvl - 1) % 2)  # even rungs, see albl
+            for L in range(cas_top, 0, -2):
                 newlbl = newlbl.when(F.col("_kd") <= vr_table[L], L)
             newlbl = newlbl.otherwise(0)
             todo = (todo.join(kth, "_lid", "left")
@@ -491,14 +551,20 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         if todo.limit(1).count() == 0:
             todo = None
             break
+        if auto_levels and lvl == 0:
+            # the cascade cannot go below level 0: remaining rows are
+            # genuinely starved (k-th neighbor beyond the level-0 verified
+            # radius) and fall through to on_starved below
+            break
 
     if todo is not None and todo.limit(1).count() > 0:
         if on_starved == "raise":
             n = todo.count()
+            last = 0 if auto_levels else levels[-1]
             raise RuntimeError(
                 f"knn_join: {n} left rows still starved after the "
-                f"level-{levels[-1]} pass (k-th neighbor beyond its "
-                f"~{safe_ring1_rad(levels[-1]) / RAD_PER_DEG:.0f} deg "
+                f"level-{last} pass (k-th neighbor beyond its "
+                f"~{safe_ring1_rad(last) / RAD_PER_DEG:.0f} deg "
                 "verified radius); pass on_starved='exact' or add coarser "
                 "levels — results would otherwise be silently partial")
         # LABELED exact fallback: all-pairs for the starved tail only
@@ -506,9 +572,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         outputs.append(topk.select("_lid", "_rid",
                                    F.col("_rk").alias("knn_rank")))
 
-    if not outputs:  # every pass skipped (empty left side)
+    if not outputs:  # empty left side: a vacuous, correctly-typed result
         outputs.append(
-            rank_topk(todo.limit(0).crossJoin(rk_base))
+            rank_topk(lf.limit(0).crossJoin(rk_base))
             .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
     out = outputs[0]
     for o in outputs[1:]:
