@@ -65,7 +65,7 @@ from ..functions.healpix import max_pix_rad, pix2vec
 from .joins import _ring1_map_df, crossmatch, hpx_cell_key
 
 __all__ = ["cutout_windows", "cutout_pixels", "coadd_mosaic",
-           "tan_pix_np"]
+           "mosaic_pyramid", "tan_pix_np", "tile_grid_radec"]
 
 
 def tan_pix_np(ra, dec, ra0, dec0, w, h, scale_deg):
@@ -239,6 +239,31 @@ def cutout_pixels(images: DataFrame, windows: DataFrame,
     return matched.mapInPandas(run, schema)
 
 
+def tile_grid_radec(tra: float, tdec: float, tile_px: int,
+                    tile_scale: float):
+    """Sky coordinates (deg) of every pixel center of a ``tile_px`` ×
+    ``tile_px`` gnomonic grid centered at (tra, tdec) with
+    ``tile_scale`` rad/px — the INVERSE of tan_pix_np's projection.
+    Shared by the coadd accumulator and the pyramid rollup (identical
+    float ops, so grids agree bit-for-bit)."""
+    jj, ii = np.mgrid[0:tile_px, 0:tile_px]
+    xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
+    eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
+    a0, d0 = math.radians(tra), math.radians(tdec)
+    den = np.sqrt(1.0 + xi * xi + eta * eta)
+    cx, cy, cz = (math.cos(d0) * math.cos(a0),
+                  math.cos(d0) * math.sin(a0), math.sin(d0))
+    ex, ey, ez = -math.sin(a0), math.cos(a0), 0.0   # east
+    nx, ny, nz = (-math.sin(d0) * math.cos(a0),
+                  -math.sin(d0) * math.sin(a0), math.cos(d0))  # north
+    gx = (cx + xi * ex + eta * nx) / den
+    gy = (cy + xi * ey + eta * ny) / den
+    gz = (cz + xi * ez + eta * nz) / den
+    gra = np.degrees(np.arctan2(gy, gx)) % 360.0
+    gdec = np.degrees(np.arcsin(np.clip(gz, -1.0, 1.0)))
+    return gra, gdec
+
+
 def _tile_center_map(spark, level: int) -> DataFrame:
     """Complete (tile pix -> center ra/dec) map at ``level`` — the
     broadcast side of the mosaic's candidate pruning.  Bounded like
@@ -260,7 +285,8 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
                  cell_col: str | None = None,
                  cell_level: int | None = None,
                  skew_threshold: int = 4096,
-                 n_salts: int = 16) -> DataFrame:
+                 n_salts: int = 16,
+                 with_mask: bool = False) -> DataFrame:
     """Weighted-mean coadd of every image overlapping each HEALPix
     cell at ``level`` onto that cell's common ``tile_px`` ×
     ``tile_px`` gnomonic grid.
@@ -290,7 +316,10 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
 
     Output: tile (cell id), n_images, covered_px (grid pixels with at
     least one contribution), data (raw uint8 mean, zero where empty),
-    checksum (sum of mean values, 1e-3-rounded).
+    checksum (sum of mean values, 1e-3-rounded).  ``with_mask=True``
+    appends a ``mask`` binary column (uint8 0/1 per grid pixel) — the
+    per-pixel coverage the pyramid rollup needs to distinguish true
+    black from empty sky.
     """
     if level > 8:
         raise ValueError("mosaic tile level capped at 8 (ring-map and "
@@ -348,7 +377,8 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     from ..sources import imaging
 
     schema = ("tile long, n_images int, covered_px int, data binary, "
-              "checksum double")
+              "checksum double"
+              + (", mask binary" if with_mask else ""))
 
     def _accum(pdf: pd.DataFrame):
         """Integer-exact (sum, count, used) accumulation of one group
@@ -397,13 +427,16 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     def _finalize(tile, acc, cnt, used) -> pd.DataFrame:
         mean = np.where((cnt > 0)[:, :, None],
                         acc / np.maximum(cnt, 1)[:, :, None], 0.0)
-        return pd.DataFrame({
+        row = {
             "tile": [np.int64(tile)],
             "n_images": [np.int32(used)],
             "covered_px": [np.int32((cnt > 0).sum())],
             "data": [np.rint(mean).astype(np.uint8).tobytes()],
             "checksum": [round(float(mean.sum()), 3)],
-        })
+        }
+        if with_mask:
+            row["mask"] = [(cnt > 0).astype(np.uint8).tobytes()]
+        return pd.DataFrame(row)
 
     def per_tile(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (tile,) = key
@@ -449,3 +482,118 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
                .applyInPandas(per_partial, partial_schema)
                .groupBy("tile").applyInPandas(merge, schema))
     return cold.unionByName(hot_out).filter(F.col("n_images") > 0)
+
+
+def mosaic_pyramid(tiles: DataFrame, level: int, tile_px: int,
+                   min_level: int = 0) -> DataFrame:
+    """HiPS-style progressive tile pyramid: roll coadded tiles at
+    ``level`` up through ``min_level``, four children per parent (the
+    image-axis analogue of the reference's count-tree rollup, SURVEY
+    A5 / tree_gen.c — a parent aggregates exactly its nested-id
+    children ``tile >> 2``).
+
+    Each parent tile keeps the coadd's grid model — a ``tile_px`` x
+    ``tile_px`` gnomonic grid about the parent cell center with pixel
+    scale ``2 * max_pix_rad(parent_level) / tile_px`` (2x coarser per
+    level, constant bytes per tile, exactly a progressive-survey
+    pyramid).  Parent pixels are the MEAN of every child tile's
+    nearest-neighbor sample at that sky position whose coverage mask is
+    set — deterministic and order-independent (child pixels are uint8,
+    so the float64 sums are integer-exact).  Children grids overlap at
+    cell borders (each spans its cell's bounding disc), which is what
+    makes the seam-free mean well-defined.
+
+    ``tiles`` must be ``coadd_mosaic(..., with_mask=True)`` output at
+    ``level`` (columns tile, n_images, covered_px, data, checksum,
+    mask).  Output: one row per (level, tile) for every level in
+    [min_level, level] — the input level is passed through — with
+    ``n_images`` the summed provenance count of contributing children.
+
+    Scale shape: one shuffle per pyramid step keyed by the parent cell
+    (<= 4 rows per group, tile-sized payloads), with the level-P frame
+    bounded by 12*4^P rows whatever the survey size; the two center
+    maps ride the same bounded broadcasts as the coadd itself.
+    """
+    if not 0 <= min_level <= level:
+        raise ValueError("need 0 <= min_level <= level")
+    if level > 8:
+        raise ValueError("pyramid base level capped at 8 (tile-center "
+                         "broadcasts are complete maps)")
+    if "mask" not in tiles.columns:
+        raise ValueError("tiles must carry a per-pixel coverage mask — "
+                         "build them with coadd_mosaic(with_mask=True)")
+    spark = tiles.sparkSession
+    out_cols = ["level", "tile", "n_images", "covered_px", "data",
+                "mask", "checksum"]
+    frames = [tiles.withColumn("level", F.lit(level)).select(out_cols)]
+    schema = ("tile long, n_images int, covered_px int, data binary, "
+              "checksum double, mask binary")
+
+    cur = tiles
+    for pl in range(level - 1, min_level - 1, -1):
+        cl = pl + 1
+        c_scale_deg = math.degrees(2.0 * max_pix_rad(cl) / tile_px)
+        p_scale = 2.0 * max_pix_rad(pl) / tile_px
+        ccent = _tile_center_map(spark, cl)
+        pcent = (_tile_center_map(spark, pl)
+                 .select(F.col("_tile").alias("_ptile"),
+                         F.col("_tra").alias("_pra"),
+                         F.col("_tdec").alias("_pdec")))
+        cand = (cur.join(F.broadcast(ccent),
+                         cur["tile"] == ccent["_tile"]).drop("_tile")
+                .withColumn("_ptile", F.shiftright("tile", 2))
+                .join(F.broadcast(pcent), "_ptile"))
+
+        def make_per_parent(c_scale_deg, p_scale):
+            def per_parent(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                (ptile,) = key
+                pra = float(pdf["_pra"].iloc[0])
+                pdec = float(pdf["_pdec"].iloc[0])
+                gra, gdec = tile_grid_radec(pra, pdec, tile_px, p_scale)
+                ssum = np.zeros((tile_px, tile_px, 3), dtype=np.float64)
+                cnt = np.zeros((tile_px, tile_px), dtype=np.int64)
+                used = 0
+                # <= 4 children per parent: iterrows is fine (and avoids
+                # itertuples' renaming of _-prefixed columns)
+                for _, r in pdf.iterrows():
+                    img = np.frombuffer(r["data"], dtype=np.uint8).reshape(
+                        tile_px, tile_px, 3)
+                    msk = np.frombuffer(r["mask"], dtype=np.uint8).reshape(
+                        tile_px, tile_px).astype(bool)
+                    px, py, ok = tan_pix_np(gra, gdec, float(r["_tra"]),
+                                            float(r["_tdec"]), tile_px,
+                                            tile_px, c_scale_deg)
+                    ix = np.floor(px).astype(np.int64)
+                    iy = np.floor(py).astype(np.int64)
+                    m = (ok & (ix >= 0) & (ix < tile_px)
+                         & (iy >= 0) & (iy < tile_px))
+                    mm = np.zeros_like(m)
+                    mm[m] = msk[iy[m], ix[m]]
+                    if not mm.any():
+                        continue
+                    ssum[mm] += img[iy[mm], ix[mm]]
+                    cnt[mm] += 1
+                    used += int(r["n_images"])
+                mean = np.where((cnt > 0)[:, :, None],
+                                ssum / np.maximum(cnt, 1)[:, :, None], 0.0)
+                return pd.DataFrame({
+                    "tile": [np.int64(ptile)],
+                    "n_images": [np.int32(used)],
+                    "covered_px": [np.int32((cnt > 0).sum())],
+                    "data": [np.rint(mean).astype(np.uint8).tobytes()],
+                    "checksum": [round(float(mean.sum()), 3)],
+                    "mask": [(cnt > 0).astype(np.uint8).tobytes()],
+                })
+            return per_parent
+
+        per_parent = make_per_parent(c_scale_deg, p_scale)
+
+        cur = (cand.groupBy("_ptile").applyInPandas(per_parent, schema)
+               .filter(F.col("n_images") > 0)
+               .localCheckpoint(eager=True))
+        frames.append(cur.withColumn("level", F.lit(pl)).select(out_cols))
+
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out

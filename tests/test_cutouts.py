@@ -305,3 +305,111 @@ def test_mosaic_salted_path_bit_identical(spark):
               for r in coadd_mosaic(payload, 1, 8, SCALE,
                                     skew_threshold=1, n_salts=4).collect()}
     assert plain == salted and len(plain) > 0
+
+
+def _np_pyramid_step(children: dict, cl: int, tile_px: int):
+    """Numpy twin of one mosaic_pyramid rollup step: children is
+    {tile: (n_images, data_bytes, mask_bytes)} at level cl; returns the
+    same mapping at level cl - 1."""
+    from spatialindex_spark.operators.cutouts import tile_grid_radec
+
+    pl = cl - 1
+    c_scale_deg = math.degrees(2.0 * max_pix_rad(cl) / tile_px)
+    p_scale = 2.0 * max_pix_rad(pl) / tile_px
+
+    def center(level, tile):
+        x, y, z = pix2vec(level, np.array([tile], dtype=np.int64))
+        return (float(np.degrees(np.arctan2(y, x)) % 360.0),
+                float(np.degrees(np.arcsin(np.clip(z, -1, 1)))))
+
+    parents = sorted({t >> 2 for t in children})
+    out = {}
+    for pt in parents:
+        pra, pdec = center(pl, pt)
+        gra, gdec = tile_grid_radec(pra, pdec, tile_px, p_scale)
+        ssum = np.zeros((tile_px, tile_px, 3))
+        cnt = np.zeros((tile_px, tile_px), dtype=np.int64)
+        used = 0
+        for ct in sorted(t for t in children if t >> 2 == pt):
+            n_img, data, mask = children[ct]
+            img = np.frombuffer(data, dtype=np.uint8).reshape(
+                tile_px, tile_px, 3)
+            msk = np.frombuffer(mask, dtype=np.uint8).reshape(
+                tile_px, tile_px).astype(bool)
+            cra, cdec = center(cl, ct)
+            px, py, ok = tan_pix_np(gra, gdec, cra, cdec, tile_px,
+                                    tile_px, c_scale_deg)
+            ix, iy = np.floor(px).astype(int), np.floor(py).astype(int)
+            m = (ok & (ix >= 0) & (ix < tile_px)
+                 & (iy >= 0) & (iy < tile_px))
+            mm = np.zeros_like(m)
+            mm[m] = msk[iy[m], ix[m]]
+            if not mm.any():
+                continue
+            ssum[mm] += img[iy[mm], ix[mm]]
+            cnt[mm] += 1
+            used += n_img
+        if used:
+            mean = np.where((cnt > 0)[:, :, None],
+                            ssum / np.maximum(cnt, 1)[:, :, None], 0.0)
+            out[pt] = (used,
+                       np.rint(mean).astype(np.uint8).tobytes(),
+                       (cnt > 0).astype(np.uint8).tobytes(),
+                       int((cnt > 0).sum()),
+                       round(float(mean.sum()), 3))
+    return out
+
+
+def test_mosaic_pyramid_matches_numpy(spark):
+    """HiPS-style rollup: levels base-1..0 are bit-identical to a numpy
+    replay from the collected base tiles; the base level passes through
+    unchanged; pyramid requires the coverage mask."""
+    from spatialindex_spark.operators.cutouts import mosaic_pyramid
+
+    level, tile_px = 2, 8
+    imgs_df, _, imgs, _ = _mk_tables(spark, n_img=80, n_tgt=2, seed=11)
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            fmts = [("raw", "z", "dct")[int(i) % 3] for i in b["image_id"]]
+            b["fmt"] = fmts
+            b["bytes"] = [imaging.encode(
+                imaging.synth_image(int(i), int(w), int(h)), f)
+                for i, w, h, f in zip(b["image_id"], b["w"], b["h"], fmts)]
+            yield b
+
+    payload = imgs_df.mapInPandas(
+        gen, "image_id long, ra double, dec double, w int, h int, "
+             "fmt string, bytes binary")
+    tiles = coadd_mosaic(payload, level, tile_px, SCALE,
+                         with_mask=True).localCheckpoint(eager=True)
+    base = {r.tile: (int(r.n_images), bytes(r.data), bytes(r.mask))
+            for r in tiles.collect()}
+    assert base, "fixture produced no tiles"
+
+    pyr = mosaic_pyramid(tiles, level, tile_px, min_level=0)
+    got = {}
+    for r in pyr.collect():
+        got.setdefault(r.level, {})[r.tile] = (
+            int(r.n_images), bytes(r.data), bytes(r.mask),
+            int(r.covered_px), float(r.checksum))
+
+    # base level passes through
+    assert set(got[level]) == set(base)
+    for t, (n, d, m) in base.items():
+        assert got[level][t][:3] == (n, d, m)
+
+    # each rollup step bit-identical to the numpy twin
+    cur = base
+    for cl in range(level, 0, -1):
+        ref = _np_pyramid_step(cur, cl, tile_px)
+        lvl_got = got.get(cl - 1, {})
+        assert set(lvl_got) == set(ref)
+        for t, (n, d, m, cov, chk) in ref.items():
+            assert lvl_got[t] == (n, d, m, cov, chk), f"level {cl-1} tile {t}"
+        cur = {t: (v[0], v[1], v[2]) for t, v in ref.items()}
+
+    # mask is mandatory
+    with pytest.raises(ValueError, match="mask"):
+        mosaic_pyramid(tiles.drop("mask"), level, tile_px)
