@@ -506,6 +506,42 @@ def _q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "checksum")
 
 
+def _q_source_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source extraction + astrometry (the pipeline stage that PRODUCES
+    the reference's position catalogs): planted single-pixel spikes are
+    recovered from lossless-codec payloads by threshold detection in
+    mapInPandas batches, then placed on the sky with JVM inverse-TAN
+    trig. The planted positions are integer-derived from the image id,
+    so the oracle replays detection arithmetic AND the astrometry in
+    SQL — a fully value-oracled pixel operator."""
+    from spatialindex_spark.operators.detect import detect_sources
+    from spatialindex_spark.sources import imaging
+
+    meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= 2000)
+
+    def gen(batches):
+        for b in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "ra": [], "dec": []}
+            for r in b.itertuples(index=False):
+                fmt = ("raw", "z")[int(r.image_id) % 2]   # lossless only
+                img = imaging.synth_image_sources(int(r.image_id),
+                                                  int(r.w), int(r.h))
+                out["image_id"].append(int(r.image_id))
+                out["bytes"].append(imaging.encode(img, fmt))
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(fmt)
+                out["ra"].append(float(r.ra))
+                out["dec"].append(float(r.dec))
+            yield pd.DataFrame(out)
+
+    imgs = meta.mapInPandas(
+        gen, "image_id long, bytes binary, w int, h int, fmt string, "
+             "ra double, dec double")
+    return detect_sources(imgs, CUTOUT_SCALE)
+
+
 def _q_minhash_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup with transitive clustering: verified near-dup
     pairs are collapsed with distributed connected components and one
@@ -1414,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cutout": _q_cutout,
         "mosaic": _q_mosaic,
         "pyramid": _q_pyramid,
+        "source_detect": _q_source_detect,
         # never driver-gated before r4 (r3 verdict item #2)
         "count_bounds_ellipse_s2": _q_count_bounds_ellipse_s2,
         "count_bounds_h3": _q_count_bounds_h3,
@@ -1898,8 +1935,44 @@ SELECT target_id, image_id, ROUND(px, 6) AS px, ROUND(py, 6) AS py,
             = {CUTOUT_SIZE}) AS complete
 FROM win"""
 
+    source_detect_sql = f"""
+WITH imgs AS (
+  SELECT o_orderkey AS image_id,
+         (o_orderkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders WHERE o_orderkey <= 2000),
+det AS (
+  SELECT i.image_id, i.ra, i.dec, i.w, i.h,
+         CAST((i.image_id * 7919 + s.s * 2741 + 5) % i.w AS INT) AS src_x,
+         CAST((i.image_id * 6133 + s.s * 3571 + 11) % i.h AS INT) AS src_y
+  FROM imgs i CROSS JOIN (VALUES (0), (1), (2)) AS s(s)),
+tp AS (
+  SELECT image_id, src_x, src_y,
+         src_x + 0.5 AS pxc, src_y + 0.5 AS pyc,
+         (w / 2.0 - (src_x + 0.5)) * {srad} AS xi,
+         ((src_y + 0.5) - h / 2.0) * {srad} AS eta,
+         radians(ra) AS a0, radians(dec) AS d0
+  FROM det),
+vec AS (
+  SELECT image_id, src_x, src_y, pxc, pyc,
+         (cos(d0)*cos(a0) - xi*sin(a0) - eta*sin(d0)*cos(a0))
+           / sqrt(1.0 + xi*xi + eta*eta) AS gx,
+         (cos(d0)*sin(a0) + xi*cos(a0) - eta*sin(d0)*sin(a0))
+           / sqrt(1.0 + xi*xi + eta*eta) AS gy,
+         (sin(d0) + eta*cos(d0)) / sqrt(1.0 + xi*xi + eta*eta) AS gz
+  FROM tp)
+SELECT image_id, src_x, src_y,
+       ROUND(pxc, 6) AS px, ROUND(pyc, 6) AS py,
+       ROUND((degrees(atan2(gy, gx)) + 360.0) % 360.0, 6) AS src_ra,
+       ROUND(degrees(asin(LEAST(GREATEST(gz, -1.0), 1.0))), 6) AS src_dec
+FROM vec"""
+
     return {
         "cutout": cutout_sql,
+        "source_detect": source_detect_sql,
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_h3": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",

@@ -233,3 +233,23 @@ def decode_audio(data: bytes, fmt: str) -> np.ndarray:
     if fmt == "pcmz":
         return np.frombuffer(zlib.decompress(data), dtype="<i2").astype(np.int16)
     raise ValueError(f"unknown audio fmt {fmt!r}")
+
+
+def synth_image_sources(i: int, w: int, h: int, n_src: int = 3,
+                        background_cap: int = 250,
+                        amplitude: int = 255) -> np.ndarray:
+    """Deterministic synthetic image with planted point sources: the
+    synth_image background clipped to ``background_cap`` plus ``n_src``
+    single-pixel spikes at integer positions derived from the image id
+    (odd multipliers against power-of-two dims guarantee the positions
+    are distinct within an image).  Because the spike amplitude exceeds
+    the cap, threshold detection recovers the planted set EXACTLY under
+    a lossless codec — which is what makes the source-extraction
+    pipeline value-oracle-able (the oracle replays the integer
+    arithmetic in SQL)."""
+    img = np.minimum(synth_image(i, w, h), np.uint8(background_cap))
+    for s in range(n_src):
+        px = (i * 7919 + s * 2741 + 5) % w
+        py = (i * 6133 + s * 3571 + 11) % h
+        img[py, px, :] = amplitude
+    return img
