@@ -542,6 +542,28 @@ def _q_source_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_sources(imgs, CUTOUT_SCALE)
 
 
+DETECT_XMATCH_RADIUS = 1.5
+
+
+def _q_detect_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end alert pipeline (stage INTERACTION gate, like
+    train_pipeline): pixels -> detected sources (source_detect) ->
+    crossmatch (J3) against the customer catalog. The oracle replays
+    the full chain in SQL — planted-spike arithmetic, inverse-TAN
+    astrometry, then the exact dot-product distance filter."""
+    from spatialindex_spark.operators.joins import crossmatch
+
+    det = _q_source_detect(spark, sf_dir).select(
+        "image_id", "src_x", "src_y",
+        F.col("src_ra").alias("ra"), F.col("src_dec").alias("dec"))
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    cm = crossmatch(det, cust, radius_deg=DETECT_XMATCH_RADIUS)
+    return cm.select(F.col("image_id_l").alias("image_id"),
+                     F.col("src_x_l").alias("src_x"),
+                     F.col("src_y_l").alias("src_y"),
+                     F.col("c_custkey_r").alias("c_custkey"))
+
+
 def _q_minhash_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup with transitive clustering: verified near-dup
     pairs are collapsed with distributed connected components and one
@@ -1451,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic": _q_mosaic,
         "pyramid": _q_pyramid,
         "source_detect": _q_source_detect,
+        "detect_xmatch": _q_detect_xmatch,
         # never driver-gated before r4 (r3 verdict item #2)
         "count_bounds_ellipse_s2": _q_count_bounds_ellipse_s2,
         "count_bounds_h3": _q_count_bounds_h3,
@@ -1935,8 +1958,7 @@ SELECT target_id, image_id, ROUND(px, 6) AS px, ROUND(py, 6) AS py,
             = {CUTOUT_SIZE}) AS complete
 FROM win"""
 
-    source_detect_sql = f"""
-WITH imgs AS (
+    detect_ctes = f"""imgs AS (
   SELECT o_orderkey AS image_id,
          (o_orderkey * 0.618034) % 360 AS ra,
          degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
@@ -1963,16 +1985,38 @@ vec AS (
          (cos(d0)*sin(a0) + xi*cos(a0) - eta*sin(d0)*sin(a0))
            / sqrt(1.0 + xi*xi + eta*eta) AS gy,
          (sin(d0) + eta*cos(d0)) / sqrt(1.0 + xi*xi + eta*eta) AS gz
-  FROM tp)
+  FROM tp)"""
+
+    source_detect_sql = f"""
+WITH {detect_ctes}
 SELECT image_id, src_x, src_y,
        ROUND(pxc, 6) AS px, ROUND(pyc, 6) AS py,
        ROUND((degrees(atan2(gy, gx)) + 360.0) % 360.0, 6) AS src_ra,
        ROUND(degrees(asin(LEAST(GREATEST(gz, -1.0), 1.0))), 6) AS src_dec
 FROM vec"""
 
+    cosr_xm = repr(math.cos(math.radians(DETECT_XMATCH_RADIUS)))
+    detect_xmatch_sql = f"""
+WITH {detect_ctes},
+srcs AS (
+  SELECT image_id, src_x, src_y,
+         ROUND((degrees(atan2(gy, gx)) + 360.0) % 360.0, 6) AS ra,
+         ROUND(degrees(asin(LEAST(GREATEST(gz, -1.0), 1.0))), 6) AS dec
+  FROM vec),
+cskyx AS (
+  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer)
+SELECT s.image_id, s.src_x, s.src_y, c.c_custkey
+FROM srcs s CROSS JOIN cskyx c
+WHERE sin(radians(s.dec)) * sin(radians(c.dec))
+      + cos(radians(s.dec)) * cos(radians(c.dec))
+        * cos(radians(s.ra) - radians(c.ra)) >= {cosr_xm}"""
+
     return {
         "cutout": cutout_sql,
         "source_detect": source_detect_sql,
+        "detect_xmatch": detect_xmatch_sql,
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_s2": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",
         "cone_h3": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",

@@ -372,3 +372,23 @@ def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
                 f"{id_col} long, {ts_col} timestamp, near_dup boolean",
                 "ids array<long>, hashes array<long>",
                 "append", GroupStateTimeout.NoTimeout))
+
+
+def stream_detect(stream_images: DataFrame, scale_deg_px: float,
+                  threshold: int = 255,
+                  image_id: str = "image_id",
+                  bytes_col: str = "bytes"):
+    """Detection-on-ingest: run source extraction + astrometry on every
+    arriving image micro-batch (the alert-pipeline front end — new
+    exposures emit fresh source lists downstream).
+
+    The batch operator (operators/detect.py) is already a stateless
+    map (mapInPandas + Column trig, no shuffle), so it runs unchanged
+    under Structured Streaming — no watermark, no state store, and
+    micro-batch results equal the batch operator on the same rows
+    (pytest-gated)."""
+    from ..operators.detect import detect_sources
+
+    return detect_sources(stream_images, scale_deg_px,
+                          threshold=threshold, image_id=image_id,
+                          bytes_col=bytes_col)

@@ -70,3 +70,29 @@ def test_detect_plan_no_shuffle(spark):
     plan = detect_sources(df, SCALE)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_stream_detect_matches_batch(spark, tmp_path):
+    """Detection-on-ingest across two micro-batches equals the batch
+    operator on the same rows (stateless map — no watermark/state)."""
+    from spatialindex_spark.streaming.ingest import stream_detect
+
+    df, meta = _payload(spark, n_img=30, seed=9)
+    pdf = df.toPandas()
+    src = str(tmp_path / "det_stream")
+    schema = ("image_id long, ra double, dec double, w int, h int, "
+              "fmt string, bytes binary")
+    half = len(pdf) // 2
+    for part in (pdf.iloc[:half], pdf.iloc[half:]):
+        spark.createDataFrame(part, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_detect(stream, SCALE)
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("det_stream").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {tuple(r) for r in
+           spark.sql("SELECT * FROM det_stream").collect()}
+    want = {tuple(r) for r in detect_sources(df, SCALE).collect()}
+    assert got == want and len(got) == 90
