@@ -281,10 +281,13 @@ def main():
     from spatialindex_spark.operators.knn import knn_join
 
     def run_knn_join(img):
-        n = img.count()
-        lvl = 5 if n < 300_000 else 6
         side = img.select("image_id", "ra", "dec", "hpx7")
-        return knn_join(side, side, k=3, level=lvl,
+        # density-adaptive probe levels: the synthetic sky plants 2% of
+        # rows in two 0.05-deg hot spots, and any global level that suits
+        # the background turns each spot into ONE quadratic join key
+        # (10k^2 pairs in one task at sf1) — auto_levels probes the spots
+        # at the fine rung their measured density demands
+        return knn_join(side, side, k=3, auto_levels=True,
                         left_id="image_id", right_id="image_id",
                         cell_col="hpx7", cell_level=7,
                         exclude_self=True, on_starved="exact").count()

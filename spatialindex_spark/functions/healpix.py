@@ -324,6 +324,8 @@ MEASURED_NONADJ_RAD = {
     8: 0.0027371586344136648, 9: 0.0013709794698225962,
     10: 0.0006847783702417714, 11: 0.00034247856510504285,
     12: 0.00017136662435776614, 13: 8.592136441361713e-05,
+    14: 4.293050640047064e-05, 15: 2.1530621790553015e-05,
+    16: 1.0634852233632672e-05,
 }
 
 

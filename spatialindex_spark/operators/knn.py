@@ -268,7 +268,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
              levels: tuple | None = None,
              auto_levels: bool = False,
              oversample: float = 2.0,
-             max_fine_level: int = 12,
+             max_fine_level: int = 16,
              prune_max_active: int = 200_000,
              exclude_self: bool = False,
              on_starved: str = "raise") -> DataFrame:
@@ -413,7 +413,88 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         def area(R):
             return 41252.96124941928 / (12 << (2 * R))  # sq deg / cell
 
+        even_top = max_fine_level - (max_fine_level % 2)
+
+        # HIERARCHICAL DRILL-DOWN below the reference grid: a sub-cell
+        # clump (e.g. a 0.05-deg dense spot inside a 0.46-deg reference
+        # cell) dilutes over the reference cell and reads ~100x below its
+        # true local density, so its rows would probe 2-3 rungs too
+        # coarse — each rung costing 16x the candidate pairs (measured:
+        # a 10k-row spot at the diluted rung is a 165M-pair pass; at its
+        # true rung, 10M). Refine the profile 2 levels at a time, but
+        # ONLY inside cells hot enough to matter (count >= 4*MIN_CNT)
+        # and at most TOP_REFINE cells per step — each step's counts
+        # frame is therefore <= TOP_REFINE * 16 children no matter how
+        # many rows the table has, so every broadcast stays bounded at
+        # any scale. Fine cells below MIN_CNT are dropped (their rows
+        # read the coarser, stable grid instead — the existing
+        # finest-stable-grid rule).
+        REFINE_CNT = 4 * MIN_CNT
+        TOP_REFINE = 8192
+
+        def _rkey_at(R):
+            if use_cell and R <= cell_level:
+                return hpx_cell_key("_rcell", cell_level, R)
+            return F.shiftright("_rf", 2 * (even_top - R))
+
+        fine_grids: list = []  # [(level, counts_df)] finest LAST
+        srv = rk_base      # running survivor frame (rows in hot cells)
+        srv_has_rf = False
+        cur, lvlp = counts_top, ref_top
+        while lvlp + 2 <= even_top:
+            nxt = lvlp + 2
+            hot = (cur.filter(F.col("_dn") >= REFINE_CNT)
+                   .orderBy(F.col("_dn").desc()).limit(TOP_REFINE)
+                   .select(F.col("_dc").alias("_hc"))
+                   .localCheckpoint(eager=True))
+            if hot.limit(1).count() == 0:
+                break
+            # prune FIRST (JVM key: the ingest cell column, or _rf
+            # materialized on a previous step's survivors), THEN key the
+            # survivors — with an ingest cell column the Arrow pass never
+            # sees the full table (without one, the semi key itself needs
+            # _rf, like the profile's own full-table groupBy did)
+            if not srv_has_rf and not (use_cell and lvlp <= cell_level):
+                srv = srv.withColumn(
+                    "_rf", hpx_udf(even_top)(F.col("_rra"),
+                                             F.col("_rdec")))
+                srv_has_rf = True
+            srv = srv.join(F.broadcast(hot), _rkey_at(lvlp)
+                           == F.col("_hc"), "left_semi")
+            if not srv_has_rf and not (use_cell and nxt <= cell_level):
+                # survivors keyed once at even_top; every refinement
+                # level derives by shiftright (the nested-id prefix
+                # property, same hierarchy the pass loop uses)
+                srv = srv.withColumn(
+                    "_rf", hpx_udf(even_top)(F.col("_rra"),
+                                             F.col("_rdec")))
+                srv_has_rf = True
+            fine = (srv.groupBy(_rkey_at(nxt).alias("_dc"))
+                    .agg(F.count(F.lit(1)).alias("_dn"))
+                    .filter(F.col("_dn") >= MIN_CNT)
+                    .localCheckpoint(eager=True))
+            if fine.limit(1).count() == 0:
+                break
+            fine_grids.append((nxt, fine))
+            cur, lvlp = fine, nxt
+
         todo = lf.withColumn("_p", lref)
+        if fine_grids and not (use_cell
+                               and fine_grids[-1][0] <= cell_level):
+            todo = todo.withColumn(
+                "_pf", hpx_udf(even_top)(F.col("_lra"), F.col("_ldec")))
+
+        def _lkey_at(R):
+            if use_cell and R <= cell_level:
+                return hpx_cell_key("_lcell", cell_level, R)
+            return F.shiftright("_pf", 2 * (even_top - R))
+
+        refs_all = [R for R, _ in reversed(fine_grids)] + refs
+        for R, cdf in fine_grids:
+            cdf = cdf.select(F.col("_dc").alias(f"_dc{R}"),
+                             F.col("_dn").alias(f"_dn{R}"))
+            todo = (todo.withColumn(f"_dc{R}", _lkey_at(R))
+                    .join(F.broadcast(cdf), f"_dc{R}", "left"))
         for R in refs:
             cR = (counts_top if R == ref_top else
                   counts_top.groupBy(
@@ -425,7 +506,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                 f"_dc{R}", F.shiftright("_p", 2 * (ref_top - R)))
                 .join(F.broadcast(cR), f"_dc{R}", "left"))
         d = None  # rows / sq deg at the finest stable grid
-        for R in refs:
+        for R in refs_all:
             cnt = F.coalesce(F.col(f"_dn{R}"), F.lit(0)).cast("double")
             dens = cnt / F.lit(area(R))
             d = (F.when(cnt >= MIN_CNT, dens) if d is None
@@ -439,7 +520,6 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # candidate pairs). EVEN rungs only: each pass has real fixed
         # cost, and one-level granularity buys nothing the satisfaction
         # check doesn't re-verify.
-        even_top = max_fine_level - (max_fine_level % 2)
         need = k + oversample * math.sqrt(k)
         albl = None
         for L in range(even_top, 0, -2):
@@ -448,8 +528,10 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             albl = (F.when(cond, L) if albl is None
                     else albl.when(cond, L))
         albl = F.lit(0) if albl is None else albl.otherwise(0)
-        drop_cols = (["_p"] + [f"_dc{R}" for R in refs]
-                     + [f"_dn{R}" for R in refs])
+        drop_cols = (["_p"] + [f"_dc{R}" for R in refs_all]
+                     + [f"_dn{R}" for R in refs_all])
+        if "_pf" in todo.columns:
+            drop_cols.append("_pf")
         todo = (todo.withColumn("_albl", albl)
                 .drop(*drop_cols)
                 .localCheckpoint(eager=True))
@@ -496,7 +578,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         else:
             disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"), F.col("_ldec"))
             lk = active.withColumn("_mc", F.explode(disc))
-        rk = rk_base.withColumn("_mc", rkey)
+        rk = rk_base
         if n_active is not None and 0 < n_active <= prune_max_active:
             # cascade passes serve a small left tail: semi-joining the
             # right side against the tail's (bounded, broadcastable)
@@ -505,13 +587,51 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # exchange. The big first passes skip this (the cell set
             # covers most of the sky, so the prune would reject nothing).
             cells = lk.select("_mc").distinct()
-            rk = rk.join(F.broadcast(cells), "_mc", "semi")
+            if use_cell and lvl > cell_level:
+                # fine pass: the per-pass cell UDF would otherwise key the
+                # FULL right table before the cell prune can apply (the
+                # fine cells only exist post-UDF). Prune first on the
+                # ingest-time cell column: the fine cells' ancestors at
+                # cell_level are a tiny broadcast set and the comparison
+                # is a JVM shiftright — the UDF then keys survivors only.
+                anc = (cells.select(
+                    F.shiftright("_mc", 2 * (lvl - cell_level))
+                    .alias("_rcell")).distinct())
+                rk = rk.join(F.broadcast(anc), "_rcell", "semi")
+            rk = (rk.withColumn("_mc", rkey)
+                  .join(F.broadcast(cells), "_mc", "semi"))
+        else:
+            rk = rk.withColumn("_mc", rkey)
+        cand = lk.join(rk, "_mc")
+        if exclude_self:
+            cand = cand.filter(F.col("_lid") != F.col("_rid"))
+        # per-cell partial top-k BEFORE the global rank: the candidate
+        # join's output is already hash-partitioned on _mc, which
+        # satisfies the (_mc, _lid) clustering, so this groupBy adds ZERO
+        # Exchange (plan-asserted in tests) — it reduces the global
+        # rank's input from every-candidate-in-every-ring-cell to <= k
+        # rows per (left row, ring cell). At background density that is
+        # a ~(candidates/9k)x smaller shuffle+sort; in a hot cell it is
+        # the difference between 10k rows and k rows on one key. A
+        # (l, r) pair occurs under exactly one _mc (right side has one
+        # key; left ring cells are deduped), so no pair double-counts,
+        # and struct ordering (_dist, _rid) matches the window tiebreak.
+        per = (cand.withColumn("_dist", dist)
+               .groupBy("_mc", "_lid")
+               .agg(F.slice(F.array_sort(F.collect_list(
+                   F.struct("_dist", "_rid"))), 1, k).alias("_top")))
+        red = (per.select("_lid", F.explode("_top").alias("_s"))
+               .select("_lid", F.col("_s._dist").alias("_dist"),
+                       F.col("_s._rid").alias("_rid")))
+        w_rk = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
+                                                  F.col("_rid").asc())
         # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
         # cols): sat, the output branch, and todo's eager checkpoint all
-        # re-derive from it — without this the candidate join + window
+        # re-derive from it — without this the candidate join + rank
         # (the heavy stage) runs twice per pass (anti-join materialization
         # now, output evaluation later)
-        topk = (rank_topk(lk.join(rk, "_mc").drop("_mc"))
+        topk = (red.withColumn("_rk", F.row_number().over(w_rk))
+                .filter(F.col("_rk") <= k)
                 .select("_lid", "_rid", "_rk", "_dist")
                 .localCheckpoint(eager=True))
         # satisfied: the k-th candidate exists AND lies within the pass's

@@ -933,9 +933,9 @@ def test_safe_radius_table_in_sync():
 
 
 def test_safe_ring1_property_all_orders():
-    """Fresh-sample property sweep of EVERY selectable order 0..13 (r2
-    verdict item 9 — the r2 fixture was only asserted against the orders
-    the sampled table exercised): random pairs separated by up to
+    """Fresh-sample property sweep of EVERY selectable order 0..16 (r2
+    verdict item 9; extended through 16 in r4 when knn_join's density
+    rungs gained orders 14-16): random pairs separated by up to
     0.999*safe_ring1_rad must land in the same or ring-1-adjacent HPX
     cells. This is the exact soundness property crossmatch/knn level
     selection relies on."""
@@ -944,7 +944,7 @@ def test_safe_ring1_property_all_orders():
 
     rng = np.random.default_rng(20260817)
     n = 60_000
-    for order in range(14):
+    for order in range(17):
         r = 0.999 * safe_ring1_rad(order)
         ra = rng.uniform(0, 360, n)
         dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
