@@ -564,6 +564,104 @@ def _q_detect_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("c_custkey_r").alias("c_custkey"))
 
 
+def _q_transients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transient detection (anti-crossmatch): suppliers with NO customer
+    counterpart within 1.5 deg — the complement of J3's matched-id set,
+    i.e. 'new sources absent from the master catalog'. Scale shape:
+    ring-keyed crossmatch -> distinct matched ids -> one left_anti join;
+    no all-pairs anywhere. Oracle: NOT EXISTS over the same dot cut."""
+    from spatialindex_spark.operators.joins import anti_crossmatch
+
+    # shift the detection field 2.5 deg in ra: the supplier/customer key
+    # derivations coincide for equal keys, so the unshifted field would
+    # match trivially (sep 0) and gate nothing — shifted, each supplier's
+    # key-twin customer sits 2.5 deg away (> radius at most decs) and
+    # membership depends on real geometry at every sf
+    supp = (_supplier_sky(spark, sf_dir)
+            .select("s_suppkey", ((F.col("ra") + 2.5) % 360).alias("ra"),
+                    "dec"))
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    return (anti_crossmatch(supp, cust, 1.5, left_id="s_suppkey")
+            .select("s_suppkey"))
+
+
+# moving-object synthesis: each supplier becomes an object detected at 4
+# nightly epochs, drifting at a per-object integer-derived velocity (deg/
+# day per axis). Integer mods keep every constant exactly reproducible in
+# SQL; the explicit ((x % 360) + 360) % 360 normalization is the same fp
+# op sequence in both engines.
+TRACKLET_EPOCHS = 4
+TRACKLET_SPEED = 0.5          # deg/day pair-linking bound
+TRACKLET_DT_MAX = 1.5         # days
+
+
+def _det_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    e = F.explode(F.array(*[F.lit(i) for i in range(TRACKLET_EPOCHS)]))
+    det = s.select("s_suppkey", e.alias("epoch"))
+    base_ra = (F.col("s_suppkey") * F.lit(0.618034)) % 360
+    base_dec = F.degrees(F.asin(
+        2 * ((F.col("s_suppkey") * F.lit(0.381966)) % 1) - 1))
+    vra = ((F.col("s_suppkey") * 37) % 21 - 10) * F.lit(0.02)
+    vdec = ((F.col("s_suppkey") * 53) % 21 - 10) * F.lit(0.02)
+    ra = ((base_ra + vra * F.col("epoch")) % 360 + 360) % 360
+    dec = F.least(F.lit(89.9999), F.greatest(
+        F.lit(-89.9999), base_dec + vdec * F.col("epoch")))
+    return det.select(
+        (F.col("s_suppkey") * 10 + F.col("epoch")).alias("det_id"),
+        ra.alias("ra"), dec.alias("dec"),
+        F.col("epoch").cast("double").alias("t_days"))
+
+
+def _q_tracklets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-object tracklet seeds: ordered detection pairs within
+    dt <= 1.5 days whose separation a <= 0.5 deg/day mover could cover.
+    One ring-keyed crossmatch at the max reach (0.75 deg) + pure-Column
+    cos-domain speed residual — the spatiotemporal pair-finding primitive
+    of an asteroid pipeline, no all-pairs join anywhere. The oracle
+    replays the epoch synthesis and the predicate over all pairs."""
+    from spatialindex_spark.operators.timedomain import tracklets
+
+    det = _det_moving(spark, sf_dir)
+    return tracklets(det, TRACKLET_SPEED, TRACKLET_DT_MAX,
+                     det_id="det_id", time_col="t_days")
+
+
+LC_RADIUS = 0.01
+
+
+def _q_lightcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object photometric lightcurves: each order is a 'detection' of
+    its parent customer (position = parent sky position + an integer-
+    derived sub-arcsec jitter, flux = o_totalprice, epoch = o_orderdate);
+    detections best_match into the customer catalog, then one partial-agg
+    groupBy folds them into n_det / exact-integer flux stats / span_days.
+    Gates the J3-window-agg interaction; flux sums are quantized to cents
+    before aggregation so the mean is order-independent and the DuckDB
+    oracle hash-matches bit-for-bit."""
+    from spatialindex_spark.operators.timedomain import lightcurves
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base_ra = (F.col("o_custkey") * F.lit(0.618034)) % 360
+    base_dec = F.degrees(F.asin(
+        2 * ((F.col("o_custkey") * F.lit(0.381966)) % 1) - 1))
+    jra = ((F.col("o_orderkey") % 1000) - 500) * F.lit(1e-6)
+    jdec = ((F.expr("o_orderkey div 7") % 1000) - 500) * F.lit(1e-6)
+    det = o.select(
+        F.col("o_orderkey").alias("det_id"),
+        (((base_ra + jra) % 360 + 360) % 360).alias("ra"),
+        F.least(F.lit(89.9999), F.greatest(F.lit(-89.9999),
+                                           base_dec + jdec)).alias("dec"),
+        F.col("o_totalprice").alias("flux"),
+        F.col("o_orderdate").alias("t"))
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    lc = lightcurves(det, cust, LC_RADIUS, det_id="det_id",
+                     obj_id="c_custkey", flux_col="flux", time_col="t")
+    return lc.select("c_custkey", "n_det", "flux_mean", "flux_min",
+                     "flux_max", "flux_amp",
+                     F.col("span_days").cast("long").alias("span_days"))
+
+
 def _q_minhash_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup with transitive clustering: verified near-dup
     pairs are collapsed with distributed connected components and one
@@ -1466,6 +1564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "transients": _q_transients,
+        "tracklets": _q_tracklets,
+        "lightcurve": _q_lightcurve,
         "knn_join": _q_knn_join,
         "knn_join_auto": _q_knn_join_auto,
         "h3_kring": _q_h3_kring,
@@ -1888,6 +1989,76 @@ def _ann_pq_oracle_sql() -> str:
     )
 
 
+def _tracklets_sql() -> str:
+    """All-pairs replay of _q_tracklets: same epoch synthesis (identical
+    fp op order), cos-domain speed cut. dt is always 1.0 day here (epoch
+    grid 0..3, dt_max 1.5), so the crossmatch reach cut (0.75 deg) is
+    strictly implied by the speed cut and needs no replica."""
+    dot = ("cos(radians(a.dec))*cos(radians(b.dec))"
+           "*cos(radians(a.ra)-radians(b.ra))"
+           " + sin(radians(a.dec))*sin(radians(b.dec))")
+    return f"""
+WITH det AS (
+  SELECT s_suppkey * 10 + e AS det_id,
+         ((((s_suppkey * 0.618034) % 360)
+           + (((s_suppkey * 37) % 21 - 10) * 0.02) * e) % 360 + 360) % 360
+           AS ra,
+         LEAST(89.9999, GREATEST(-89.9999,
+           degrees(asin(2 * ((s_suppkey * 0.381966) % 1) - 1))
+           + (((s_suppkey * 53) % 21 - 10) * 0.02) * e)) AS dec,
+         CAST(e AS DOUBLE) AS t
+  FROM supplier CROSS JOIN (SELECT unnest(range(0, {TRACKLET_EPOCHS})) AS e))
+SELECT a.det_id AS det_a, b.det_id AS det_b, b.t - a.t AS dt_days,
+       round({dot}, 9) AS pair_dot
+FROM det a CROSS JOIN det b
+WHERE b.t - a.t > 0 AND b.t - a.t <= {TRACKLET_DT_MAX}
+  AND a.det_id <> b.det_id
+  AND {dot} >= cos(radians(LEAST(180.0,
+                                 {TRACKLET_SPEED} * (b.t - a.t))))"""
+
+
+def _lightcurve_sql() -> str:
+    """Full-chain replay of _q_lightcurve: jittered detection synthesis,
+    best_match window (same sep expression + right-id tiebreak), then the
+    exact-integer (cents-quantized) per-object aggregation."""
+    dot = ("cos(radians(d.dec))*cos(radians(c.dec))"
+           "*cos(radians(d.ra)-radians(c.ra))"
+           " + sin(radians(d.dec))*sin(radians(c.dec))")
+    return f"""
+WITH det AS (
+  SELECT o_orderkey AS det_id,
+         ((((o_custkey * 0.618034) % 360)
+           + ((o_orderkey % 1000) - 500) * 0.000001) % 360 + 360) % 360
+           AS ra,
+         LEAST(89.9999, GREATEST(-89.9999,
+           degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1))
+           + (((o_orderkey // 7) % 1000) - 500) * 0.000001)) AS dec,
+         o_totalprice AS flux, o_orderdate AS t
+  FROM orders),
+csky AS (
+  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer),
+bm AS (
+  SELECT det_id, c_custkey, flux, t FROM (
+    SELECT d.det_id, c.c_custkey, d.flux, d.t,
+      row_number() OVER (PARTITION BY d.det_id ORDER BY
+        degrees(acos(least(greatest({dot}, -1.0), 1.0))) ASC,
+        c.c_custkey ASC) AS rk
+    FROM det d CROSS JOIN csky c
+    WHERE {dot} >= cos(radians({LC_RADIUS}))
+  ) WHERE rk = 1),
+q AS (SELECT c_custkey, CAST(round(flux * 100) AS BIGINT) AS qf, t FROM bm)
+SELECT c_custkey, count(*)::BIGINT AS n_det,
+       round(sum(qf) / count(*) / 100, 6) AS flux_mean,
+       min(qf) / 100.0 AS flux_min,
+       max(qf) / 100.0 AS flux_max,
+       (max(qf) - min(qf)) / 100.0 AS flux_amp,
+       date_diff('day', CAST(min(t) AS DATE), CAST(max(t) AS DATE))
+         AS span_days
+FROM q GROUP BY c_custkey"""
+
+
 def oracle_sql() -> dict[str, str]:
     cone1 = _cone_where(CONE)
     cone2 = _cone_where(CONE2)
@@ -2058,6 +2229,16 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "transients": (
+            f"{_CUST_CTE}, sskyx AS (SELECT s_suppkey, "
+            "(ra + 2.5) % 360 AS ra, dec FROM ssky) "
+            "SELECT s.s_suppkey FROM sskyx s WHERE NOT EXISTS ("
+            "  SELECT 1 FROM csky c WHERE "
+            "  cos(radians(s.dec))*cos(radians(c.dec))*cos(radians(s.ra)-radians(c.ra)) "
+            "  + sin(radians(s.dec))*sin(radians(c.dec)) >= cos(radians(1.5)))"
+        ),
+        "tracklets": _tracklets_sql(),
+        "lightcurve": _lightcurve_sql(),
         # every flag is construction-guaranteed, so the oracle's expected
         # sum per flag is the row count itself
         "h3_kring": (

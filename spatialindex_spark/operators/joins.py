@@ -673,6 +673,31 @@ def best_match(left: DataFrame, right: DataFrame, radius_deg: float,
             .filter(F.col("_rk") == 1).drop("_rk"))
 
 
+def anti_crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
+                    left_id: str, **kwargs) -> DataFrame:
+    """Left rows with NO right counterpart within ``radius_deg`` — the
+    transient-detection primitive (new sources absent from the master
+    catalog; reference semantics = the complement of J3's pair set per
+    left id).
+
+    Scale shape: the candidate/match set is produced by :func:`crossmatch`
+    (ring-keyed cell equi-join — the big catalog side stays JVM-only when
+    it carries an ingest-time cell column), reduced to DISTINCT matched
+    left ids (bounded by the match count, typically << left), then removed
+    from ``left`` with one left_anti hash join on the id. ``left`` is
+    projected to (id, ra, dec[, cell]) for the match, so payload columns
+    never enter the crossmatch shuffle."""
+    suffixes = kwargs.get("suffixes", ("_l", "_r"))
+    lr, ld = kwargs.get("left_cols", ("ra", "dec"))
+    cell_col = kwargs.get("cell_col")
+    probe_cols = [left_id, lr, ld] + ([cell_col] if cell_col else [])
+    matched = (crossmatch(left.select(*probe_cols), right, radius_deg,
+                          **kwargs)
+               .select(F.col(left_id + suffixes[0]).alias(left_id))
+               .distinct())
+    return left.join(matched, left_id, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # J2: cell-keyed equi-join (tile-to-tile)
 # ---------------------------------------------------------------------------

@@ -223,6 +223,55 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
     return pairs.filter(dot >= F.lit(cosr))
 
 
+def stream_transients(stream: DataFrame, catalog: DataFrame,
+                      radius_deg: float,
+                      cell_col: str = "hpx7", cell_level: int = 7,
+                      ra_col: str = "ra", dec_col: str = "dec"):
+    """Streaming transient detection: emit every arriving detection with
+    NO static-catalog counterpart within ``radius_deg`` — the alert
+    front end's "new source" filter (the streaming face of
+    :func:`~spatialindex_spark.operators.joins.anti_crossmatch`).
+
+    Plan shape differs from :func:`stream_crossmatch` deliberately: an
+    anti join cannot use the exploded-STREAM formulation (a row is
+    transient only if ALL its ring cells miss, which would need a
+    per-row aggregation and thus a watermark). Instead the STATIC
+    catalog side explodes into its ring cells once (adjacency is
+    symmetric, so coverage is identical), each stream row keeps its
+    single ingest-derived cell key, and the whole operator is one
+    stateless stream-static LEFT ANTI equi-join per micro-batch with
+    the exact dot-product cut in the join condition — no watermark, no
+    state store, stream columns pass through untouched."""
+    import math
+
+    from ..functions.geometry import RAD_PER_DEG
+    from ..functions.healpix import safe_ring1_rad
+    from ..operators.joins import (JVM_RING_MAX_LEVEL, _ring1_map_df,
+                                   hpx_cell_key, pick_match_level)
+
+    lvl = min(pick_match_level(radius_deg), cell_level, JVM_RING_MAX_LEVEL)
+    rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
+    if rings > 1:
+        lvl = 0
+        rings = max(1, math.ceil(radius_deg * RAD_PER_DEG
+                                 / safe_ring1_rad(0)))
+    ring_map = _ring1_map_df(catalog.sparkSession, lvl, rings)
+    cat = (catalog
+           .withColumn("_pix", hpx_cell_key(cell_col, cell_level, lvl))
+           .join(F.broadcast(ring_map), "_pix", "inner")
+           .select(F.col(ra_col).alias("_cra"),
+                   F.col(dec_col).alias("_cdec"),
+                   F.explode("_ring").alias("_mc")))
+    s = stream.withColumn("_smc", hpx_cell_key(cell_col, cell_level, lvl))
+    cosr = math.cos(radius_deg * RAD_PER_DEG)
+    rad = F.radians
+    dot = (F.cos(rad(s[dec_col])) * F.cos(rad(cat["_cdec"]))
+           * F.cos(rad(s[ra_col]) - rad(cat["_cra"]))
+           + F.sin(rad(s[dec_col])) * F.sin(rad(cat["_cdec"])))
+    cond = (s["_smc"] == cat["_mc"]) & (dot >= F.lit(cosr))
+    return s.join(cat, cond, "left_anti").drop("_smc")
+
+
 def stream_cutout(stream_images: DataFrame, targets: DataFrame,
                   scale_deg_px: float, size_px: int, max_dim_px: int,
                   cell_col: str = "hpx7", cell_level: int = 7,
