@@ -542,6 +542,53 @@ def _q_source_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_sources(imgs, CUTOUT_SCALE)
 
 
+PHOT_APERTURE = 2     # forced-photometry aperture half-width (5x5 window)
+PHOT_MAX_ID = 3000
+
+
+def _q_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forced aperture photometry: summed 5x5-window channel-0 flux at
+    every catalog position inside every containing image footprint. The
+    payload is imaging.synth_image_photometric — EVERY pixel is an
+    integer formula of (id, x, y, c) — so the oracle replays the full
+    pixel integral (TAN window arithmetic + a lateral range x range sum
+    of the same formula) in SQL: a fully value-oracled pixel-AGGREGATION
+    operator (source_detect oracles pixel POSITIONS; this oracles pixel
+    VALUES)."""
+    from spatialindex_spark.operators.detect import forced_photometry
+    from spatialindex_spark.sources import imaging
+
+    meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= PHOT_MAX_ID)
+
+    def gen(batches):
+        for b in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "ra": [], "dec": [], "hpx7": []}
+            for r in b.itertuples(index=False):
+                fmt = ("raw", "z")[int(r.image_id) % 2]   # lossless only
+                img = imaging.synth_image_photometric(
+                    int(r.image_id), int(r.w), int(r.h))
+                out["image_id"].append(int(r.image_id))
+                out["bytes"].append(imaging.encode(img, fmt))
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(fmt)
+                out["ra"].append(float(r.ra))
+                out["dec"].append(float(r.dec))
+                out["hpx7"].append(int(r.hpx7))
+            yield pd.DataFrame(out)
+
+    imgs = meta.mapInPandas(
+        gen, "image_id long, bytes binary, w int, h int, fmt string, "
+             "ra double, dec double, hpx7 long")
+    targets = (_customer_sky(spark, sf_dir)
+               .filter(F.col("c_custkey") <= 1500)
+               .select(F.col("c_custkey").alias("target_id"), "ra", "dec"))
+    ph = forced_photometry(targets, imgs, CUTOUT_SCALE, PHOT_APERTURE,
+                           max_dim_px=64, cell_col="hpx7", cell_level=7)
+    return ph.select("target_id", "image_id", "npix", "flux")
+
+
 DETECT_XMATCH_RADIUS = 1.5
 
 
@@ -1567,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transients": _q_transients,
         "tracklets": _q_tracklets,
         "lightcurve": _q_lightcurve,
+        "photometry": _q_photometry,
         "knn_join": _q_knn_join,
         "knn_join_auto": _q_knn_join_auto,
         "h3_kring": _q_h3_kring,
@@ -2129,6 +2177,54 @@ SELECT target_id, image_id, ROUND(px, 6) AS px, ROUND(py, 6) AS py,
             = {CUTOUT_SIZE}) AS complete
 FROM win"""
 
+    psize = 2 * PHOT_APERTURE + 1
+    photometry_sql = f"""
+WITH imgs AS (
+  SELECT o_orderkey AS image_id,
+         (o_orderkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders WHERE o_orderkey <= {PHOT_MAX_ID}),
+tgts AS (
+  SELECT c_custkey AS target_id,
+         (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer WHERE c_custkey <= 1500),
+pix AS (
+  SELECT t.target_id, i.image_id, i.w, i.h,
+    sin(radians(i.dec)) * sin(radians(t.dec))
+      + cos(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)) AS den,
+    i.w / 2.0 - ((cos(radians(t.dec)) * sin(radians(t.ra) - radians(i.ra))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS px,
+    i.h / 2.0 + (((cos(radians(i.dec)) * sin(radians(t.dec))
+      - sin(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS py
+  FROM tgts t CROSS JOIN imgs i),
+winr AS (
+  SELECT target_id, image_id, w, h,
+         CAST(FLOOR(px) AS INT) - {PHOT_APERTURE} AS x0r,
+         CAST(FLOOR(py) AS INT) - {PHOT_APERTURE} AS y0r
+  FROM pix WHERE den > 0 AND px >= 0 AND px < w AND py >= 0 AND py < h),
+win AS (
+  SELECT target_id, image_id,
+         GREATEST(0, x0r) AS x0, LEAST(w, x0r + {psize}) AS x1,
+         GREATEST(0, y0r) AS y0, LEAST(h, y0r + {psize}) AS y1
+  FROM winr)
+SELECT target_id, image_id,
+       ((x1 - x0) * (y1 - y0))::BIGINT AS npix,
+       SUM((image_id * 31 + xs * 7 + ys * 13) % 251)::BIGINT AS flux
+FROM win, unnest(range(win.x0, win.x1)) AS t1(xs),
+     unnest(range(win.y0, win.y1)) AS t2(ys)
+GROUP BY target_id, image_id, npix"""
+
     detect_ctes = f"""imgs AS (
   SELECT o_orderkey AS image_id,
          (o_orderkey * 0.618034) % 360 AS ra,
@@ -2186,6 +2282,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
 
     return {
         "cutout": cutout_sql,
+        "photometry": photometry_sql,
         "source_detect": source_detect_sql,
         "detect_xmatch": detect_xmatch_sql,
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",

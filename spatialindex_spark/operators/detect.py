@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["detect_sources"]
+__all__ = ["detect_sources", "forced_photometry"]
 
 
 def detect_sources(images: DataFrame, scale_deg_px: float,
@@ -97,3 +97,79 @@ def detect_sources(images: DataFrame, scale_deg_px: float,
         "image_id", "src_x", "src_y",
         F.round(pxc, 6).alias("px"), F.round(pyc, 6).alias("py"),
         F.round(ra, 6).alias("src_ra"), F.round(dec, 6).alias("src_dec"))
+
+
+def forced_photometry(targets: DataFrame, images: DataFrame,
+                      scale_deg_px: float, aperture_px: int,
+                      channel: int = 0,
+                      target_id: str = "target_id",
+                      image_id: str = "image_id",
+                      bytes_col: str = "bytes",
+                      max_images: int = 1_000_000,
+                      **window_kwargs) -> DataFrame:
+    """Forced aperture photometry: the summed pixel flux inside a
+    (2*aperture_px+1)-square window centered on every FIXED catalog
+    position, from every image whose footprint contains it — the
+    time-domain measurement that turns a survey's epoch images into
+    per-object lightcurves at positions detection would miss (faint or
+    blended sources).
+
+    Scale shape (100 TB): the (target, image) pairing is
+    :func:`~spatialindex_spark.operators.cutouts.cutout_windows` — the
+    image side is metadata-only (bytes never enter the window plan) and
+    rides crossmatch's broadcast ring map when an ingest-time cell
+    column is supplied. Pixels are read back ONLY for matched images
+    (distinct-id IN-set pushed into the parquet scan, same pattern as
+    cutout_pixels) and each flux is produced inside one Arrow batch —
+    the shuffle carries window coordinates and 8-byte sums, never
+    pixels.
+
+    Output: target_id, image_id, x0/x1/y0/y1, complete, npix,
+    flux (sum over ``channel``, exact int64).
+    """
+    from .cutouts import cutout_windows
+    from ..sources import imaging
+
+    win = cutout_windows(targets, images, scale_deg_px,
+                         2 * aperture_px + 1, target_id=target_id,
+                         image_id=image_id, **window_kwargs)
+    wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
+                      "complete")
+    ids = [r[0] for r in
+           wsel.select(image_id).distinct().limit(max_images + 1)
+           .collect()]
+    if len(ids) > max_images:
+        raise ValueError(
+            f"forced_photometry matched > {max_images} distinct images; "
+            "raise max_images or partition the target list")
+    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
+               .filter(F.col(image_id).isin(ids))
+               .join(F.broadcast(wsel), image_id))
+
+    id_dtype = dict(matched.dtypes)[image_id]
+    tid_dtype = dict(matched.dtypes)[target_id]
+    schema = (f"{target_id} {tid_dtype}, {image_id} {id_dtype}, "
+              "x0 int, x1 int, y0 int, y1 int, complete boolean, "
+              "npix long, flux long")
+
+    def run(batches):
+        for b in batches:
+            out = {k: [] for k in (target_id, image_id, "x0", "x1",
+                                   "y0", "y1", "complete", "npix",
+                                   "flux")}
+            for r in b.itertuples(index=False):
+                d = r._asdict()
+                img = imaging.decode(d[bytes_col], int(d["w"]),
+                                     int(d["h"]), str(d["fmt"]))
+                cut = img[int(d["y0"]):int(d["y1"]),
+                          int(d["x0"]):int(d["x1"]), channel]
+                out[target_id].append(d[target_id])
+                out[image_id].append(d[image_id])
+                for k in ("x0", "x1", "y0", "y1"):
+                    out[k].append(int(d[k]))
+                out["complete"].append(bool(d["complete"]))
+                out["npix"].append(int(cut.size))
+                out["flux"].append(int(cut.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return matched.mapInPandas(run, schema)

@@ -253,3 +253,21 @@ def synth_image_sources(i: int, w: int, h: int, n_src: int = 3,
         py = (i * 6133 + s * 3571 + 11) % h
         img[py, px, :] = amplitude
     return img
+
+
+def synth_image_photometric(i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic synthetic image whose EVERY pixel is an integer
+    formula of (image id, x, y, channel):
+
+        value(x, y, c) = (i*31 + x*7 + y*13 + c*29) % 251
+
+    Unlike synth_image (RNG-based, only its planted spikes are
+    replayable), the full frame is SQL-expressible, so integrals over
+    pixel windows — aperture photometry — can be value-oracled exactly
+    in DuckDB (sum the same formula over unnest(range(x0,x1)) x
+    unnest(range(y0,y1))). Encode with a lossless codec (raw/z) to keep
+    the oracle bit-exact."""
+    xx = np.arange(w, dtype=np.int64) * 7
+    yy = np.arange(h, dtype=np.int64) * 13
+    base = np.int64(i) * 31 + yy[:, None, None] + xx[None, :, None]
+    return ((base + np.arange(3, dtype=np.int64) * 29) % 251).astype(np.uint8)

@@ -96,3 +96,67 @@ def test_stream_detect_matches_batch(spark, tmp_path):
            spark.sql("SELECT * FROM det_stream").collect()}
     want = {tuple(r) for r in detect_sources(df, SCALE).collect()}
     assert got == want and len(got) == 90
+
+
+def test_forced_photometry_matches_numpy(spark):
+    """forced_photometry == brute-force numpy aperture sums over the
+    photometric payload (every pixel an integer formula), including
+    clipped edge windows; bytes stay out of the window plan."""
+    from spatialindex_spark.operators.detect import forced_photometry
+
+    rng = np.random.default_rng(17)
+    n_img, ap = 30, 2
+    meta = pd.DataFrame({
+        "image_id": np.arange(n_img, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n_img),
+        "dec": np.degrees(np.arcsin(rng.uniform(-0.95, 0.95, n_img))),
+        "w": rng.choice([16, 32], n_img).astype(np.int32),
+        "h": rng.choice([16, 32], n_img).astype(np.int32),
+    })
+    rows = []
+    for r in meta.itertuples(index=False):
+        fmt = ("raw", "z")[int(r.image_id) % 2]
+        img = imaging.synth_image_photometric(int(r.image_id), int(r.w),
+                                              int(r.h))
+        rows.append((int(r.image_id), float(r.ra), float(r.dec),
+                     int(r.w), int(r.h), fmt, imaging.encode(img, fmt)))
+    images = spark.createDataFrame(
+        rows, "image_id long, ra double, dec double, w int, h int, "
+              "fmt string, bytes binary")
+    # targets: one dead-center (complete window), one near the corner
+    # (clipped), per image, plus far-away misses
+    tg = []
+    for r in meta.itertuples(index=False):
+        tg.append((int(r.image_id) * 10, float(r.ra), float(r.dec)))
+        tg.append((int(r.image_id) * 10 + 1,
+                   float(r.ra + (r.w / 2 - 0.6) * SCALE),
+                   float(min(89.0, r.dec + (r.h / 2 - 0.6) * SCALE))))
+        tg.append((int(r.image_id) * 10 + 2,
+                   float((r.ra + 90) % 360), float(-r.dec)))
+    targets = spark.createDataFrame(
+        tg, "target_id long, ra double, dec double")
+    got = {(r.target_id, r.image_id): (r.npix, r.flux)
+           for r in forced_photometry(targets, images, SCALE, ap,
+                                      max_dim_px=32).collect()}
+
+    # numpy twin
+    want = {}
+    for t_id, tra, tdec in tg:
+        for r in meta.itertuples(index=False):
+            px, py, den = tan_pix_np(
+                np.array([tra]), np.array([tdec]), float(r.ra),
+                float(r.dec), int(r.w), int(r.h), SCALE)
+            if den[0] <= 0 or not (0 <= px[0] < r.w and 0 <= py[0] < r.h):
+                continue
+            x0r = int(np.floor(px[0])) - ap
+            y0r = int(np.floor(py[0])) - ap
+            x0, x1 = max(0, x0r), min(int(r.w), x0r + 2 * ap + 1)
+            y0, y1 = max(0, y0r), min(int(r.h), y0r + 2 * ap + 1)
+            img = imaging.synth_image_photometric(int(r.image_id),
+                                                  int(r.w), int(r.h))
+            cut = img[y0:y1, x0:x1, 0].astype(np.int64)
+            want[(t_id, int(r.image_id))] = (cut.size, int(cut.sum()))
+    assert got == want
+    assert len(got) >= 2 * n_img  # center + corner targets all matched
+    # clipped windows present (corner target) and they disagree with 25
+    assert any(npix < (2 * ap + 1) ** 2 for npix, _ in got.values())
