@@ -318,6 +318,27 @@ def main():
     t_cut, _ = timed_steady(run_cutout, images)
     results["cutout"] = round(t_cut, 3)
 
+    # forced photometry: 512 fixed positions -> aperture flux from every
+    # containing image; pixels decoded only for matched images (IN-set
+    # scan pushdown), window pairing identical to the cutout service
+    from spatialindex_spark.operators.detect import forced_photometry
+
+    def run_phot(img):
+        n = img.count()
+        tg = (img.filter(F.abs(F.xxhash64("image_id")) % (n // 512 + 1)
+                         == 0)
+              .select(F.xxhash64("image_id").alias("target_id"),
+                      ((F.col("ra") + 0.003) % 360).alias("ra"),
+                      F.greatest(F.lit(-89.9), F.least(
+                          F.lit(89.9), F.col("dec") + 0.003)).alias("dec"))
+              .limit(512).localCheckpoint(eager=True))
+        return forced_photometry(
+            tg, img, 0.01, 2, max_dim_px=64, cell_col="hpx7",
+            cell_level=7).count()
+
+    t_ph, _ = timed_steady(run_phot, images)
+    results["photometry"] = round(t_ph, 3)
+
     # dedup + ANN over driver tables
     from spatialindex_spark.operators.dedup import minhash_lsh_dedup
 
@@ -356,6 +377,7 @@ def main():
         t_k1, _ = timed_steady(run_knn, img1)
         t_kj1, _ = timed_steady(run_knn_join, img1)
         t_cut1, _ = timed_steady(run_cutout, img1)
+        t_ph1, _ = timed_steady(run_phot, img1)
         sf1 = {"n_images": n1, "build_sec": round(t_b1, 3),
                "spatial_join_tiles": round(t_h1, 3),
                "cone_search": round(t_c1, 3),
@@ -363,6 +385,7 @@ def main():
                "knn": round(t_k1, 3),
                "knn_join": round(t_kj1, 3),
                "cutout": round(t_cut1, 3),
+               "photometry": round(t_ph1, 3),
                "headline_output_rows": rows1,
                "throughput_rows_per_sec": round(n1 / t_h1, 1)}
 
@@ -551,7 +574,8 @@ def main():
     # efficiencies + host state. MUST be the final stdout line.
     sf1_c = {k: sf1[k] for k in ("n_images", "spatial_join_tiles",
                                  "cone_search", "crossmatch", "knn",
-                                 "knn_join", "throughput_rows_per_sec")
+                                 "knn_join", "cutout", "photometry",
+                                 "throughput_rows_per_sec")
              if k in sf1}
     scal_c = {}
     if scaling:

@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 N_FIELD = int(os.environ.get("KNN_PROBE_FIELD", "500000"))
 N_CLUMP = int(os.environ.get("KNN_PROBE_CLUMP", "10000"))
-CLUMP_R = 0.2        # deg half-width of the clump box
+# 0.05-deg half-width: the whole clump fits in ~one level-7 cell, so a
+# fixed ladder's candidate join enumerates ~clump^2 pairs inside a
+# single task — the genuinely-hot regime (a 0.2-deg box spreads over
+# ~3 cells at level 7 and never leaves the window-sort-bound regime,
+# where the fixed ladder is competitive)
+CLUMP_R = 0.05       # deg half-width of the clump box
 K = 5
 FIXED_LEVELS = (7, 5, 3, 0)   # what the sparse field alone would want
 
@@ -80,10 +85,16 @@ def main():
     results = [
         run("auto_levels", level=8, auto_levels=True),
         run("fixed_ladder", level=FIXED_LEVELS[0], levels=FIXED_LEVELS),
+        # the opt-in per-cell partial top-k: caps the hot cell's
+        # contribution to the global rank at k rows per (lid, cell) —
+        # the mitigation available when a fixed ladder must face a
+        # clump (auto_levels makes it unnecessary by probing finer)
+        run("fixed_ladder_partial_topk", level=FIXED_LEVELS[0],
+            levels=FIXED_LEVELS, partial_topk=True),
     ]
-    assert results[0]["rows"] == results[1]["rows"] == K * (N_FIELD + N_CLUMP)
-    assert results[0]["checksum"] == results[1]["checksum"], \
-        "auto and fixed results differ"
+    assert all(r["rows"] == K * (N_FIELD + N_CLUMP) for r in results)
+    assert len({r["checksum"] for r in results}) == 1, \
+        "configs disagree on the result"
     out = {
         "n_field": N_FIELD, "n_clump": N_CLUMP, "clump_halfwidth_deg": CLUMP_R,
         "k": K, "fixed_levels": list(FIXED_LEVELS),

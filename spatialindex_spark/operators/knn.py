@@ -271,6 +271,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
              max_fine_level: int = 16,
              prune_max_active: int = 200_000,
              exclude_self: bool = False,
+             partial_topk: bool = False,
              on_starved: str = "raise") -> DataFrame:
     """k nearest ``right`` rows for EVERY ``left`` row — both sides big
     (the self-kNN / k-nearest-source-per-object statistic; A6+J4 at table
@@ -605,34 +606,46 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         cand = lk.join(rk, "_mc")
         if exclude_self:
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
-        # per-cell partial top-k BEFORE the global rank: the candidate
-        # join's output is already hash-partitioned on _mc, which
-        # satisfies the (_mc, _lid) clustering, so this groupBy adds ZERO
-        # Exchange (plan-asserted in tests) — it reduces the global
-        # rank's input from every-candidate-in-every-ring-cell to <= k
-        # rows per (left row, ring cell). At background density that is
-        # a ~(candidates/9k)x smaller shuffle+sort; in a hot cell it is
-        # the difference between 10k rows and k rows on one key. A
-        # (l, r) pair occurs under exactly one _mc (right side has one
-        # key; left ring cells are deduped), so no pair double-counts,
-        # and struct ordering (_dist, _rid) matches the window tiebreak.
-        per = (cand.withColumn("_dist", dist)
-               .groupBy("_mc", "_lid")
-               .agg(F.slice(F.array_sort(F.collect_list(
-                   F.struct("_dist", "_rid"))), 1, k).alias("_top")))
-        red = (per.select("_lid", F.explode("_top").alias("_s"))
-               .select("_lid", F.col("_s._dist").alias("_dist"),
-                       F.col("_s._rid").alias("_rid")))
-        w_rk = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
-                                                  F.col("_rid").asc())
+        if partial_topk:
+            # OPT-IN per-cell partial top-k before the global rank: the
+            # candidate join's output is already hash-partitioned on
+            # _mc, which satisfies the (_mc, _lid) clustering, so this
+            # groupBy adds ZERO Exchange (plan-asserted in tests) — it
+            # reduces the global rank's input from every-candidate-in-
+            # every-ring-cell to <= k rows per (left row, ring cell).
+            # Measured OFF-by-default because the window's shuffle sort
+            # on narrow rows beats the per-group collect_list +
+            # array_sort at every candidate density the auto_levels
+            # drill-down produces (isolated sf1 A/B: 59-65 s off vs
+            # 76-84 s on), and the true hot-cell quadratic lives in the
+            # JOIN task (cells x cells pair enumeration), which only
+            # probing finer — not post-join reduction — removes. The
+            # knob remains for fixed-ladder skies with residual extreme
+            # keys past the drill-down caps (TOP_REFINE/max_fine_level),
+            # where k rows per (lid, cell) into the rank beats 10k. A
+            # (l, r) pair occurs under exactly one _mc (right side has
+            # one key; left ring cells are deduped), so no pair double-
+            # counts, and struct ordering (_dist, _rid) matches the
+            # window tiebreak.
+            per = (cand.withColumn("_dist", dist)
+                   .groupBy("_mc", "_lid")
+                   .agg(F.slice(F.array_sort(F.collect_list(
+                       F.struct("_dist", "_rid"))), 1, k).alias("_top")))
+            red = (per.select("_lid", F.explode("_top").alias("_s"))
+                   .select("_lid", F.col("_s._dist").alias("_dist"),
+                           F.col("_s._rid").alias("_rid")))
+            w_rk = Window.partitionBy("_lid").orderBy(
+                F.col("_dist").asc(), F.col("_rid").asc())
+            ranked = (red.withColumn("_rk", F.row_number().over(w_rk))
+                      .filter(F.col("_rk") <= k))
+        else:
+            ranked = rank_topk(cand.drop("_mc"))
         # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
         # cols): sat, the output branch, and todo's eager checkpoint all
         # re-derive from it — without this the candidate join + rank
         # (the heavy stage) runs twice per pass (anti-join materialization
         # now, output evaluation later)
-        topk = (red.withColumn("_rk", F.row_number().over(w_rk))
-                .filter(F.col("_rk") <= k)
-                .select("_lid", "_rid", "_rk", "_dist")
+        topk = (ranked.select("_lid", "_rid", "_rk", "_dist")
                 .localCheckpoint(eager=True))
         # satisfied: the k-th candidate exists AND lies within the pass's
         # verified radius — then ring-1 coverage proves the top-k exact

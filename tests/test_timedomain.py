@@ -235,7 +235,8 @@ def test_knn_join_partial_topk_correct(spark):
     out = knn_join(df, df, k=2, level=2, levels=(2, 0),
                    left_id="pid", right_id="pid",
                    cell_col="hpx7", cell_level=7,
-                   exclude_self=True, on_starved="exact")
+                   exclude_self=True, partial_topk=True,
+                   on_starved="exact")
     assert out.count() == 2 * 4000
     sep = _sep_deg(ra[:50, None], dec[:50, None], ra[None, :], dec[None, :])
     np.fill_diagonal(sep[:, :50], np.inf)
