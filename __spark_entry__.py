@@ -1538,6 +1538,80 @@ def _q_h3_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bit(3)).alias("n_nvalid_ok"))
 
 
+MOC_CONE_A = dict(ra=129.4, dec=43.7, radius=10.0)
+MOC_CONE_B = dict(ra=140.0, dec=48.0, radius=9.0)
+MOC_POLY_RA = [126.0, 136.0, 136.0, 126.0]
+MOC_POLY_DEC = [40.0, 40.0, 48.0, 48.0]
+
+
+def _q_moc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed MOC normalization (operators/moc.py): occupied order-6
+    pixels (hash-derived so DuckDB can replay the ALGEBRA exactly — the
+    geometric hpx encode is golden-tested bit-exactly elsewhere) rolled
+    bottom-up into multi-order normal form: no 4 complete siblings
+    survive unmerged. The oracle replays the merge chain as a static CTE
+    ladder, one level per order."""
+    from spatialindex_spark.operators.moc import moc_from_pixels
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pixed = orders.select(
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(49152))
+        .alias("_pix"))
+    return moc_from_pixels(pixed, "_pix", 6)
+
+
+def _q_moc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-algebra filter: orders-sky rows inside
+    (cone A ∪ cone B) \\ polygon P, pruned by the MOC
+    union(covA, covB) − inner(P) at order 7 (difference may remove only
+    certainly-interior cells, so the coarse set stays a superset), then
+    the exact JVM residual. The oracle is pure exact geometry — any
+    union/difference unsoundness surfaces as missing rows."""
+    from spatialindex_spark.functions.cover import (hpx_cone_ranges,
+                                                    polygon_normals)
+    from spatialindex_spark.operators.counts import region_split_ranges
+    from spatialindex_spark.operators.moc import (moc_filter,
+                                                  ranges_difference,
+                                                  ranges_union)
+
+    df = _orders_sky(spark, sf_dir)
+    cov_a = hpx_cone_ranges(7, MOC_CONE_A["ra"], MOC_CONE_A["dec"],
+                            MOC_CONE_A["radius"], exact_ends=True)
+    cov_b = hpx_cone_ranges(7, MOC_CONE_B["ra"], MOC_CONE_B["dec"],
+                            MOC_CONE_B["radius"], exact_ends=True)
+    inner_p, _ = region_split_ranges(
+        dict(kind="poly", ra=MOC_POLY_RA, dec=MOC_POLY_DEC), 7,
+        SpatialIndex.HPX)
+    moc = ranges_difference(ranges_union(cov_a, cov_b), inner_p)
+
+    x, y, z = F.col("x"), F.col("y"), F.col("z")
+
+    def in_cone(c):
+        cx, cy, cz, cosr = _cone_vec(c["ra"], c["dec"], c["radius"])
+        return (x * cx + y * cy + z * cz) >= cosr
+
+    in_poly = None
+    for n in polygon_normals(MOC_POLY_RA, MOC_POLY_DEC):
+        p = (x * float(n.x) + y * float(n.y) + z * float(n.z)) >= 0.0
+        in_poly = p if in_poly is None else (in_poly & p)
+
+    coarse = moc_filter(df, moc, "hpx7")
+    return (coarse.filter((in_cone(MOC_CONE_A) | in_cone(MOC_CONE_B))
+                          & ~in_poly)
+            .select("o_orderkey"))
+
+
+def _q_fof_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friends-of-friends object association (operators/fof.py): customer
+    detections within 2 deg link transitively into objects; per-object
+    member count + spherical-mean centroid. The oracle replays the link
+    graph with an exact all-pairs join and a recursive-CTE closure."""
+    from spatialindex_spark.operators.fof import fof_objects
+
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    return fof_objects(cust, 2.0, "c_custkey")
+
+
 def _q_conn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed connected components over a deterministic pair graph
     (dedup-cluster labeling). Edges link consecutive doc_ids whose token
@@ -1611,6 +1685,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "moc_rollup": _q_moc_rollup,
+        "moc_filter": _q_moc_filter,
+        "fof_objects": _q_fof_objects,
         "transients": _q_transients,
         "tracklets": _q_tracklets,
         "lightcurve": _q_lightcurve,
@@ -2107,10 +2184,70 @@ SELECT c_custkey, count(*)::BIGINT AS n_det,
 FROM q GROUP BY c_custkey"""
 
 
+def _moc_rollup_sql() -> str:
+    """Static CTE ladder replaying the bottom-up sibling merge: m{o} =
+    parents at order o whose 4 children all exist one level down; k{o} =
+    cells kept at order o (parent not complete)."""
+    parts = ["WITH p6 AS (SELECT DISTINCT (o_orderkey * 2654435761) % 49152"
+             " AS pix FROM orders)"]
+    prev = "p6"
+    for o in range(6, 0, -1):
+        m = f"m{o - 1}"
+        parts.append(
+            f"{m} AS (SELECT pix // 4 AS pix FROM {prev} "
+            f"GROUP BY pix // 4 HAVING count(*) = 4)")
+        parts.append(
+            f"k{o} AS (SELECT pix FROM {prev} "
+            f"WHERE pix // 4 NOT IN (SELECT pix FROM {m}))")
+        prev = m
+    selects = [f"SELECT {o} AS moc_order, pix FROM k{o}"
+               for o in range(6, 0, -1)]
+    selects.append("SELECT 0 AS moc_order, pix FROM m0")
+    return ", ".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def _fof_objects_sql(radius_deg: float = 2.0) -> str:
+    """Exact all-pairs link graph + recursive-CTE closure + spherical-mean
+    centroids — the independent replay of fof_objects."""
+    dot = ("cos(radians(a.dec))*cos(radians(b.dec))"
+           "*cos(radians(a.ra)-radians(b.ra))"
+           " + sin(radians(a.dec))*sin(radians(b.dec))")
+    return f"""WITH RECURSIVE csky AS (
+  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer),
+pairs AS (
+  SELECT a.c_custkey AS u, b.c_custkey AS v FROM csky a, csky b
+  WHERE a.c_custkey <> b.c_custkey
+    AND {dot} >= cos(radians({radius_deg!r}))),
+reach(id, lbl) AS (
+  SELECT u, u FROM pairs
+  UNION
+  SELECT p.v, r.lbl FROM reach r JOIN pairs p ON p.u = r.id),
+comp AS (SELECT id, min(lbl) AS obj FROM reach GROUP BY id),
+lab AS (
+  SELECT coalesce(comp.obj, c.c_custkey) AS object_id,
+         cos(radians(c.dec))*cos(radians(c.ra)) AS x,
+         cos(radians(c.dec))*sin(radians(c.ra)) AS y,
+         sin(radians(c.dec)) AS z
+  FROM csky c LEFT JOIN comp ON comp.id = c.c_custkey),
+agg AS (
+  SELECT object_id, count(*)::BIGINT AS n_members,
+         avg(x) AS mx, avg(y) AS my, avg(z) AS mz
+  FROM lab GROUP BY object_id)
+SELECT object_id, n_members,
+       round((degrees(atan2(my, mx)) + 360.0) % 360.0, 6) AS ra_c,
+       round(degrees(atan2(mz, sqrt(mx*mx + my*my))), 6) AS dec_c
+FROM agg"""
+
+
 def oracle_sql() -> dict[str, str]:
     cone1 = _cone_where(CONE)
     cone2 = _cone_where(CONE2)
     poly = _poly_where(POLY_RA, POLY_DEC)
+    moc_cone_a = _cone_where(MOC_CONE_A)
+    moc_cone_b = _cone_where(MOC_CONE_B)
+    moc_poly = _poly_where(MOC_POLY_RA, MOC_POLY_DEC)
 
     knn_q_values = ", ".join(f"({i}, {ra!r}, {dec!r})" for i, ra, dec in KNN_QUERIES)
 
@@ -2326,6 +2463,12 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "moc_rollup": _moc_rollup_sql(),
+        "moc_filter": (
+            f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
+            f"(({moc_cone_a}) OR ({moc_cone_b})) AND NOT ({moc_poly})"
+        ),
+        "fof_objects": _fof_objects_sql(),
         "transients": (
             f"{_CUST_CTE}, sskyx AS (SELECT s_suppkey, "
             "(ra + 2.5) % 360 AS ra, dec FROM ssky) "
