@@ -1538,6 +1538,46 @@ def _q_h3_kring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bit(3)).alias("n_nvalid_ok"))
 
 
+def _q_pm_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-propagated crossmatch (operators/timedomain.py:pm_crossmatch):
+    suppliers carry deterministic key-derived proper motions, advance 10
+    years, then match the customer catalog at the target epoch. The
+    oracle replays the identical linear propagation + dot predicate over
+    all pairs. Movers are kept off the poles (|dec| <= 85) so the linear
+    model's validity precondition holds in both engines."""
+    from spatialindex_spark.operators.timedomain import pm_crossmatch
+
+    supp = (_supplier_sky(spark, sf_dir)
+            .filter(F.abs(F.col("dec")) <= 85.0)
+            .withColumn("pm_ra",
+                        ((F.col("s_suppkey") % 17) - 8) * 0.01)
+            .withColumn("pm_dec",
+                        ((F.col("s_suppkey") % 13) - 6) * 0.01)
+            .select("s_suppkey", "ra", "dec", "pm_ra", "pm_dec"))
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    cm = pm_crossmatch(supp, cust, radius_deg=1.5, dt_years=10.0)
+    return cm.select("s_suppkey_l", "c_custkey_r")
+
+
+def _pm_xmatch_sql() -> str:
+    dot = ("cos(radians(s.dec))*cos(radians(c.dec))"
+           "*cos(radians(s.ra)-radians(c.ra))"
+           " + sin(radians(s.dec))*sin(radians(c.dec))")
+    return (
+        f"{_CUST_CTE}, "
+        "smov AS (SELECT s_suppkey, ra, dec, "
+        "  ((s_suppkey % 17) - 8) * 0.01 AS pm_ra, "
+        "  ((s_suppkey % 13) - 6) * 0.01 AS pm_dec "
+        "  FROM ssky WHERE abs(dec) <= 85.0), "
+        "sprop AS (SELECT s_suppkey, "
+        "  ((ra + pm_ra * 10.0 / cos(radians(dec))) % 360.0 + 360.0) "
+        "    % 360.0 AS ra, "
+        "  dec + pm_dec * 10.0 AS dec FROM smov) "
+        "SELECT s.s_suppkey AS s_suppkey_l, c.c_custkey AS c_custkey_r "
+        f"FROM sprop s, csky c WHERE {dot} >= cos(radians(1.5))"
+    )
+
+
 MOC_CONE_A = dict(ra=129.4, dec=43.7, radius=10.0)
 MOC_CONE_B = dict(ra=140.0, dec=48.0, radius=9.0)
 MOC_POLY_RA = [126.0, 136.0, 136.0, 126.0]
@@ -1685,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "pm_xmatch": _q_pm_xmatch,
         "moc_rollup": _q_moc_rollup,
         "moc_filter": _q_moc_filter,
         "fof_objects": _q_fof_objects,
@@ -1739,6 +1780,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_counts": _q_cell_counts,
         "image_filter": _q_image_filter,
         "train_pipeline": _q_train_pipeline,
+        # ---- driver gate window ends here (first 50) ----
+        # rotated out in r4 (driver-green r3 under identical names):
+        # decontaminate, phash_dedup, minhash_dedup
         "decontaminate": _q_decontaminate,
         "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -1750,7 +1794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_int8": _q_ann_int8,
         "ellipse_htm": _q_ellipse_htm,
         "hull_htm": _q_hull_htm,
-        # ---- driver gate window ends around here (first 50) ----
         # longest-stable rows: identical code + name green in r1-r3
         # (hull_s2 / hull_h3 rotated out after their r3 green row)
         "hull_s2": _q_hull_s2,
@@ -2463,6 +2506,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "pm_xmatch": _pm_xmatch_sql(),
         "moc_rollup": _moc_rollup_sql(),
         "moc_filter": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "

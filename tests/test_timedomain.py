@@ -247,3 +247,43 @@ def test_knn_join_partial_topk_correct(spark):
     assert len(got) == 50
     for i in range(50):
         assert got[i] == want_first[i]
+
+
+def test_pm_crossmatch_matches_brute_force(spark):
+    from spatialindex_spark.operators.timedomain import (pm_crossmatch,
+                                                         propagate_epoch)
+
+    rng = np.random.default_rng(23)
+    n = 250
+    mra, mdec = _sky(rng, n)
+    mdec = np.clip(mdec, -80, 80)
+    pm_ra = rng.uniform(-0.05, 0.05, n)
+    pm_dec = rng.uniform(-0.05, 0.05, n)
+    cra, cdec = _sky(rng, 400)
+    movers = spark.createDataFrame(
+        [(i, float(mra[i]), float(mdec[i]), float(pm_ra[i]), float(pm_dec[i]))
+         for i in range(n)], "mid long, ra double, dec double, "
+        "pm_ra double, pm_dec double")
+    cat = spark.createDataFrame(
+        [(j, float(cra[j]), float(cdec[j])) for j in range(400)],
+        "cid long, ra double, dec double")
+    dt = 10.0
+    got = {(r["mid_l"], r["cid_r"]) for r in
+           pm_crossmatch(movers, cat, 1.5, dt).collect()}
+
+    ra2 = np.mod(mra + pm_ra * dt / np.cos(np.radians(mdec)), 360.0)
+    dec2 = mdec + pm_dec * dt
+    want = set()
+    for i in range(n):
+        sep = _sep_deg(ra2[i], dec2[i], cra, cdec)
+        for j in np.nonzero(sep <= 1.5)[0]:
+            want.add((i, int(j)))
+    assert got == want and want  # non-trivial match set
+
+    # pole guard: a mover whose propagated dec crosses the pole raises
+    bad = spark.createDataFrame([(0, 10.0, 89.5, 0.0, 0.1)],
+                                "mid long, ra double, dec double, "
+                                "pm_ra double, pm_dec double")
+    import pytest as _pt
+    with _pt.raises(Exception, match="pole|assert"):
+        propagate_epoch(bad, 10.0).collect()
