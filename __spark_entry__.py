@@ -1641,6 +1641,39 @@ def _q_moc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey"))
 
 
+def _q_density_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive multi-order density map (operators/moc.py:density_mom):
+    every emitted cell is the highest-order ancestor whose full count
+    fits the budget — dense sky refines, sparse sky stays coarse. Same
+    hash-derived pixels as moc_rollup so DuckDB replays the full-sum
+    ladder + emission rule exactly."""
+    from spatialindex_spark.operators.moc import density_mom
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pixed = orders.select(
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(49152))
+        .alias("_pix"))
+    return density_mom(pixed, "_pix", 6, max_count=50)
+
+
+def _density_mom_sql(t: int = 10) -> str:
+    parts = ["WITH p6 AS (SELECT (o_orderkey * 2654435761) % 49152 AS pix"
+             " FROM orders)",
+             "c6 AS (SELECT pix, count(*)::BIGINT AS n FROM p6 GROUP BY pix)"]
+    for o in range(6, 0, -1):
+        parts.append(
+            f"c{o - 1} AS (SELECT pix // 4 AS pix, sum(n)::BIGINT AS n "
+            f"FROM c{o} GROUP BY pix // 4)")
+    emits = [f"SELECT 6 AS moc_order, pix, n FROM c6 "
+             f"WHERE pix // 4 IN (SELECT pix FROM c5 WHERE n > {t})"]
+    for o in range(5, 0, -1):
+        emits.append(
+            f"SELECT {o} AS moc_order, pix, n FROM c{o} WHERE n <= {t} "
+            f"AND pix // 4 IN (SELECT pix FROM c{o - 1} WHERE n > {t})")
+    emits.append(f"SELECT 0 AS moc_order, pix, n FROM c0 WHERE n <= {t}")
+    return ", ".join(parts) + " " + " UNION ALL ".join(emits)
+
+
 def _q_fof_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friends-of-friends object association (operators/fof.py): customer
     detections within 2 deg link transitively into objects; per-object
@@ -1727,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4
         "pm_xmatch": _q_pm_xmatch,
         "moc_rollup": _q_moc_rollup,
+        "density_mom": _q_density_mom,
         "moc_filter": _q_moc_filter,
         "fof_objects": _q_fof_objects,
         "transients": _q_transients,
@@ -1778,11 +1812,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
         "cell_counts": _q_cell_counts,
-        "image_filter": _q_image_filter,
-        "train_pipeline": _q_train_pipeline,
         # ---- driver gate window ends here (first 50) ----
         # rotated out in r4 (driver-green r3 under identical names):
-        # decontaminate, phash_dedup, minhash_dedup
+        # image_filter, train_pipeline, decontaminate, phash_dedup,
+        # minhash_dedup
+        "image_filter": _q_image_filter,
+        "train_pipeline": _q_train_pipeline,
         "decontaminate": _q_decontaminate,
         "phash_dedup": _q_phash_dedup,
         "minhash_dedup": _q_minhash_dedup,
@@ -2508,6 +2543,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         ),
         "pm_xmatch": _pm_xmatch_sql(),
         "moc_rollup": _moc_rollup_sql(),
+        "density_mom": _density_mom_sql(50),
         "moc_filter": (
             f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE "
             f"(({moc_cone_a}) OR ({moc_cone_b})) AND NOT ({moc_poly})"

@@ -242,3 +242,56 @@ def moc_filter(df: DataFrame, ranges, pix_col: str):
     from ..functions.cover import ranges_predicate
 
     return df.filter(ranges_predicate(F.col(pix_col), _normalize(ranges)))
+
+
+def density_mom(df: DataFrame, pix_col: str, order: int,
+                max_count: int) -> DataFrame:
+    """Adaptive multi-order density map (the HiPS 'MOM' companion of a
+    MOC): partition the sky so every emitted cell is the HIGHEST-order
+    ancestor whose total row count fits ``max_count`` — dense regions
+    refine toward ``order``, empty/sparse sky stays coarse. Finest-order
+    cells that still exceed the budget are emitted there (a cell cannot
+    split further).
+
+    Emission rule (one per ancestor chain, so cells never overlap):
+    a cell at order o with full subtree count n(o) <= max_count is
+    emitted iff its parent's full count exceeds max_count (or o == 0);
+    sums are FULL rollups, so a parent with one hot child can never
+    swallow its cold siblings into an overlapping coarse cell.
+
+    Scale shape: one groupBy bounded at npix(order) output rows (map-side
+    combine collapses each partition to its cell histogram first), then
+    ``order`` driver-loop steps over that tiny frame — same shape as
+    :func:`moc_from_pixels` and the A5 count rollup.
+
+    Returns (moc_order, pix, n).
+    """
+    if order < 0:
+        raise ValueError("order must be >= 0")
+    counts = (df.select(F.col(pix_col).cast("long").alias("pix"))
+                .where(F.col("pix").isNotNull())
+                .groupBy("pix").agg(F.count("*").alias("n"))
+                .localCheckpoint(eager=True))
+    # full-sum ladder: sums[o] = per-cell totals at order o
+    sums = {order: counts}
+    for o in range(order, 0, -1):
+        sums[o - 1] = (sums[o]
+                       .groupBy(F.shiftright("pix", 2).alias("pix"))
+                       .agg(F.sum("n").alias("n"))
+                       .localCheckpoint(eager=True))
+    lit_t = F.lit(int(max_count))
+    out = None
+    for o in range(order + 1):
+        cur = sums[o]
+        if o == 0:
+            emit = cur.where(F.col("n") <= lit_t)
+        else:
+            hot_parents = (sums[o - 1].where(F.col("n") > lit_t)
+                           .select(F.col("pix").alias("_pp")))
+            under = cur.where(F.col("n") <= lit_t) if o < order else cur
+            emit = (under.join(hot_parents,
+                               F.shiftright(under["pix"], 2) == F.col("_pp"),
+                               "left_semi"))
+        lv = emit.select(F.lit(o).alias("moc_order"), "pix", "n")
+        out = lv if out is None else out.unionByName(lv)
+    return out

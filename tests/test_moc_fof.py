@@ -207,3 +207,52 @@ def test_moc_filter_superset_soundness(spark):
     exact = {i for i, ra, dec in rows if inside(ra, dec)}
     assert exact <= coarse  # never drops a true row
     assert exact  # region is non-trivial at this density
+
+
+def test_density_mom_partition_and_numpy_parity(spark):
+    from collections import Counter
+
+    from spatialindex_spark.operators.moc import density_mom
+
+    rng = random.Random(31)
+    order, t = 4, 8
+    npix = 12 << (2 * order)
+    # clumped pixels: a hot patch + uniform background
+    pix = [rng.randrange(64) for _ in range(400)] \
+        + [rng.randrange(npix) for _ in range(300)]
+    df = spark.createDataFrame([(p,) for p in pix], "pix long")
+    got = [(r["moc_order"], r["pix"], r["n"])
+           for r in density_mom(df, "pix", order, t).collect()]
+
+    # numpy replica: full-sum ladder + highest-fitting-ancestor emission
+    cnt = Counter(pix)
+    sums = {order: dict(cnt)}
+    for o in range(order, 0, -1):
+        up = {}
+        for p, n in sums[o].items():
+            up[p >> 2] = up.get(p >> 2, 0) + n
+        sums[o - 1] = up
+    want = []
+    for o in range(order + 1):
+        for p, n in sums[o].items():
+            if o == 0:
+                if n <= t:
+                    want.append((0, p, n))
+            elif sums[o - 1][p >> 2] > t and (n <= t or o == order):
+                want.append((o, p, n))
+    assert sorted(got) == sorted(want)
+
+    # partition properties: total mass preserved, no overlaps
+    assert sum(n for _, _, n in got) == len(pix)
+    flat = []
+    for o, p, _ in got:
+        sh = 2 * (order - o)
+        flat.append((p << sh, ((p + 1) << sh) - 1))
+    flat.sort()
+    for i in range(1, len(flat)):
+        assert flat[i][0] > flat[i - 1][1]
+    # every occupied pixel is covered by exactly one emitted cell
+    covered = set()
+    for lo, hi in flat:
+        covered.update(range(lo, hi + 1))
+    assert set(pix) <= covered
