@@ -1674,6 +1674,143 @@ def _density_mom_sql(t: int = 10) -> str:
     return ", ".join(parts) + " " + " UNION ALL ".join(emits)
 
 
+def _q_zone_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-algorithm crossmatch (operators/zones.py): the Gray/Szalay
+    dec-band strategy for the SAME pair semantics as the cell-keyed
+    crossmatch — the oracle is literally the crossmatch oracle, so the
+    driver gate doubles as a cross-strategy equality witness."""
+    from spatialindex_spark.operators.zones import zone_crossmatch
+
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    supp = _supplier_sky(spark, sf_dir).select("s_suppkey", "ra", "dec")
+    zm = zone_crossmatch(cust, supp, 1.5)
+    return zm.select("c_custkey_l", "s_suppkey_r")
+
+
+_EPOCH_SQL = "epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01')"
+_LS_FREQS = [0.5, 1.0, 1.7, 2.3, 3.0]
+
+
+def _events_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a per-user time series: t in micros since 2024-01-01
+    (timestamp_diff of two session-tz-parsed operands — the tz shift
+    cancels, matching DuckDB's naive epoch_us difference)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    t_us = F.timestamp_diff(
+        "MICROSECOND", F.lit("2024-01-01").cast("timestamp"), F.col("ts"))
+    return ev.select("user_id", t_us.alias("t_us"), "value")
+
+
+def _q_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lomb-Scargle periodogram (operators/timedomain.py:lomb_scargle)
+    over the events table as per-user lightcurves: exact int64-quantized
+    trig sums -> the tau-free GLS power, bit-replayed by DuckDB."""
+    from spatialindex_spark.operators.timedomain import lomb_scargle
+
+    ser = _events_series(spark, sf_dir).select(
+        "user_id", (F.col("t_us") / F.lit(86400000000.0)).alias("t"),
+        "value")
+    ls = lomb_scargle(ser, "user_id", "t", "value", _LS_FREQS)
+    return ls.select(F.col("key").alias("user_id"), "freq", "n_obs",
+                     "power")
+
+
+def _periodogram_sql() -> str:
+    import math as _m
+
+    vals = ", ".join(
+        f"({f!r}::DOUBLE, {_m.tau * f!r}::DOUBLE)" for f in _LS_FREQS)
+    # fixed-shape centered moments: textual mirror of lomb_scargle()
+    yc_ = "(yc - (sy * c1) / n)"
+    ys_ = "(ys - (sy * s1) / n)"
+    cc_ = "(cc - (c1 * c1) / n)"
+    ss_ = "(ss - (s1 * s1) / n)"
+    cs_ = "(cs - (c1 * s1) / n)"
+    yy_ = "(syy - (sy * sy) / n)"
+    d_ = f"({cc_} * {ss_} - {cs_} * {cs_})"
+    num = (f"({ss_} * ({yc_} * {yc_}) - (2.0 * {cs_}) * ({yc_} * {ys_})"
+           f" + {cc_} * ({ys_} * {ys_}))")
+    return (
+        "WITH base AS (SELECT user_id, value, "
+        f"({_EPOCH_SQL}) / 86400000000.0 AS t FROM events), "
+        f"f(freq, w) AS (VALUES {vals}), "
+        "r0 AS (SELECT user_id, freq, "
+        "CAST(round(value * 100) AS BIGINT) AS yq, "
+        "CAST(round(cos(w * t) * 1000000.0) AS BIGINT) AS c, "
+        "CAST(round(sin(w * t) * 1000000.0) AS BIGINT) AS s "
+        "FROM base, f), "
+        "g AS (SELECT user_id, freq, count(*)::BIGINT AS n, "
+        "sum(yq) AS sy, sum(yq * yq) AS syy, sum(c) AS c1, sum(s) AS s1, "
+        "sum(yq * c) AS yc, sum(yq * s) AS ys, sum(c * c) AS cc, "
+        "sum(s * s) AS ss, sum(c * s) AS cs FROM r0 GROUP BY user_id, freq) "
+        "SELECT user_id, freq, n AS n_obs, "
+        f"round(CASE WHEN {d_} <> 0 AND {yy_} <> 0 "
+        f"THEN {num} / ({d_} * {yy_}) END, 9) AS power FROM g"
+    )
+
+
+def _q_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user variability summary (timedomain.py:variability_stats):
+    von Neumann eta + exact-quantized mean/variance/amplitude."""
+    from spatialindex_spark.operators.timedomain import variability_stats
+
+    ser = _events_series(spark, sf_dir)
+    vs = variability_stats(ser, "user_id", "t_us", "value")
+    return vs.select(F.col("key").alias("user_id"), "n_obs", "mean_y",
+                     "var_y", "amp_y", "eta")
+
+
+def _variability_sql() -> str:
+    ssq = "(syy - (sy * sy) / n)"
+    return (
+        "WITH base AS (SELECT user_id, "
+        f"{_EPOCH_SQL} AS t, "
+        "CAST(round(value * 100) AS BIGINT) AS yq FROM events), "
+        "lagd AS (SELECT user_id, yq, yq - lag(yq) OVER "
+        "(PARTITION BY user_id ORDER BY t, yq) AS d FROM base), "
+        "g AS (SELECT user_id, count(*)::BIGINT AS n, sum(yq) AS sy, "
+        "sum(yq * yq) AS syy, min(yq) AS mn, max(yq) AS mx, "
+        "sum(d * d) AS sd2 FROM lagd GROUP BY user_id) "
+        "SELECT user_id, n AS n_obs, "
+        "round((sy / n) / 100.0, 9) AS mean_y, "
+        f"round(CASE WHEN n > 1 THEN ({ssq} / (n - 1)) / 10000.0 END, 9) "
+        "AS var_y, "
+        "(mx - mn) / 100.0 AS amp_y, "
+        f"round(CASE WHEN n > 1 AND {ssq} <> 0 THEN sd2 / {ssq} END, 9) "
+        "AS eta FROM g"
+    )
+
+
+def _q_galactic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equatorial -> galactic frame transform (geometry.py:
+    equ_to_gal_cols): map-only JVM rotation, SQL-replayed with the same
+    literal matrix."""
+    from spatialindex_spark.functions.geometry import equ_to_gal_cols
+
+    cust = _customer_sky(spark, sf_dir)
+    glon, glat = equ_to_gal_cols(F.col("ra"), F.col("dec"))
+    return cust.select("c_custkey", F.round(glon, 6).alias("glon"),
+                       F.round(glat, 6).alias("glat"))
+
+
+def _galactic_sql() -> str:
+    from spatialindex_spark.functions.geometry import GAL_ROT
+
+    (r0, r1, r2) = GAL_ROT
+    x = "(cos(radians(dec)) * cos(radians(ra)))"
+    y = "(cos(radians(dec)) * sin(radians(ra)))"
+    z = "(sin(radians(dec)))"
+    xg = f"({r0[0]!r} * {x} + {r0[1]!r} * {y} + {r0[2]!r} * {z})"
+    yg = f"({r1[0]!r} * {x} + {r1[1]!r} * {y} + {r1[2]!r} * {z})"
+    zg = f"({r2[0]!r} * {x} + {r2[1]!r} * {y} + {r2[2]!r} * {z})"
+    glon = f"fmod(fmod(degrees(atan2({yg}, {xg})), 360.0) + 360.0, 360.0)"
+    glat = f"degrees(asin(least(1.0, greatest(-1.0, {zg}))))"
+    return (
+        f"{_CUST_CTE} SELECT c_custkey, round({glon}, 6) AS glon, "
+        f"round({glat}, 6) AS glat FROM csky"
+    )
+
+
 def _q_fof_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friends-of-friends object association (operators/fof.py): customer
     detections within 2 deg link transitively into objects; per-object
@@ -1759,6 +1896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in r4
         "pm_xmatch": _q_pm_xmatch,
+        "zone_xmatch": _q_zone_xmatch,
+        "periodogram": _q_periodogram,
+        "variability": _q_variability,
+        "galactic": _q_galactic,
         "moc_rollup": _q_moc_rollup,
         "density_mom": _q_density_mom,
         "moc_filter": _q_moc_filter,
@@ -1808,14 +1949,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crossmatch": _q_crossmatch,
         "best_match": _q_best_match,
         "knn": _q_knn,
+        # ---- driver gate window ends here (first 50) ----
+        # rotated out in r4 (driver-green r3 under identical names):
+        # knn_starved, tile_assign, zonal_stats, cell_counts,
+        # image_filter, train_pipeline, decontaminate, phash_dedup,
+        # minhash_dedup
         "knn_starved": _q_knn_starved,
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
         "cell_counts": _q_cell_counts,
-        # ---- driver gate window ends here (first 50) ----
-        # rotated out in r4 (driver-green r3 under identical names):
-        # image_filter, train_pipeline, decontaminate, phash_dedup,
-        # minhash_dedup
         "image_filter": _q_image_filter,
         "train_pipeline": _q_train_pipeline,
         "decontaminate": _q_decontaminate,
@@ -2542,6 +2684,18 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             ") WHERE rk = 1"
         ),
         "pm_xmatch": _pm_xmatch_sql(),
+        "zone_xmatch": (
+            # same pair semantics as crossmatch — the oracle is the
+            # crossmatch oracle, renamed output only
+            f"{_CUST_CTE} "
+            "SELECT c.c_custkey AS c_custkey_l, s.s_suppkey AS s_suppkey_r "
+            "FROM csky c, ssky s WHERE "
+            "cos(radians(c.dec))*cos(radians(s.dec))*cos(radians(c.ra)-radians(s.ra)) "
+            "+ sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
+        ),
+        "periodogram": _periodogram_sql(),
+        "variability": _variability_sql(),
+        "galactic": _galactic_sql(),
         "moc_rollup": _moc_rollup_sql(),
         "density_mom": _density_mom_sql(50),
         "moc_filter": (

@@ -240,3 +240,39 @@ class SphericalPolygon:
             if v_dot(v, e) < 0.0:
                 return False
         return True
+
+
+# ICRS(J2000) equatorial -> galactic rotation (rows of the standard
+# Hipparcos/ESA SP-1200 matrix; same constants as astropy's
+# ICRS->Galactic frame). Exact decimal literals: both engines parse
+# them to the identical double.
+GAL_ROT = (
+    (-0.0548755604162154, -0.8734370902348850, -0.4838350155487132),
+    (+0.4941094278755837, -0.4448296299600112, +0.7469822444972189),
+    (-0.8676661490190047, -0.1980763734312015, +0.4559837761750669),
+)
+
+
+def equ_to_gal_cols(ra_col, dec_col):
+    """Column-level ICRS -> galactic transform: returns (glon, glat)
+    Columns in degrees, glon wrapped to [0, 360). Pure JVM trig +
+    the GAL_ROT literal matrix — map-only, codegen'd, no shuffle,
+    replayable in ANSI SQL with the same literals (the oracle
+    requirement; the only cross-engine risk is <=1-ulp libm rounding,
+    absorbed by the caller's output rounding).
+    """
+    from pyspark.sql import functions as F
+
+    rar, decr = F.radians(ra_col), F.radians(dec_col)
+    x = F.cos(decr) * F.cos(rar)
+    y = F.cos(decr) * F.sin(rar)
+    z = F.sin(decr)
+    (r0, r1, r2) = GAL_ROT
+    xg = F.lit(r0[0]) * x + F.lit(r0[1]) * y + F.lit(r0[2]) * z
+    yg = F.lit(r1[0]) * x + F.lit(r1[1]) * y + F.lit(r1[2]) * z
+    zg = F.lit(r2[0]) * x + F.lit(r2[1]) * y + F.lit(r2[2]) * z
+    glon = F.degrees(F.atan2(yg, xg))
+    glon = ((glon % 360.0) + 360.0) % 360.0
+    glat = F.degrees(F.asin(F.least(F.lit(1.0),
+                                    F.greatest(F.lit(-1.0), zg))))
+    return glon, glat

@@ -177,3 +177,124 @@ def pm_crossmatch(movers: DataFrame, catalog: DataFrame, radius_deg: float,
     left = prop.select(*keep, F.col("_pra").alias(ra_col),
                        F.col("_pdec").alias(dec_col))
     return crossmatch(left, catalog, radius_deg, **kwargs)
+
+
+def lomb_scargle(df: DataFrame, key_col: str, t_col: str, y_col: str,
+                 freqs, y_quant: int = 100,
+                 trig_quant: int = 1_000_000) -> DataFrame:
+    """Lomb–Scargle periodogram per object: normalized generalized-LS
+    power at each trial frequency (cycles per unit of ``t_col``) — the
+    standard period-finding statistic for unevenly sampled lightcurves
+    (Lomb 1976; Scargle 1982; tau-free floating-mean form per
+    Zechmeister & Kuerster 2009 eq. 4-5).
+
+    Determinism contract (the oracle requirement): per-row trig terms are
+    quantized to ``trig_quant`` units and y to ``y_quant`` units BEFORE
+    summing, so every aggregate is an exact int64 sum independent of
+    Spark's partial-aggregation order; the power is then a fixed-shape
+    IEEE expression over those integers, bit-reproducible in ANSI SQL.
+    Exactness bound: per-group ``n * trig_quant**2`` must stay below
+    2**53 (n <= ~9e6 rows/object at the default quant) — raise/lower
+    ``trig_quant`` for extreme cadences.
+
+    Scale shape: the row count multiplies by ``len(freqs)`` (a broadcast
+    literal array, exploded JVM-side), then ONE groupBy on (key, freq)
+    with map-side combine collapses everything to nkeys*nfreqs rows; no
+    other shuffle, no Python evaluation anywhere.
+
+    Returns (key, freq, n_obs, power) with power in [0, 1], rounded to
+    9 dp (constant signals — zero variance — yield NULL power).
+    """
+    import math as _m
+
+    fl = [float(f) for f in freqs]
+    if not fl:
+        raise ValueError("freqs must be non-empty")
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(f).alias("freq"),
+                 F.lit(_m.tau * f).alias("_w")) for f in fl])).alias("_g")
+    tq = F.lit(float(trig_quant))
+    wt = F.col("_g._w") * F.col(t_col)
+    rows = (df.select(F.col(key_col).alias("key"),
+                      F.col(t_col), F.col(y_col), grid)
+            .select("key", F.col("_g.freq").alias("freq"),
+                    F.round(F.col(y_col) * y_quant).cast("long").alias("yq"),
+                    F.round(F.cos(wt) * tq).cast("long").alias("c"),
+                    F.round(F.sin(wt) * tq).cast("long").alias("s")))
+    g = rows.groupBy("key", "freq").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+        F.sum("c").alias("c1"),
+        F.sum("s").alias("s1"),
+        F.sum(F.col("yq") * F.col("c")).alias("yc"),
+        F.sum(F.col("yq") * F.col("s")).alias("ys"),
+        F.sum(F.col("c") * F.col("c")).alias("cc"),
+        F.sum(F.col("s") * F.col("s")).alias("ss"),
+        F.sum(F.col("c") * F.col("s")).alias("cs"))
+    # centered second moments — every term below is (exact int) op
+    # (exact int) / n with a fixed tree, mirrored textually in the oracle
+    n = F.col("n")
+    YC = F.col("yc") - (F.col("sy") * F.col("c1")) / n
+    YS = F.col("ys") - (F.col("sy") * F.col("s1")) / n
+    CC = F.col("cc") - (F.col("c1") * F.col("c1")) / n
+    SS = F.col("ss") - (F.col("s1") * F.col("s1")) / n
+    CS = F.col("cs") - (F.col("c1") * F.col("s1")) / n
+    YY = F.col("syy") - (F.col("sy") * F.col("sy")) / n
+    D = CC * SS - CS * CS
+    num = SS * (YC * YC) - (F.lit(2.0) * CS) * (YC * YS) + CC * (YS * YS)
+    power = F.when((D != 0) & (YY != 0), num / (D * YY))
+    return g.select("key", "freq", n.alias("n_obs"),
+                    F.round(power, 9).alias("power"))
+
+
+def best_period(ls: DataFrame) -> DataFrame:
+    """Top frequency per object from a :func:`lomb_scargle` frame:
+    one window rank per key (power desc, freq asc tiebreak) — the
+    argmax the period-search pipeline actually wants. Returns
+    (key, best_freq, power)."""
+    w = Window.partitionBy("key").orderBy(F.col("power").desc_nulls_last(),
+                                          F.col("freq").asc())
+    return (ls.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("key", F.col("freq").alias("best_freq"), "power"))
+
+
+def variability_stats(df: DataFrame, key_col: str, t_col: str, y_col: str,
+                      y_quant: int = 100) -> DataFrame:
+    """Per-object variability summary over a photometric time series:
+
+    - ``n_obs``, ``mean_y``, ``var_y`` (sample variance), ``amp_y``
+    - ``eta`` — the von Neumann ratio (mean squared successive
+      difference / variance; Shin et al.'s standard variability index):
+      eta << 2 flags smooth trends, eta ~ 2 is white noise.
+
+    y is quantized to ``y_quant`` units so sums are exact int64 and the
+    quantization CANCELS in eta (a pure ratio); successive differences
+    order by (t, yq) — deterministic under timestamp ties. One window
+    shuffle on the key + one groupBy with map-side combine.
+    """
+    yq = F.round(F.col(y_col) * y_quant).cast("long")
+    rows = (df.select(F.col(key_col).alias("key"),
+                      F.col(t_col), yq.alias("_yq"))
+            .withColumn("_d", F.col("_yq") - F.lag("_yq").over(
+                Window.partitionBy("key").orderBy(F.col(t_col),
+                                                  F.col("_yq")))))
+    g = rows.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_yq").alias("sy"),
+        F.sum(F.col("_yq") * F.col("_yq")).alias("syy"),
+        F.min("_yq").alias("mn"),
+        F.max("_yq").alias("mx"),
+        F.sum(F.col("_d") * F.col("_d")).alias("sd2"))
+    n = F.col("n")
+    q = float(y_quant)
+    ssq = F.col("syy") - (F.col("sy") * F.col("sy")) / n
+    var_y = F.when(n > 1, (ssq / (n - F.lit(1))) / F.lit(q * q))
+    eta = F.when((n > 1) & (ssq != 0), F.col("sd2") / ssq)
+    return g.select(
+        "key", n.alias("n_obs"),
+        F.round((F.col("sy") / n) / F.lit(q), 9).alias("mean_y"),
+        F.round(var_y, 9).alias("var_y"),
+        ((F.col("mx") - F.col("mn")) / F.lit(q)).alias("amp_y"),
+        F.round(eta, 9).alias("eta"))

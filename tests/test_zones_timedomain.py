@@ -1,0 +1,176 @@
+"""Zone crossmatch, Lomb-Scargle periodogram, variability stats, and the
+galactic frame transform."""
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+
+def _random_sky(rng, n, polar_frac=0.1, wrap_frac=0.1):
+    """Random points with deliberate polar + RA-wrap clusters."""
+    pts = []
+    for i in range(n):
+        u = rng.random()
+        if u < polar_frac:
+            ra, dec = rng.uniform(0, 360), rng.choice([1, -1]) * rng.uniform(87, 90)
+        elif u < polar_frac + wrap_frac:
+            ra = rng.choice([rng.uniform(0, 1.5), rng.uniform(358.5, 360)])
+            dec = rng.uniform(-60, 60)
+        else:
+            ra = rng.uniform(0, 360)
+            dec = math.degrees(math.asin(rng.uniform(-1, 1)))
+        pts.append((i, ra, dec))
+    return pts
+
+
+def _brute_pairs(left, right, radius_deg):
+    cosr = math.cos(math.radians(radius_deg))
+    out = set()
+    for i, ra1, d1 in left:
+        for j, ra2, d2 in right:
+            dot = (math.cos(math.radians(d1)) * math.cos(math.radians(d2))
+                   * math.cos(math.radians(ra1) - math.radians(ra2))
+                   + math.sin(math.radians(d1)) * math.sin(math.radians(d2)))
+            if dot >= cosr:
+                out.add((i, j))
+    return out
+
+
+def test_zone_crossmatch_matches_brute_and_cell(spark):
+    from spatialindex_spark.operators.joins import crossmatch
+    from spatialindex_spark.operators.zones import zone_crossmatch
+
+    rng = random.Random(77)
+    lpts = _random_sky(rng, 180)
+    rpts = _random_sky(rng, 180)
+    l = spark.createDataFrame(lpts, "id long, ra double, dec double")
+    r = spark.createDataFrame(rpts, "id long, ra double, dec double")
+    for radius in (0.9, 5.0):
+        zp = {(a["id_l"], a["id_r"]) for a in
+              zone_crossmatch(l, r, radius).collect()}
+        assert zp == _brute_pairs(lpts, rpts, radius)
+        cp = {(a["id_l"], a["id_r"]) for a in
+              crossmatch(l, r, radius).collect()}
+        assert zp == cp  # two independent strategies agree
+
+
+def test_zone_crossmatch_plan_is_equi_join(spark):
+    from spatialindex_spark.operators.zones import zone_crossmatch
+
+    l = spark.range(100).select(
+        F.col("id"), (F.col("id") * 0.618034 % 360).alias("ra"),
+        (F.col("id") % 120 - 60.0).alias("dec"))
+    plan = zone_crossmatch(l, l, 1.0)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the zone key must drive a real equi-join
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+
+
+def _ls_numpy(rows, freqs, yq=100, tq=1_000_000):
+    """Bit-parity replica of lomb_scargle's quantized pipeline."""
+    import numpy as np
+
+    out = {}
+    t = np.array([r[0] for r in rows])
+    y = np.array([r[1] for r in rows])
+    for f in freqs:
+        w = math.tau * f
+        c = np.round(np.cos(w * t) * tq).astype(np.int64)
+        s = np.round(np.sin(w * t) * tq).astype(np.int64)
+        q = np.round(y * yq).astype(np.int64)
+        n = len(rows)
+        sy, syy = int(q.sum()), int((q * q).sum())
+        c1, s1 = int(c.sum()), int(s.sum())
+        yc, ys = int((q * c).sum()), int((q * s).sum())
+        cc, ss, cs = int((c * c).sum()), int((s * s).sum()), int((c * s).sum())
+        YC = yc - (sy * c1) / n
+        YS = ys - (sy * s1) / n
+        CC = cc - (c1 * c1) / n
+        SS = ss - (s1 * s1) / n
+        CS = cs - (c1 * s1) / n
+        YY = syy - (sy * sy) / n
+        D = CC * SS - CS * CS
+        if D == 0 or YY == 0:
+            out[f] = None
+            continue
+        num = SS * (YC * YC) - (2.0 * CS) * (YC * YS) + CC * (YS * YS)
+        out[f] = round(num / (D * YY), 9)
+    return out
+
+
+def test_lomb_scargle_recovers_period_and_matches_numpy(spark):
+    from spatialindex_spark.operators.timedomain import best_period, lomb_scargle
+
+    rng = random.Random(5)
+    true_f = 1.7
+    rows = []
+    for _ in range(300):
+        t = rng.uniform(0, 40)
+        y = 10.0 + 3.0 * math.sin(math.tau * true_f * t) + rng.gauss(0, 0.3)
+        rows.append((round(t, 6), round(y, 2)))
+    freqs = [0.5, 1.1, 1.7, 2.3, 3.1]
+    df = spark.createDataFrame([(1, t, y) for t, y in rows],
+                               "obj long, t double, y double")
+    ls = lomb_scargle(df, "obj", "t", "y", freqs)
+    got = {r["freq"]: r["power"] for r in ls.collect()}
+    want = _ls_numpy(rows, freqs)
+    assert got == want  # exact: quantized sums + identical IEEE tree
+    assert got[true_f] > 0.9  # planted signal dominates
+    bp = best_period(ls).collect()
+    assert len(bp) == 1 and bp[0]["best_freq"] == true_f
+
+
+def test_variability_stats_vs_numpy(spark):
+    from spatialindex_spark.operators.timedomain import variability_stats
+
+    rng = random.Random(9)
+    data = []
+    y0 = 5.0
+    for i in range(120):
+        y0 += 0.06  # obj 1: smooth trend
+        data.append((1, float(i), round(y0, 2)))
+        # obj 2: independent white noise around a constant level
+        data.append((2, float(i), round(5.0 + rng.gauss(0, 0.5), 2)))
+    df = spark.createDataFrame(data, "obj long, t double, y double")
+    got = {r["key"]: r for r in
+           variability_stats(df, "obj", "t", "y").collect()}
+    for obj in (1, 2):
+        q = [round(y * 100) for o, t, y in data if o == obj]
+        n = len(q)
+        sy, syy = sum(q), sum(v * v for v in q)
+        sd2 = sum((b - a) ** 2 for a, b in zip(q, q[1:]))
+        ssq = syy - (sy * sy) / n
+        g = got[obj]
+        assert g["n_obs"] == n
+        assert g["mean_y"] == round((sy / n) / 100.0, 9)
+        assert g["var_y"] == round((ssq / (n - 1)) / 10000.0, 9)
+        assert g["amp_y"] == (max(q) - min(q)) / 100.0
+        assert g["eta"] == round(sd2 / ssq, 9)
+    # smooth trend vs noise: eta separates them (<<2 vs ~2)
+    assert got[1]["eta"] < 0.5 < got[2]["eta"]
+
+
+def test_equ_to_gal_known_points(spark):
+    from spatialindex_spark.functions.geometry import equ_to_gal_cols
+
+    # (ra, dec) -> (l, b): the defining directions of the frame
+    cases = [
+        (266.404996, -28.936172, 0.0, 0.0),    # galactic center direction
+        (192.859508, 27.128336, None, 90.0),   # north galactic pole
+        (86.404996, 28.936172, 180.0, 0.0),    # galactic anticenter
+    ]
+    df = spark.createDataFrame(
+        [(i, ra, dec) for i, (ra, dec, _, _) in enumerate(cases)],
+        "i long, ra double, dec double")
+    glon, glat = equ_to_gal_cols(F.col("ra"), F.col("dec"))
+    got = {r["i"]: (r["l"], r["b"]) for r in
+           df.select("i", glon.alias("l"), glat.alias("b")).collect()}
+    for i, (_, _, el, eb) in enumerate(cases):
+        gl, gb = got[i]
+        if el is not None:
+            d = abs(gl - el) % 360.0
+            assert min(d, 360.0 - d) < 0.01
+        assert abs(gb - eb) < 0.01
