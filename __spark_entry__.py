@@ -1811,6 +1811,90 @@ def _galactic_sql() -> str:
     )
 
 
+_LS_EDGES = [0.5, 1.0, 2.0, 4.0]
+
+
+def _corr_catalogs(spark: SparkSession, sf_dir: str):
+    """Data catalog: every-2nd customer on the standard sky; random
+    catalog: every-3rd customer on an independent hash sky."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    data = (c.where(F.col("c_custkey") % 2 == 0)
+            .select(F.col("c_custkey").alias("id"),
+                    ((F.col("c_custkey") * F.lit(0.618034)) % 360)
+                    .alias("ra"),
+                    F.degrees(F.asin(
+                        2 * ((F.col("c_custkey") * F.lit(0.381966)) % 1)
+                        - 1)).alias("dec")))
+    rand = (c.where(F.col("c_custkey") % 3 == 0)
+            .select(F.col("c_custkey").alias("id"),
+                    ((F.col("c_custkey") * F.lit(0.354813)) % 360)
+                    .alias("ra"),
+                    F.degrees(F.asin(
+                        2 * ((F.col("c_custkey") * F.lit(0.708204)) % 1)
+                        - 1)).alias("dec")))
+    return data, rand
+
+
+def _q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-point angular correlation (operators/correlation.py): the
+    Landy-Szalay w(theta) estimator — three ring-keyed pair scans, bins
+    assigned in the dot domain against shared cos(edge) literals."""
+    from spatialindex_spark.operators.correlation import landy_szalay
+
+    data, rand = _corr_catalogs(spark, sf_dir)
+    return landy_szalay(data, rand, _LS_EDGES, "id", "id")
+
+
+def _correlation_sql() -> str:
+    import math as _m
+
+    cos_edges = [_m.cos(_m.radians(e)) for e in _LS_EDGES]
+    nb = len(_LS_EDGES) - 1
+    dot = ("cos(radians(a.dec))*cos(radians(b.dec))"
+           "*cos(radians(a.ra)-radians(b.ra))"
+           "+ sin(radians(a.dec))*sin(radians(b.dec))")
+    case = "CASE " + " ".join(
+        f"WHEN dot <= {cos_edges[i]!r} AND dot > {cos_edges[i + 1]!r} "
+        f"THEN {i}" for i in range(nb)) + " END"
+    vals = ", ".join(
+        f"({i}, {_LS_EDGES[i]!r}::DOUBLE, {_LS_EDGES[i + 1]!r}::DOUBLE)"
+        for i in range(nb))
+
+    def pairs(x, y, self_excl):
+        w = f"WHERE {'a.id <> b.id' if self_excl else 'TRUE'}"
+        return (f"SELECT bin, count(*)::BIGINT AS n FROM (SELECT {case} "
+                f"AS bin FROM (SELECT {dot} AS dot FROM {x} a, {y} b "
+                f"{w}) ) WHERE bin IS NOT NULL GROUP BY bin")
+
+    ddd = "((SELECT count(*) FROM d) * ((SELECT count(*) FROM d) - 1))"
+    drd = "((SELECT count(*) FROM d) * (SELECT count(*) FROM r))"
+    rrd = "((SELECT count(*) FROM r) * ((SELECT count(*) FROM r) - 1))"
+    return (
+        "WITH d AS (SELECT c_custkey AS id, "
+        "(c_custkey * 0.618034) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec "
+        "FROM customer WHERE c_custkey % 2 = 0), "
+        "r AS (SELECT c_custkey AS id, "
+        "(c_custkey * 0.354813) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.708204) % 1) - 1)) AS dec "
+        "FROM customer WHERE c_custkey % 3 = 0), "
+        f"dd AS ({pairs('d', 'd', True)}), "
+        f"dr AS ({pairs('d', 'r', False)}), "
+        f"rr AS ({pairs('r', 'r', True)}), "
+        f"bins(bin, theta_lo, theta_hi) AS (VALUES {vals}) "
+        "SELECT bins.bin, theta_lo, theta_hi, "
+        "COALESCE(dd.n, 0) AS n_dd, COALESCE(dr.n, 0) AS n_dr, "
+        "COALESCE(rr.n, 0) AS n_rr, "
+        "round(CASE WHEN COALESCE(rr.n, 0) > 0 THEN "
+        f"(COALESCE(dd.n, 0) / {ddd} - 2.0 * (COALESCE(dr.n, 0) / {drd}) "
+        f"+ COALESCE(rr.n, 0) / {rrd}) / (COALESCE(rr.n, 0) / {rrd}) "
+        "END, 9) AS w_ls "
+        "FROM bins LEFT JOIN dd ON bins.bin = dd.bin "
+        "LEFT JOIN dr ON bins.bin = dr.bin "
+        "LEFT JOIN rr ON bins.bin = rr.bin"
+    )
+
+
 def _q_fof_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friends-of-friends object association (operators/fof.py): customer
     detections within 2 deg link transitively into objects; per-object
@@ -1900,6 +1984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "periodogram": _q_periodogram,
         "variability": _q_variability,
         "galactic": _q_galactic,
+        "correlation": _q_correlation,
         "moc_rollup": _q_moc_rollup,
         "density_mom": _q_density_mom,
         "moc_filter": _q_moc_filter,
@@ -1948,12 +2033,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_count_fast": _q_region_count_fast,
         "crossmatch": _q_crossmatch,
         "best_match": _q_best_match,
-        "knn": _q_knn,
         # ---- driver gate window ends here (first 50) ----
         # rotated out in r4 (driver-green r3 under identical names):
-        # knn_starved, tile_assign, zonal_stats, cell_counts,
+        # knn, knn_starved, tile_assign, zonal_stats, cell_counts,
         # image_filter, train_pipeline, decontaminate, phash_dedup,
         # minhash_dedup
+        "knn": _q_knn,
         "knn_starved": _q_knn_starved,
         "tile_assign": _q_tile_assign,
         "zonal_stats": _q_zonal_stats,
@@ -2696,6 +2781,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "periodogram": _periodogram_sql(),
         "variability": _variability_sql(),
         "galactic": _galactic_sql(),
+        "correlation": _correlation_sql(),
         "moc_rollup": _moc_rollup_sql(),
         "density_mom": _density_mom_sql(50),
         "moc_filter": (

@@ -1,0 +1,116 @@
+"""Two-point angular correlation: the Landy-Szalay estimator (Landy &
+Szalay 1993, ApJ 412, 64) — THE clustering statistic large-survey
+pipelines compute over their object catalogs.
+
+    w(theta_bin) = (DD - 2*DR + RR) / RR     (per-bin, normalized)
+
+where DD/DR/RR are data-data / data-random / random-random pair counts
+in angular separation bins. Pair enumeration rides the engine's
+ring-keyed J3 :func:`~.joins.crossmatch` at the LARGEST bin edge — never
+an all-pairs join — so the cost is three bounded candidate joins plus
+three tiny groupBys on the bin id. The 100-TB shape: pair counts are the
+scale driver (quadratic in local density at max-theta reach), exactly
+the regime the cell-keyed candidate join + AQE skew handling is built
+for; the estimator itself reduces to a per-bin integer-count frame that
+fits on the driver at any survey size.
+
+Determinism contract: bins are assigned by comparing the exact pair dot
+to PRECOMPUTED ``cos(edge)`` literals shared with the SQL oracle (no
+acos anywhere; a dot landing within 1 ulp of an edge is the only
+cross-engine risk); pair counts are exact integers, and the estimator is
+a fixed-shape IEEE expression over them.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+from .joins import crossmatch
+
+
+def _bin_expr(dot, cos_edges):
+    """Bin id for a pair dot: bin i covers [edges[i], edges[i+1]) in
+    theta, i.e. (cos_edges[i+1], cos_edges[i]] in the dot domain;
+    NULL outside [edges[0], edges[-1])."""
+    out = None
+    for i in range(len(cos_edges) - 1):
+        cond = (dot <= F.lit(cos_edges[i])) & (dot > F.lit(cos_edges[i + 1]))
+        out = F.when(cond, F.lit(i)) if out is None else out.when(cond,
+                                                                  F.lit(i))
+    return out.otherwise(F.lit(None).cast("int"))
+
+
+def pair_counts(left: DataFrame, right: DataFrame, edges_deg,
+                left_id: str, right_id: str,
+                exclude_self: bool = False, **kwargs) -> DataFrame:
+    """Ordered-pair counts per angular bin: (bin, n_pairs). Pairs come
+    from one crossmatch at ``edges_deg[-1]``; ``exclude_self`` drops
+    (i, i) rows for auto-correlations (both sides the same catalog)."""
+    edges = [float(e) for e in edges_deg]
+    if sorted(edges) != edges or len(edges) < 2:
+        raise ValueError("edges_deg must be ascending with >= 2 entries")
+    if edges[0] < 0 or edges[-1] > 90:
+        raise ValueError("edges_deg must lie in [0, 90]")
+    cos_edges = [math.cos(math.radians(e)) for e in edges]
+    suffixes = kwargs.get("suffixes", ("_l", "_r"))
+    lcols = kwargs.get("left_cols", ("ra", "dec"))
+    rcols = kwargs.get("right_cols", ("ra", "dec"))
+    cm = crossmatch(left, right, edges[-1], **kwargs)
+    sl, sr = suffixes
+    lr, ld = lcols
+    rr_, rd = rcols
+    rad = F.radians
+    dot = (F.cos(rad(F.col(ld + sl))) * F.cos(rad(F.col(rd + sr)))
+           * F.cos(rad(F.col(lr + sl)) - rad(F.col(rr_ + sr)))
+           + F.sin(rad(F.col(ld + sl))) * F.sin(rad(F.col(rd + sr))))
+    if exclude_self:
+        cm = cm.filter(F.col(left_id + sl) != F.col(right_id + sr))
+    binned = cm.select(_bin_expr(dot, cos_edges).alias("bin"))
+    return (binned.where(F.col("bin").isNotNull())
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("n")))
+
+
+def landy_szalay(data: DataFrame, random: DataFrame, edges_deg,
+                 data_id: str, random_id: str, **kwargs) -> DataFrame:
+    """Landy-Szalay w(theta) over ``edges_deg`` bins.
+
+    Returns (bin, theta_lo, theta_hi, n_dd, n_dr, n_rr, w_ls) with
+    ordered-pair counts (self-pairs excluded on the auto terms) and
+
+        w = (dd/(nd*(nd-1)) - 2*dr/(nd*nr) + rr/(nr*(nr-1)))
+            / (rr/(nr*(nr-1)))
+
+    NULL where the bin has no RR pairs. The three pair scans share one
+    plan shape; the normalization counts are two driver-side counts.
+    """
+    edges = [float(e) for e in edges_deg]
+    nd = data.count()
+    nr = random.count()
+    if nd < 2 or nr < 2:
+        raise ValueError("need >= 2 rows in both catalogs")
+    dd = pair_counts(data, data, edges, data_id, data_id,
+                     exclude_self=True, **kwargs)
+    dr = pair_counts(data, random, edges, data_id, random_id, **kwargs)
+    rr = pair_counts(random, random, edges, random_id, random_id,
+                     exclude_self=True, **kwargs)
+    spark = data.sparkSession
+    bins = spark.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)],
+        "bin int, theta_lo double, theta_hi double")
+    j = (bins
+         .join(dd.withColumnRenamed("n", "n_dd"), "bin", "left")
+         .join(dr.withColumnRenamed("n", "n_dr"), "bin", "left")
+         .join(rr.withColumnRenamed("n", "n_rr"), "bin", "left")
+         .na.fill(0, ["n_dd", "n_dr", "n_rr"]))
+    # fixed-shape IEEE tree over exact integers (mirrored in the oracle);
+    # denominators are Python-int products so they land as single long
+    # literals (no int32 overflow at survey scale)
+    ddn = F.col("n_dd") / F.lit(nd * (nd - 1))
+    drn = F.col("n_dr") / F.lit(nd * nr)
+    rrn = F.col("n_rr") / F.lit(nr * (nr - 1))
+    w = F.when(F.col("n_rr") > 0,
+               (ddn - F.lit(2.0) * drn + rrn) / rrn)
+    return j.select("bin", "theta_lo", "theta_hi", "n_dd", "n_dr", "n_rr",
+                    F.round(w, 9).alias("w_ls")).orderBy("bin")

@@ -174,3 +174,68 @@ def test_equ_to_gal_known_points(spark):
             d = abs(gl - el) % 360.0
             assert min(d, 360.0 - d) < 0.01
         assert abs(gb - eb) < 0.01
+
+
+def test_landy_szalay_matches_brute_force(spark):
+    from spatialindex_spark.operators.correlation import landy_szalay
+
+    rng = random.Random(41)
+    # clustered data: half the points in three 1-deg clumps; uniform random
+    data = []
+    clumps = [(40.0, 10.0), (200.0, -30.0), (310.0, 55.0)]
+    for i in range(240):
+        if i % 2 == 0:
+            cra, cdec = clumps[i % 3]
+            data.append((i, cra + rng.uniform(-0.5, 0.5),
+                         cdec + rng.uniform(-0.5, 0.5)))
+        else:
+            data.append((i, rng.uniform(0, 360),
+                         math.degrees(math.asin(rng.uniform(-1, 1)))))
+    rand = [(i, rng.uniform(0, 360),
+             math.degrees(math.asin(rng.uniform(-1, 1))))
+            for i in range(400)]
+    d = spark.createDataFrame(data, "id long, ra double, dec double")
+    r = spark.createDataFrame(rand, "id long, ra double, dec double")
+    edges = [0.25, 0.5, 1.0, 2.0, 4.0]
+    got = {row["bin"]: row for row in
+           landy_szalay(d, r, edges, "id", "id").collect()}
+
+    cos_edges = [math.cos(math.radians(e)) for e in edges]
+
+    def binof(p, q):
+        dot = (math.cos(math.radians(p[2])) * math.cos(math.radians(q[2]))
+               * math.cos(math.radians(p[1]) - math.radians(q[1]))
+               + math.sin(math.radians(p[2])) * math.sin(math.radians(q[2])))
+        for i in range(len(cos_edges) - 1):
+            if cos_edges[i + 1] < dot <= cos_edges[i]:
+                return i
+        return None
+
+    def counts(a, b, self_excl):
+        c = [0] * (len(edges) - 1)
+        for p in a:
+            for q in b:
+                if self_excl and p[0] == q[0]:
+                    continue
+                i = binof(p, q)
+                if i is not None:
+                    c[i] += 1
+        return c
+
+    dd = counts(data, data, True)
+    dr = counts(data, rand, False)
+    rr = counts(rand, rand, True)
+    nd, nr = len(data), len(rand)
+    for i in range(len(edges) - 1):
+        g = got[i]
+        assert (g["n_dd"], g["n_dr"], g["n_rr"]) == (dd[i], dr[i], rr[i])
+        if rr[i] > 0:
+            ddn = dd[i] / (nd * (nd - 1))
+            drn = dr[i] / (nd * nr)
+            rrn = rr[i] / (nr * (nr - 1))
+            assert g["w_ls"] == round((ddn - 2.0 * drn + rrn) / rrn, 9)
+        else:
+            assert g["w_ls"] is None
+    # clustered data: strong positive correlation in the sub-clump bins
+    populated = [got[i]["w_ls"] for i in range(3) if got[i]["w_ls"]]
+    assert populated and max(populated) > 1.0
