@@ -441,3 +441,62 @@ def stream_detect(stream_images: DataFrame, scale_deg_px: float,
     return detect_sources(stream_images, scale_deg_px,
                           threshold=threshold, image_id=image_id,
                           bytes_col=bytes_col)
+
+
+def stream_variability(stream: DataFrame, key_col: str = "user_id",
+                       t_col: str = "t", y_col: str = "y",
+                       y_quant: int = 100) -> DataFrame:
+    """Stateful streaming variability statistics: the cross-batch
+    incremental twin of operators/timedomain.py:variability_stats.
+
+    Per-key state is SEVEN int64 moments — (n, sy, syy, mn, mx, sd2,
+    last_yq) — updated in (t, yq) order within each micro-batch, so the
+    running von Neumann eta, mean, variance and amplitude are EXACT at
+    every emission: an in-order stream replay ends at bit-identical
+    integer moments to the batch operator on the union (the emitted
+    ratios use the same fixed-shape IEEE tree). State never grows with
+    history: 56 bytes/object, the y values themselves are never stored.
+    Like the gap sessionizer, cross-batch event-time order is trusted
+    (no watermark reordering); out-of-order arrivals chain successive
+    differences in arrival order.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q = float(y_quant)
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["_yq"] = (pdf[y_col] * y_quant).round().astype("int64")
+        pdf = pdf.sort_values([t_col, "_yq"], kind="stable")
+        if state.exists:
+            n, sy, syy, mn, mx, sd2, last = state.get
+        else:
+            n, sy, syy, mn, mx, sd2, last = 0, 0, 0, None, None, 0, None
+        for v in pdf["_yq"]:
+            v = int(v)
+            n += 1
+            sy += v
+            syy += v * v
+            mn = v if mn is None else min(mn, v)
+            mx = v if mx is None else max(mx, v)
+            if last is not None:
+                sd2 += (v - last) * (v - last)
+            last = v
+        state.update((n, sy, syy, mn, mx, sd2, last))
+        ssq = syy - (sy * sy) / n
+        var_y = round((ssq / (n - 1)) / (q * q), 9) if n > 1 else None
+        eta = round(sd2 / ssq, 9) if n > 1 and ssq != 0 else None
+        yield pd.DataFrame({
+            key_col: [key[0]], "n_obs": [n],
+            "mean_y": [round((sy / n) / q, 9)],
+            "var_y": [var_y], "amp_y": [(mx - mn) / q], "eta": [eta],
+        })
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(
+                update,
+                f"{key_col} long, n_obs long, mean_y double, "
+                "var_y double, amp_y double, eta double",
+                "n long, sy long, syy long, mn long, mx long, sd2 long, "
+                "last long", "update", GroupStateTimeout.NoTimeout))

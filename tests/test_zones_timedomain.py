@@ -239,3 +239,47 @@ def test_landy_szalay_matches_brute_force(spark):
     # clustered data: strong positive correlation in the sub-clump bins
     populated = [got[i]["w_ls"] for i in range(3) if got[i]["w_ls"]]
     assert populated and max(populated) > 1.0
+
+
+def test_stream_variability_across_batches(spark, tmp_path):
+    """Cross-batch incremental moments: the stream's FINAL emission per
+    key must equal the batch variability_stats on the union (successive
+    differences chain across the batch boundary through the stored
+    last_yq)."""
+    from spatialindex_spark.operators.timedomain import variability_stats
+    from spatialindex_spark.streaming.ingest import stream_variability
+
+    rng = random.Random(23)
+    batch1, batch2 = [], []
+    for k in (1, 2, 3):
+        for i in range(40):
+            row = (k, float(i), round(rng.uniform(0, 20), 2))
+            (batch1 if i < 25 else batch2).append(row)
+    src = str(tmp_path / "var_in")
+    schema = "user_id long, t double, y double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_variability(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_var").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_obs DESC) AS rk FROM t_var) "
+            "WHERE rk = 1").collect()
+        got = {r["user_id"]: r for r in rows}
+    finally:
+        q.stop()
+    want = {r["key"]: r for r in variability_stats(
+        spark.createDataFrame(batch1 + batch2, schema),
+        "user_id", "t", "y").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("n_obs", "mean_y", "var_y", "amp_y", "eta"):
+            assert got[k][f] == (want[k][f if f != "n_obs" else "n_obs"]), \
+                (k, f, got[k][f], want[k][f])
