@@ -1811,6 +1811,42 @@ def _galactic_sql() -> str:
     )
 
 
+def _q_map_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring-1 disc smoothing of a HEALPix density map
+    (operators/counts.py:map_smooth): the hash-pixel orders density at
+    level 1 smoothed over present disc cells. The oracle takes the disc
+    topology as a literal (center, nbr) table from the golden-tested
+    neighbor kernel and replays the join + exact-integer mean."""
+    from spatialindex_spark.operators.counts import map_smooth
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = (orders.select(((F.col("o_orderkey") * F.lit(2654435761))
+                        % F.lit(48)).alias("pix"))
+         .groupBy("pix").agg(F.count(F.lit(1)).alias("n")))
+    return map_smooth(m, 1, quant=1)
+
+
+def _map_smooth_sql() -> str:
+    import numpy as np
+
+    from spatialindex_spark.operators.joins import _hpx_neighbors
+
+    nbrs = _hpx_neighbors(1, np.arange(48, dtype=np.int64))
+    pairs = sorted({(int(c), int(x))
+                    for c in range(48)
+                    for x in set(nbrs[c].tolist()) | {c}})
+    vals = ", ".join(f"({c}, {x})" for c, x in pairs)
+    return (
+        "WITH m AS (SELECT (o_orderkey * 2654435761) % 48 AS pix, "
+        "count(*)::BIGINT AS n FROM orders GROUP BY 1), "
+        f"nb(c, nbr) AS (VALUES {vals}), "
+        "g AS (SELECT c, sum(n) AS s, count(*)::BIGINT AS n_disc "
+        "FROM nb JOIN m ON m.pix = nb.nbr GROUP BY c) "
+        "SELECT g.c AS pix, n_disc, round((s / n_disc) / 1.0, 9) AS smooth "
+        "FROM g JOIN (SELECT DISTINCT pix FROM m) mm ON g.c = mm.pix"
+    )
+
+
 _LS_EDGES = [0.5, 1.0, 2.0, 4.0]
 
 
@@ -1985,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "variability": _q_variability,
         "galactic": _q_galactic,
         "correlation": _q_correlation,
+        "map_smooth": _q_map_smooth,
         "moc_rollup": _q_moc_rollup,
         "density_mom": _q_density_mom,
         "moc_filter": _q_moc_filter,
@@ -2032,12 +2069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_count": _q_region_count,
         "region_count_fast": _q_region_count_fast,
         "crossmatch": _q_crossmatch,
-        "best_match": _q_best_match,
         # ---- driver gate window ends here (first 50) ----
         # rotated out in r4 (driver-green r3 under identical names):
-        # knn, knn_starved, tile_assign, zonal_stats, cell_counts,
-        # image_filter, train_pipeline, decontaminate, phash_dedup,
-        # minhash_dedup
+        # best_match, knn, knn_starved, tile_assign, zonal_stats,
+        # cell_counts, image_filter, train_pipeline, decontaminate,
+        # phash_dedup, minhash_dedup
+        "best_match": _q_best_match,
         "knn": _q_knn,
         "knn_starved": _q_knn_starved,
         "tile_assign": _q_tile_assign,
@@ -2782,6 +2819,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "variability": _variability_sql(),
         "galactic": _galactic_sql(),
         "correlation": _correlation_sql(),
+        "map_smooth": _map_smooth_sql(),
         "moc_rollup": _moc_rollup_sql(),
         "density_mom": _density_mom_sql(50),
         "moc_filter": (

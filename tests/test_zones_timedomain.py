@@ -283,3 +283,26 @@ def test_stream_variability_across_batches(spark, tmp_path):
         for f in ("n_obs", "mean_y", "var_y", "amp_y", "eta"):
             assert got[k][f] == (want[k][f if f != "n_obs" else "n_obs"]), \
                 (k, f, got[k][f], want[k][f])
+
+
+def test_map_smooth_matches_numpy(spark):
+    import numpy as np
+
+    from spatialindex_spark.operators.counts import map_smooth
+    from spatialindex_spark.operators.joins import _hpx_neighbors
+
+    rng = random.Random(13)
+    level, npix = 2, 12 << (2 * 2)
+    pres = sorted(rng.sample(range(npix), 60))
+    vals = {p: round(rng.uniform(0, 50), 2) for p in pres}
+    df = spark.createDataFrame(list(vals.items()), "pix long, n double")
+    got = {r["pix"]: (r["n_disc"], r["smooth"]) for r in
+           map_smooth(df, level, quant=100).collect()}
+    assert set(got) == set(pres)
+    for p in pres:
+        disc = set(np.atleast_1d(
+            _hpx_neighbors(level, np.array([p]))).ravel().tolist()) | {p}
+        present = [q for q in disc if q in vals]
+        s = sum(round(vals[q] * 100) for q in present)
+        assert got[p][0] == len(present)
+        assert got[p][1] == round((s / len(present)) / 100.0, 9), p
