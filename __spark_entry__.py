@@ -589,6 +589,75 @@ def _q_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ph.select("target_id", "image_id", "npix", "flux")
 
 
+DIFF_MAX_ID = 600
+DIFF_EPOCH_OFFSET = 7777
+DIFF_THRESHOLD = 10
+
+
+def _photometric_epoch(spark: SparkSession, sf_dir: str, max_id: int,
+                       offset: int) -> DataFrame:
+    """Image table whose pixels follow synth_image_photometric(id +
+    offset): two offsets = two epochs of the same pointings with
+    different (but SQL-replayable) pixels."""
+    from spatialindex_spark.sources import imaging
+
+    meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= max_id)
+
+    def gen(batches):
+        for b in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": []}
+            for r in b.itertuples(index=False):
+                fmt = ("raw", "z")[int(r.image_id) % 2]   # lossless only
+                img = imaging.synth_image_photometric(
+                    int(r.image_id) + offset, int(r.w), int(r.h))
+                out["image_id"].append(int(r.image_id))
+                out["bytes"].append(imaging.encode(img, fmt))
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(fmt)
+            yield pd.DataFrame(out)
+
+    return meta.mapInPandas(
+        gen, "image_id long, bytes binary, w int, h int, fmt string")
+
+
+def _q_diff_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference imaging (operators/detect.py:diff_image): two
+    photometric-formula epochs of the same pointings subtracted per
+    pair; every residual statistic is an exact integer the oracle
+    replays as a lateral range x range aggregation of the two pixel
+    formulas."""
+    from spatialindex_spark.operators.detect import diff_image
+
+    a = _photometric_epoch(spark, sf_dir, DIFF_MAX_ID, 0)
+    b = _photometric_epoch(spark, sf_dir, DIFF_MAX_ID, DIFF_EPOCH_OFFSET)
+    return diff_image(a, b, threshold=DIFF_THRESHOLD)
+
+
+def _diff_image_sql() -> str:
+    return f"""
+WITH imgs AS (
+  SELECT o_orderkey AS image_id,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders WHERE o_orderkey <= {DIFF_MAX_ID}),
+px AS (
+  SELECT image_id, w, h,
+         (image_id * 31 + xs * 7 + ys * 13) % 251 AS da,
+         ((image_id + {DIFF_EPOCH_OFFSET}) * 31 + xs * 7 + ys * 13) % 251
+           AS db
+  FROM imgs, unnest(range(0, w)) AS t1(xs), unnest(range(0, h)) AS t2(ys))
+SELECT image_id, TRUE AS shape_ok, (w * h)::BIGINT AS npix,
+  SUM(CASE WHEN ABS(da - db) > {DIFF_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+    AS n_above,
+  SUM(ABS(da - db))::BIGINT AS sum_abs,
+  MAX(ABS(da - db))::BIGINT AS max_abs,
+  SUM(da - db)::BIGINT AS flux_diff
+FROM px GROUP BY image_id, w, h"""
+
+
 DETECT_XMATCH_RADIUS = 1.5
 
 
@@ -2022,6 +2091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "galactic": _q_galactic,
         "correlation": _q_correlation,
         "map_smooth": _q_map_smooth,
+        "diff_image": _q_diff_image,
         "moc_rollup": _q_moc_rollup,
         "density_mom": _q_density_mom,
         "moc_filter": _q_moc_filter,
@@ -2068,12 +2138,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygon_s2": _q_polygon_s2,
         "region_count": _q_region_count,
         "region_count_fast": _q_region_count_fast,
-        "crossmatch": _q_crossmatch,
         # ---- driver gate window ends here (first 50) ----
-        # rotated out in r4 (driver-green r3 under identical names):
-        # best_match, knn, knn_starved, tile_assign, zonal_stats,
-        # cell_counts, image_filter, train_pipeline, decontaminate,
-        # phash_dedup, minhash_dedup
+        # rotated out in r4 (driver-green r3 under identical names;
+        # zone_xmatch in-window shares crossmatch's exact oracle):
+        # crossmatch, best_match, knn, knn_starved, tile_assign,
+        # zonal_stats, cell_counts, image_filter, train_pipeline,
+        # decontaminate, phash_dedup, minhash_dedup
+        "crossmatch": _q_crossmatch,
         "best_match": _q_best_match,
         "knn": _q_knn,
         "knn_starved": _q_knn_starved,
@@ -2820,6 +2891,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "galactic": _galactic_sql(),
         "correlation": _correlation_sql(),
         "map_smooth": _map_smooth_sql(),
+        "diff_image": _diff_image_sql(),
         "moc_rollup": _moc_rollup_sql(),
         "density_mom": _density_mom_sql(50),
         "moc_filter": (

@@ -306,3 +306,42 @@ def test_map_smooth_matches_numpy(spark):
         s = sum(round(vals[q] * 100) for q in present)
         assert got[p][0] == len(present)
         assert got[p][1] == round((s / len(present)) / 100.0, 9), p
+
+
+def test_diff_image_matches_numpy_and_flags_shape(spark):
+    import numpy as np
+    import pandas as pd
+
+    from spatialindex_spark.operators.detect import diff_image
+    from spatialindex_spark.sources import imaging
+
+    def mk(ids, seed, shapes):
+        rows = []
+        rng = random.Random(seed)
+        for i in ids:
+            w, h = shapes[i]
+            img = np.array(
+                [[[rng.randrange(256) for _ in range(3)]
+                  for _ in range(w)] for _ in range(h)], dtype=np.uint8)
+            rows.append((i, imaging.encode(img, "raw"), w, h, "raw", img))
+        return rows
+
+    shapes_a = {1: (8, 6), 2: (10, 10), 3: (4, 4)}
+    shapes_b = {1: (8, 6), 2: (10, 10), 3: (5, 4)}  # id 3: mismatch
+    ra = mk([1, 2, 3], 11, shapes_a)
+    rb = mk([1, 2, 3], 22, shapes_b)
+    schema = "image_id long, bytes binary, w int, h int, fmt string"
+    a = spark.createDataFrame([r[:5] for r in ra], schema)
+    b = spark.createDataFrame([r[:5] for r in rb], schema)
+    got = {r["image_id"]: r for r in
+           diff_image(a, b, threshold=30).collect()}
+    for i in (1, 2):
+        d = (ra[i - 1][5][:, :, 0].astype(np.int64)
+             - rb[i - 1][5][:, :, 0].astype(np.int64))
+        g = got[i]
+        assert g["shape_ok"] and g["npix"] == d.size
+        assert g["n_above"] == int((np.abs(d) > 30).sum())
+        assert g["sum_abs"] == int(np.abs(d).sum())
+        assert g["max_abs"] == int(np.abs(d).max())
+        assert g["flux_diff"] == int(d.sum())
+    assert got[3]["shape_ok"] is False and got[3]["sum_abs"] is None
