@@ -345,3 +345,45 @@ def test_diff_image_matches_numpy_and_flags_shape(spark):
         assert g["max_abs"] == int(np.abs(d).max())
         assert g["flux_diff"] == int(d.sum())
     assert got[3]["shape_ok"] is False and got[3]["sum_abs"] is None
+
+
+def test_diff_image_bucketed_no_exchange(spark):
+    """diff_image's one shuffle disappears over bucketed epoch tables:
+    the pixel-carrying equi-join must plan with ZERO Exchange (the
+    100-TB claim in its docstring)."""
+    import shutil
+
+    import numpy as np
+
+    from spatialindex_spark.operators.detect import diff_image
+    from spatialindex_spark.plans.session import write_bucketed
+    from spatialindex_spark.sources import imaging
+
+    def epoch(seed):
+        rows = []
+        for i in range(60):
+            img = imaging.synth_image_photometric(i + seed, 8, 8)
+            rows.append((i, imaging.encode(img, "raw"), 8, 8, "raw"))
+        return spark.createDataFrame(
+            rows, "image_id long, bytes binary, w int, h int, fmt string")
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("ep_a", "ep_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    write_bucketed(epoch(0), "ep_a", "image_id", num_buckets=4)
+    write_bucketed(epoch(999), "ep_b", "image_id", num_buckets=4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = diff_image(spark.table("ep_a"), spark.table("ep_b"))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {r["image_id"]: r for r in out.collect()}
+        a0 = imaging.synth_image_photometric(5, 8, 8)
+        b0 = imaging.synth_image_photometric(5 + 999, 8, 8)
+        d = a0[:, :, 0].astype(np.int64) - b0[:, :, 0].astype(np.int64)
+        assert got[5]["sum_abs"] == int(np.abs(d).sum())
+        assert len(got) == 60
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
