@@ -2004,10 +2004,20 @@ def _q_fof_objects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Friends-of-friends object association (operators/fof.py): customer
     detections within 2 deg link transitively into objects; per-object
     member count + spherical-mean centroid. The oracle replays the link
-    graph with an exact all-pairs join and a recursive-CTE closure."""
+    graph with an exact all-pairs join and a recursive-CTE closure.
+
+    The catalog is pinned to the first 1500 ids (= ALL customers at the
+    sf0.01 driver gate, so gate results are unchanged): above ~1500
+    points the 2-deg graph percolates (mean degree > 1) into a giant
+    component, and the recursive-CTE closure — fine for the engine's
+    contraction CC, which this query gates — goes quadratic in the
+    ORACLE; the operator's own scale behavior is covered by
+    test_fof_planted_clusters + the conn_components contraction tests."""
     from spatialindex_spark.operators.fof import fof_objects
 
-    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    cust = (_customer_sky(spark, sf_dir)
+            .where(F.col("c_custkey") <= 1500)
+            .select("c_custkey", "ra", "dec"))
     return fof_objects(cust, 2.0, "c_custkey")
 
 
@@ -2628,7 +2638,7 @@ def _fof_objects_sql(radius_deg: float = 2.0) -> str:
     return f"""WITH RECURSIVE csky AS (
   SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
          degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
-  FROM customer),
+  FROM customer WHERE c_custkey <= 1500),
 pairs AS (
   SELECT a.c_custkey AS u, b.c_custkey AS v FROM csky a, csky b
   WHERE a.c_custkey <> b.c_custkey
