@@ -500,3 +500,80 @@ def stream_variability(stream: DataFrame, key_col: str = "user_id",
                 "var_y double, amp_y double, eta double",
                 "n long, sy long, syy long, mn long, mx long, sd2 long, "
                 "last long", "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_periodogram(stream: DataFrame, freqs, key_col: str = "user_id",
+                       t_col: str = "t", y_col: str = "y",
+                       y_quant: int = 100,
+                       trig_quant: int = 1_000_000) -> DataFrame:
+    """Stateful streaming Lomb-Scargle: the cross-batch incremental twin
+    of operators/timedomain.py:lomb_scargle. Each micro-batch first
+    explodes rows over the literal frequency grid (map-only), then the
+    per-(key, freq) state — TEN int64 sums — accumulates the quantized
+    trig moments, and every emission computes the tau-free GLS power
+    from the running sums: after any in-order replay the spectrum is
+    bit-identical to the batch operator on the union. State is 80
+    bytes/object/frequency; the time series itself is never stored, so
+    a survey can maintain live per-object periodograms over unbounded
+    history.
+    """
+    import math as _m
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    fl = [float(f) for f in freqs]
+    if not fl:
+        raise ValueError("freqs must be non-empty")
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(f).alias("freq"),
+                 F.lit(_m.tau * f).alias("_w")) for f in fl])).alias("_g")
+    tq = float(trig_quant)
+    exploded = (stream.select(F.col(key_col), F.col(t_col), F.col(y_col),
+                              grid)
+                .select(key_col, F.col("_g.freq").alias("freq"),
+                        (F.col("_g._w") * F.col(t_col)).alias("_wt"),
+                        F.col(y_col)))
+
+    import numpy as np
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        yq = np.round(pdf[y_col].to_numpy() * y_quant).astype(np.int64)
+        c = np.round(np.cos(pdf["_wt"].to_numpy()) * tq).astype(np.int64)
+        s = np.round(np.sin(pdf["_wt"].to_numpy()) * tq).astype(np.int64)
+        z = (state.get if state.exists else (0,) * 10)
+        n = z[0] + len(pdf)
+        sy = z[1] + int(yq.sum())
+        syy = z[2] + int((yq * yq).sum())
+        c1 = z[3] + int(c.sum())
+        s1 = z[4] + int(s.sum())
+        yc = z[5] + int((yq * c).sum())
+        ys = z[6] + int((yq * s).sum())
+        cc = z[7] + int((c * c).sum())
+        ss = z[8] + int((s * s).sum())
+        cs = z[9] + int((c * s).sum())
+        state.update((n, sy, syy, c1, s1, yc, ys, cc, ss, cs))
+        YC = yc - (sy * c1) / n
+        YS = ys - (sy * s1) / n
+        CC = cc - (c1 * c1) / n
+        SS = ss - (s1 * s1) / n
+        CS = cs - (c1 * s1) / n
+        YY = syy - (sy * sy) / n
+        D = CC * SS - CS * CS
+        power = None
+        if D != 0 and YY != 0:
+            num = SS * (YC * YC) - (2.0 * CS) * (YC * YS) + CC * (YS * YS)
+            power = round(num / (D * YY), 9)
+        yield pd.DataFrame({
+            key_col: [key[0]], "freq": [key[1]], "n_obs": [n],
+            "power": [power],
+        })
+
+    return (exploded.groupBy(key_col, "freq")
+            .applyInPandasWithState(
+                update,
+                f"{key_col} long, freq double, n_obs long, power double",
+                "n long, sy long, syy long, c1 long, s1 long, yc long, "
+                "ys long, cc long, ss long, cs long", "update",
+                GroupStateTimeout.NoTimeout))

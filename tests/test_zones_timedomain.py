@@ -387,3 +387,49 @@ def test_diff_image_bucketed_no_exchange(spark):
         assert len(got) == 60
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stream_periodogram_across_batches(spark, tmp_path):
+    """Incremental Lomb-Scargle: the stream's final per-(key,freq)
+    emission must equal the batch lomb_scargle on the union."""
+    from spatialindex_spark.operators.timedomain import lomb_scargle
+    from spatialindex_spark.streaming.ingest import stream_periodogram
+
+    rng = random.Random(37)
+    freqs = [0.7, 1.3, 2.9]
+    batch1, batch2 = [], []
+    for k in (1, 2):
+        for i in range(60):
+            t = round(rng.uniform(0, 30), 6)
+            y = round(8.0 + 2.0 * math.sin(math.tau * 1.3 * t)
+                      + rng.gauss(0, 0.2), 2)
+            (batch1 if i < 35 else batch2).append((k, t, y))
+    src = str(tmp_path / "pg_in")
+    schema = "user_id long, t double, y double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_periodogram(stream, freqs)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_pg").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "user_id, freq ORDER BY n_obs DESC) AS rk FROM t_pg) "
+            "WHERE rk = 1").collect()
+        got = {(r["user_id"], r["freq"]): (r["n_obs"], r["power"])
+               for r in rows}
+    finally:
+        q.stop()
+    want = {(r["key"], r["freq"]): (r["n_obs"], r["power"])
+            for r in lomb_scargle(
+                spark.createDataFrame(batch1 + batch2, schema),
+                "user_id", "t", "y", freqs).collect()}
+    assert got == want
+    # the planted 1.3 c/d signal dominates the running spectrum too
+    for k in (1, 2):
+        assert got[(k, 1.3)][1] > max(got[(k, 0.7)][1], got[(k, 2.9)][1])
