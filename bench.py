@@ -420,12 +420,14 @@ def main():
             for _ in range(reps):
                 t, nrows = timed(job, s, n, cores)
                 thrs.append(nrows / t)
-            return statistics.median(thrs)
+            spread = (max(thrs) / min(thrs) - 1.0) if len(thrs) > 1 else 0.0
+            return statistics.median(thrs), spread
 
-        def isolated_median(job, n, cores, reps=3):
+        def isolated_median(job, n, cores, reps=3, with_spread=False):
             s = get_session(cores)
             try:
-                return median_thr(s, job, n, cores, reps=reps)
+                med, spread = median_thr(s, job, n, cores, reps=reps)
+                return (med, spread) if with_spread else med
             finally:
                 s.stop()
 
@@ -460,6 +462,7 @@ def main():
         # every attempt (incl. degraded ones) in the audit artifact.
         PAIR_TARGET = 3
         CLEAN_2CORE = float(os.environ.get("SPARK_GRAFT_CLEAN_2CORE", "3.6e6"))
+        CLEAN_8CORE = float(os.environ.get("SPARK_GRAFT_CLEAN_8CORE", "11.5e6"))
         SCALE_BUDGET = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1500"))
         MAX_ATTEMPTS = 14
         attempts = []
@@ -467,15 +470,20 @@ def main():
         base2 = None
         t_scale0 = time.perf_counter()
         for attempt in range(MAX_ATTEMPTS):
-            have_clean = any(p["host_state"] == "clean" for p in pairs)
-            if len(pairs) >= PAIR_TARGET and have_clean:
+            # stop only once PAIR_TARGET pairs were captured in CLEAN
+            # host windows: a median over 3 clean pairs is the typical-
+            # window number; a single clean pair (the r4 driver run read
+            # 0.769 from one) is still one window's luck of the draw
+            n_clean = sum(p["host_state"] == "clean" for p in pairs)
+            if n_clean >= PAIR_TARGET:
                 break
             if pairs and time.perf_counter() - t_scale0 > SCALE_BUDGET:
                 break   # budget spent; report what we have, flagged below
             thr2 = isolated_median(geom_scan_job, n_scan, 2)
             if base2 is None:
                 base2 = thr2
-            thr8 = isolated_median(geom_scan_job, n_scan, 8)
+            thr8, spread8 = isolated_median(geom_scan_job, n_scan, 8,
+                                            with_spread=True)
             ctrl2 = isolated_median(geom_scan_job, n_scan, 2, reps=1)
             # WITHIN-PAIR consistency: the post-pair 2-core control must
             # match the pair's OWN pre-reading — i.e. the host held one
@@ -485,18 +493,31 @@ def main():
             # judged on its own window, and the median across accepted
             # pairs picks the typical state.)
             drift = abs(ctrl2 / thr2 - 1.0)
+            # host-state needs BOTH legs in their documented clean bands:
+            # the 2-core control can hold while a co-tenant burst lands
+            # squarely on the 8-core leg (one recorded "clean" pair read
+            # eff 0.69 with thr8 at 10.5M — the degraded 8c band; clean
+            # 8c reads 12-13M on this VM). Calibrated like CLEAN_2CORE,
+            # env-overridable, every attempt kept in the audit record.
             rec = {"attempt": attempt, "thr_2": round(thr2, 1),
-                   "thr_8": round(thr8, 1), "control_2": round(ctrl2, 1),
+                   "thr_8": round(thr8, 1), "thr_8_spread": round(spread8, 3),
+                   "control_2": round(ctrl2, 1),
                    "control_drift": round(drift, 3),
                    "vs_first_reading": round(abs(thr2 / base2 - 1.0), 3),
-                   "host_state": ("clean" if min(thr2, ctrl2) >= CLEAN_2CORE
+                   "host_state": ("clean"
+                                  if min(thr2, ctrl2) >= CLEAN_2CORE
+                                  and thr8 >= CLEAN_8CORE
                                   else "degraded"),
                    "efficiency": round((thr8 / thr2) / 4, 3)}
-            if drift <= 0.10:
+            if drift > 0.10:
+                rec["status"] = "rejected_drift"
+            elif spread8 > 0.20:
+                # a mid-leg host collapse (one recorded attempt "accepted"
+                # eff 0.136 because only the 2-core side was guarded)
+                rec["status"] = "rejected_8c_unstable"
+            else:
                 rec["status"] = "accepted"
                 pairs.append(rec)
-            else:
-                rec["status"] = "rejected_drift"
             attempts.append(rec)
         clean_pairs = [p for p in pairs if p["host_state"] == "clean"]
         pool = clean_pairs or pairs
@@ -519,9 +540,10 @@ def main():
             "job": "exact-geometry region scan (64 cones/row, JVM codegen)",
             "rows": n_scan,
             "measurement": ("isolated session, warm pass + median-of-3, "
-                            "2-core control-drift guard (<=10%), "
-                            "host-state-classified (clean 2c >= "
-                            f"{CLEAN_2CORE:.2g} rows/s)"),
+                            "2-core control-drift guard (<=10%) + 8-core "
+                            "spread guard (<=20%), host-state-classified "
+                            f"(clean: 2c >= {CLEAN_2CORE:.2g} AND 8c >= "
+                            f"{CLEAN_8CORE:.2g} rows/s)"),
             "thr_rows_per_sec": {"2": accepted["thr_2"],
                                  "8": accepted["thr_8"],
                                  "32": round(thr32, 1)},
