@@ -2086,6 +2086,212 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"))
 
 
+def _q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phase-folded binned lightcurve at a fixed 1-day period
+    (operators/timedomain.py:phase_fold): integer phase bins + quantized
+    means, bit-replayed by DuckDB. The step after periodogram/best_period
+    in the variable-star pipeline."""
+    from spatialindex_spark.operators.timedomain import phase_fold
+
+    ser = _events_series(spark, sf_dir)
+    out = phase_fold(ser, "user_id", "t_us", "value",
+                     period_us=86_400_000_000, n_bins=8)
+    return out.select(F.col("key").alias("user_id"), "phase_bin",
+                      "n_obs", "mean_y", "amp_y")
+
+
+def _phase_fold_sql() -> str:
+    P, B = 86_400_000_000, 8
+    return (
+        f"WITH s AS (SELECT user_id, {_EPOCH_SQL} AS t_us, value "
+        "FROM events), "
+        f"b AS (SELECT user_id, "
+        f"(((t_us % {P}) + {P}) % {P}) * {B} // {P} AS phase_bin, "
+        "CAST(round(value * 1000) AS BIGINT) AS yq FROM s) "
+        "SELECT user_id, CAST(phase_bin AS INT) AS phase_bin, "
+        "count(*) AS n_obs, "
+        "round((sum(yq)::DOUBLE / count(*)) / 1000.0, 9) AS mean_y, "
+        "(max(yq) - min(yq)) / 1000.0 AS amp_y "
+        "FROM b GROUP BY user_id, phase_bin"
+    )
+
+
+def _q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user least-squares linear trend of value vs time
+    (operators/timedomain.py:linear_fit — the proper-motion-style fit
+    from exact int64 sufficient statistics; builtin regr_slope can NOT
+    be oracle-matched across engines, this formulation can)."""
+    from spatialindex_spark.operators.timedomain import linear_fit
+
+    ser = _events_series(spark, sf_dir)
+    out = linear_fit(ser, "user_id", "t_us", "value",
+                     t_quant_us=3_600_000_000, y_quant=1000)
+    return out.select(F.col("key").alias("user_id"), "n_obs",
+                      "slope", "intercept")
+
+
+def _trend_fit_sql() -> str:
+    return (
+        f"WITH s AS (SELECT user_id, ({_EPOCH_SQL}) // 3600000000 AS t, "
+        "CAST(round(value * 1000) AS BIGINT) AS y FROM events), "
+        "g AS (SELECT user_id, count(*) AS n, sum(t) AS st, sum(y) AS sy, "
+        "sum(t * t) AS stt, sum(t * y) AS sty FROM s GROUP BY user_id), "
+        "g2 AS (SELECT user_id, n, n::DOUBLE AS nd, st::DOUBLE AS st, "
+        "sy::DOUBLE AS sy, stt::DOUBLE AS stt, sty::DOUBLE AS sty FROM g), "
+        "g3 AS (SELECT user_id, n, (nd * stt - st * st) AS den, "
+        "(nd * sty - st * sy) AS num, nd, st, sy FROM g2) "
+        "SELECT user_id, n AS n_obs, "
+        "CASE WHEN den != 0 THEN round((num / den) / 1000.0, 9) END "
+        "AS slope, "
+        "CASE WHEN den != 0 THEN "
+        "round(((sy - (num / den) * st) / nd) / 1000.0, 9) END "
+        "AS intercept FROM g3"
+    )
+
+
+def _q_wcs_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image affine astrometric plate solve
+    (operators/detect.py:affine_wcs_fit): matched star pairs synthesized
+    through a KNOWN per-image affine WCS (+-1 quantum noise, so the fit
+    is a genuine least squares), 11 exact-int64 sufficient statistics,
+    closed-form Cramer solve — the DuckDB oracle replays synthesis AND
+    normal equations textually."""
+    from spatialindex_spark.operators.detect import affine_wcs_fit
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+    stars = docs.select(
+        "doc_id", F.explode(F.array(*[F.lit(s) for s in range(8)]))
+        .alias("s"))
+    d, s = F.col("doc_id"), F.col("s")
+    u = (d * 7 + s * 11 + s * s * 3) % 64
+    v = (d * 13 + s * 29 + s * s * 7) % 64
+    au, bv = (d % 17) - 8, (d % 23) - 11
+    du_, ev_ = (d % 19) - 9, (d % 29) - 14
+    c0 = F.lit(120_000_000) + (d % 1000)
+    f0 = F.lit(-30_000_000) + (d % 777)
+    nx, ny = (d + s) % 3 - 1, (d + 2 * s) % 3 - 1
+    m = stars.select(
+        d.alias("image_id"), u.alias("u"), v.alias("v"),
+        ((au * u + bv * v + c0 + nx) / F.lit(1_000_000.0)).alias("ra"),
+        ((du_ * u + ev_ * v + f0 + ny) / F.lit(1_000_000.0)).alias("dec"))
+    return affine_wcs_fit(m)
+
+
+def _wcs_fit_sql() -> str:
+    syn = (
+        "WITH st AS (SELECT doc_id, unnest(range(8)) AS s FROM documents), "
+        "m AS (SELECT doc_id AS image_id, "
+        "(doc_id * 7 + s * 11 + s * s * 3) % 64 AS u, "
+        "(doc_id * 13 + s * 29 + s * s * 7) % 64 AS v, "
+        "(((doc_id % 17) - 8) * ((doc_id * 7 + s * 11 + s * s * 3) % 64) "
+        " + ((doc_id % 23) - 11) * ((doc_id * 13 + s * 29 + s * s * 7) % 64) "
+        " + 120000000 + (doc_id % 1000) + ((doc_id + s) % 3 - 1)) "
+        " / 1000000.0 AS ra, "
+        "(((doc_id % 19) - 9) * ((doc_id * 7 + s * 11 + s * s * 3) % 64) "
+        " + ((doc_id % 29) - 14) * ((doc_id * 13 + s * 29 + s * s * 7) % 64) "
+        " - 30000000 + (doc_id % 777) + ((doc_id + 2 * s) % 3 - 1)) "
+        " / 1000000.0 AS dec FROM st), "
+        # quantize exactly as affine_wcs_fit does (double round-trip incl.)
+        "mq AS (SELECT image_id, u::BIGINT AS u, v::BIGINT AS v, "
+        "CAST(round(ra * 1000000) AS BIGINT) AS x, "
+        "CAST(round(dec * 1000000) AS BIGINT) AS y FROM m), "
+        "g AS (SELECT image_id, count(*) AS n, sum(u) AS su, sum(v) AS sv, "
+        "sum(u * u) AS suu, sum(v * v) AS svv, sum(u * v) AS suv, "
+        "sum(u * x) AS sux, sum(v * x) AS svx, sum(x) AS sx, "
+        "sum(u * y) AS suy, sum(v * y) AS svy, sum(y) AS sy "
+        "FROM mq GROUP BY image_id), "
+        "gd AS (SELECT image_id, n, n::DOUBLE AS nd, su::DOUBLE AS su, "
+        "sv::DOUBLE AS sv, suu::DOUBLE AS suu, svv::DOUBLE AS svv, "
+        "suv::DOUBLE AS suv, sux::DOUBLE AS sux, svx::DOUBLE AS svx, "
+        "sx::DOUBLE AS sx, suy::DOUBLE AS suy, svy::DOUBLE AS svy, "
+        "sy::DOUBLE AS sy FROM g), "
+        "gk AS (SELECT *, (suu * (svv * nd - sv * sv) "
+        "- suv * (suv * nd - su * sv) + su * (suv * sv - svv * su)) AS det "
+        "FROM gd)"
+    )
+
+    def cramer(s1, s2, s0):
+        da = (f"({s1} * (svv * nd - sv * sv) - suv * ({s2} * nd - sv * {s0})"
+              f" + su * ({s2} * sv - svv * {s0}))")
+        db = (f"(suu * ({s2} * nd - sv * {s0}) - {s1} * (suv * nd - su * sv)"
+              f" + su * (suv * {s0} - {s2} * su))")
+        dc = (f"(suu * (svv * {s0} - sv * {s2}) - suv * (suv * {s0} "
+              f"- su * {s2}) + {s1} * (suv * sv - svv * su))")
+        return da, db, dc
+
+    ra_abc = cramer("sux", "svx", "sx")
+    de_def = cramer("suy", "svy", "sy")
+    outs = []
+    for name, dterm in zip("abc", ra_abc):
+        outs.append(f"CASE WHEN n >= 3 AND det != 0 THEN "
+                    f"round(({dterm} / det) / 1000000.0, 9) END AS {name}")
+    for name, dterm in zip("def", de_def):
+        outs.append(f"CASE WHEN n >= 3 AND det != 0 THEN "
+                    f"round(({dterm} / det) / 1000000.0, 9) END AS {name}")
+    return (syn + " SELECT image_id, n AS n_stars, " + ", ".join(outs)
+            + " FROM gk")
+
+
+def _q_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caption-conflict pairs over the phash_dedup image table
+    (operators/multimodal.py:caption_conflicts): near-duplicate images
+    (banded Hamming <= 3) whose captions DISAGREE — the label-conflict
+    gate a multimodal corpus needs beyond plain image dedup. Twins every
+    20th doc; every 40th keeps the caption (benign re-encode, must NOT
+    flag), the rest change it (must flag)."""
+    from spatialindex_spark.operators.multimodal import caption_conflicts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    ph = (F.expr("shiftleft((doc_id * 1103515245 + 12345) % 2147483647, 32)")
+          .bitwiseOR(F.expr("(doc_id * 69069 + 1) % 4294967291")))
+    base = docs.select((F.col("doc_id") * 2).alias("image_id"),
+                       ph.alias("phash"),
+                       F.concat(F.lit("cap-"), F.col("doc_id"))
+                       .alias("caption"))
+    twins = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("image_id"),
+        ph.bitwiseXOR(F.expr(
+            "shiftleft(cast(1 as bigint), cast(doc_id % 31 as int)) + "
+            "shiftleft(cast(1 as bigint), cast((doc_id + 7) % 31 as int))"))
+        .alias("phash"),
+        F.when(F.col("doc_id") % 40 == 0,
+               F.concat(F.lit("cap-"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("alt-"), F.col("doc_id")))
+        .alias("caption"))
+    images = base.unionAll(twins)
+    return caption_conflicts(images, band_bits=16, max_hamming=3)
+
+
+def _caption_dedup_sql() -> str:
+    return (
+        "WITH d AS (SELECT doc_id, "
+        "  ((doc_id * 1103515245 + 12345) % 2147483647) << 32 "
+        "  | ((doc_id * 69069 + 1) % 4294967291) AS ph FROM documents), "
+        "imgs AS ("
+        "  SELECT doc_id * 2 AS image_id, ph, "
+        "    'cap-' || doc_id AS caption FROM d "
+        "  UNION ALL "
+        "  SELECT doc_id * 2 + 1, xor(ph, "
+        "    (1::BIGINT << (doc_id % 31)) + (1::BIGINT << ((doc_id + 7) % 31))), "
+        "    CASE WHEN doc_id % 40 = 0 THEN 'cap-' || doc_id "
+        "         ELSE 'alt-' || doc_id END "
+        "  FROM d WHERE doc_id % 20 = 0), "
+        "bands AS (SELECT image_id, ph, caption, b.band, "
+        "  (ph >> (b.band * 16)) & 65535 AS bh "
+        "  FROM imgs, (SELECT unnest(range(4)) AS band) b), "
+        "pairs AS (SELECT DISTINCT x.image_id AS id_a, y.image_id AS id_b, "
+        "  x.ph AS ha, y.ph AS hb FROM bands x JOIN bands y "
+        "  ON x.band = y.band AND x.bh = y.bh AND x.image_id < y.image_id), "
+        "ham AS (SELECT id_a, id_b, bit_count(xor(ha, hb)) AS hamming "
+        "  FROM pairs WHERE bit_count(xor(ha, hb)) <= 3) "
+        "SELECT h.id_a, h.id_b, CAST(h.hamming AS INT) AS hamming "
+        "FROM ham h JOIN imgs ia ON h.id_a = ia.image_id "
+        "JOIN imgs ib ON h.id_b = ib.image_id "
+        "WHERE ia.caption IS DISTINCT FROM ib.caption"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness gate checks the first
     50 entries, so the newest / recently-changed queries lead and the
@@ -2094,6 +2300,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "phase_fold": _q_phase_fold,
+        "trend_fit": _q_trend_fit,
+        "wcs_fit": _q_wcs_fit,
+        "caption_dedup": _q_caption_dedup,
         "pm_xmatch": _q_pm_xmatch,
         "zone_xmatch": _q_zone_xmatch,
         "periodogram": _q_periodogram,
@@ -2886,6 +3096,10 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "phase_fold": _phase_fold_sql(),
+        "trend_fit": _trend_fit_sql(),
+        "wcs_fit": _wcs_fit_sql(),
+        "caption_dedup": _caption_dedup_sql(),
         "pm_xmatch": _pm_xmatch_sql(),
         "zone_xmatch": (
             # same pair semantics as crossmatch — the oracle is the

@@ -473,15 +473,16 @@ def _validate_bands(band_bits: int, max_hamming: int) -> int:
     return nbands
 
 
-def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
-                         band_bits: int = 16,
-                         max_hamming: int = 3) -> DataFrame:
-    """Higher ids within ``max_hamming`` of a lower id, for ANY int64
-    hash-fingerprint column — the banded-Hamming core shared by
-    simhash_dedup (text) and phash_image_dedup (images). Candidates share
-    at least one of the 64/band_bits bit-bands (guaranteed by pigeonhole
-    when bands > max_hamming — validated), verified by exact JVM
-    bit_count(xor). Shuffle volume O(rows x bands)."""
+def hamming_pairs(hashed: DataFrame, hash_col: str, id_col: str,
+                  band_bits: int = 16,
+                  max_hamming: int = 3) -> DataFrame:
+    """Verified near-duplicate PAIRS (id_a < id_b, hamming <= max) for ANY
+    int64 hash-fingerprint column — the banded-Hamming core shared by
+    simhash_dedup (text), phash_image_dedup (images) and
+    multimodal.caption_conflicts. Candidates share at least one of the
+    64/band_bits bit-bands (guaranteed by pigeonhole when bands >
+    max_hamming — validated), verified by exact JVM bit_count(xor).
+    Shuffle volume O(rows x bands) — only (id, hash) slices move."""
     nbands = _validate_bands(band_bits, max_hamming)
     stacked = hashed.select(
         id_col, F.col(hash_col).alias("_hh"),
@@ -492,7 +493,7 @@ def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
             for b in range(nbands)
         ])).alias("_k"),
     ).select(id_col, "_hh", "_k.band", "_k.bh")
-    pairs = (
+    return (
         _bucket_pairs(stacked, ["band", "bh"], id_col, payload=["_hh"])
         .select(F.col("_a._id").alias("id_a"), F.col("_b._id").alias("id_b"),
                 F.col("_a._hh").alias("h_a"), F.col("_b._hh").alias("h_b"))
@@ -501,4 +502,13 @@ def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
                     F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
+                         band_bits: int = 16,
+                         max_hamming: int = 3) -> DataFrame:
+    """Higher ids within ``max_hamming`` of a lower id (the rows a
+    keep-min-id dedup drops) — :func:`hamming_pairs` reduced to its
+    loser column."""
+    pairs = hamming_pairs(hashed, hash_col, id_col, band_bits, max_hamming)
     return pairs.select(F.col("id_b").alias(id_col)).distinct()

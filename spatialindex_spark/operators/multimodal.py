@@ -201,6 +201,39 @@ def phash_image_dedup(df, phash_col: str = "phash",
     return df.join(losers, id_col, "left_anti")
 
 
+def caption_conflicts(df, phash_col: str = "phash",
+                      caption_col: str = "caption",
+                      id_col: str = "image_id", band_bits: int = 16,
+                      max_hamming: int = 3):
+    """Caption-conflict detection over an image+caption table: pairs of
+    rows whose images are perceptual near-duplicates (phash Hamming <=
+    ``max_hamming`` — i.e. the same picture up to lossy re-encode/resize)
+    but whose CAPTIONS disagree. In a multimodal training corpus these are
+    label conflicts: the same image shipped twice with contradictory text,
+    which near-dup image dedup alone silently keeps one side of. Emits
+    (id_a, id_b, hamming) with id_a < id_b for every conflicted pair.
+
+    Scale shape: the banded-Hamming candidate stage shuffles only
+    (id, phash) slices — never pixels; captions join in AFTER the Hamming
+    verify via two hash-key equi-joins against only the surviving pair
+    ids, so caption text crosses the wire for candidate pairs only (a
+    vanishing fraction of a 10^12-row table)."""
+    from pyspark.sql import functions as F
+
+    from .dedup import hamming_pairs
+
+    hashed = df.select(F.col(id_col), F.col(phash_col))
+    pairs = hamming_pairs(hashed, phash_col, id_col, band_bits, max_hamming)
+    caps = df.select(F.col(id_col), F.col(caption_col))
+    cap_a = caps.select(F.col(id_col).alias("id_a"),
+                        F.col(caption_col).alias("_cap_a"))
+    cap_b = caps.select(F.col(id_col).alias("id_b"),
+                        F.col(caption_col).alias("_cap_b"))
+    return (pairs.join(cap_a, "id_a").join(cap_b, "id_b")
+            .filter(~F.col("_cap_a").eqNullSafe(F.col("_cap_b")))
+            .select("id_a", "id_b", "hamming"))
+
+
 def image_quality_filter(df, w_col: str = "w", h_col: str = "h",
                          nbytes_col: str = "nbytes",
                          min_side: int = 64, max_side: int = 16384,

@@ -298,3 +298,85 @@ def variability_stats(df: DataFrame, key_col: str, t_col: str, y_col: str,
         F.round(var_y, 9).alias("var_y"),
         ((F.col("mx") - F.col("mn")) / F.lit(q)).alias("amp_y"),
         F.round(eta, 9).alias("eta"))
+
+
+def phase_fold(df: DataFrame, key_col: str, t_us_col: str, y_col: str,
+               period_us: int, n_bins: int = 8,
+               y_quant: int = 1000) -> DataFrame:
+    """Phase-folded binned lightcurve at a KNOWN period (the step after
+    :func:`lomb_scargle`/:func:`best_period` finds one): fold each
+    observation's integer-microsecond timestamp at ``period_us``, bin the
+    phase into ``n_bins`` equal bins, and emit per (key, bin) the count,
+    quantized-exact mean and amplitude. The folded profile is the
+    variable-star / exoplanet-transit shape diagnostic.
+
+    Determinism: the bin index is pure int64 arithmetic
+    ``((t % P) * B) div P`` (no float phase ever exists), and y sums are
+    ``y_quant``-quantized int64, so a SQL oracle hash-matches bit-exactly.
+    One partial-agg groupBy (map-side combine) — no window, no join; at
+    100 TB this is a single shuffle of (key, bin) partial sums.
+    """
+    if period_us <= 0 or n_bins <= 0:
+        raise ValueError("period_us and n_bins must be positive")
+    # non-negative-safe fold: pmod keeps t < 0 (pre-epoch) in [0, P);
+    # (phase * B) div P stays well inside int64 for any period <= ~290 ky
+    pbin = F.expr(f"(pmod({t_us_col}, {int(period_us)}) * {int(n_bins)}) "
+                  f"div {int(period_us)}").cast("int")
+    yq = F.round(F.col(y_col) * y_quant).cast("long")
+    g = (df.select(F.col(key_col).alias("key"), pbin.alias("phase_bin"),
+                   yq.alias("_yq"))
+         .groupBy("key", "phase_bin")
+         .agg(F.count(F.lit(1)).alias("n_obs"),
+              F.sum("_yq").alias("_sy"),
+              F.min("_yq").alias("_mn"),
+              F.max("_yq").alias("_mx")))
+    q = float(y_quant)
+    return g.select(
+        "key", "phase_bin", "n_obs",
+        F.round((F.col("_sy") / F.col("n_obs")) / F.lit(q), 9)
+        .alias("mean_y"),
+        ((F.col("_mx") - F.col("_mn")) / F.lit(q)).alias("amp_y"))
+
+
+def linear_fit(df: DataFrame, key_col: str, t_col: str, y_col: str,
+               t_quant_us: int = 3_600_000_000,
+               y_quant: int = 1000) -> DataFrame:
+    """Per-key least-squares linear trend y = slope*t + intercept — the
+    proper-motion / secular-drift fit (reference seed: the multi-epoch
+    position series pm_crossmatch consumes; this is the stage that
+    PRODUCES pm columns from raw epochs). ``t_col`` is integer
+    microseconds; it is floored to ``t_quant_us`` ticks (default 1 h) and
+    y is ``y_quant``-quantized so every sufficient statistic (n, st, sy,
+    stt, sty) is an exact int64 — the closed-form slope/intercept are then
+    deterministic double expressions a SQL oracle replays bit-identically
+    (builtin regr_slope accumulates floats in engine-specific order, so it
+    can NOT be oracle-matched; this formulation can).
+
+    Output slope is in y-units per t-tick, intercept in y-units at t=0.
+    Keys with n < 2 observations or zero t-variance emit NULL fit columns
+    rather than dropping (the caller sees every key it asked about).
+    One partial-agg groupBy — map-side combine, single narrow shuffle.
+    """
+    tq = F.expr(f"{t_col} div {int(t_quant_us)}").cast("long")
+    yq = F.round(F.col(y_col) * y_quant).cast("long")
+    g = (df.select(F.col(key_col).alias("key"), tq.alias("_t"),
+                   yq.alias("_y"))
+         .groupBy("key")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_t").alias("_st"),
+              F.sum("_y").alias("_sy"),
+              F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+              F.sum(F.col("_t") * F.col("_y")).alias("_sty")))
+    n = F.col("n").cast("double")
+    st = F.col("_st").cast("double")
+    sy = F.col("_sy").cast("double")
+    stt = F.col("_stt").cast("double")
+    sty = F.col("_sty").cast("double")
+    den = n * stt - st * st
+    slope_q = (n * sty - st * sy) / den
+    q = float(y_quant)
+    slope = F.when(den != 0, F.round(slope_q / F.lit(q), 9))
+    intercept = F.when(den != 0, F.round(
+        ((sy - slope_q * st) / n) / F.lit(q), 9))
+    return g.select("key", F.col("n").alias("n_obs"),
+                    slope.alias("slope"), intercept.alias("intercept"))

@@ -160,3 +160,26 @@ def test_forced_photometry_matches_numpy(spark):
     assert len(got) >= 2 * n_img  # center + corner targets all matched
     # clipped windows present (corner target) and they disagree with 25
     assert any(npix < (2 * ap + 1) ** 2 for npix, _ in got.values())
+
+
+def test_affine_wcs_fit_recovers_plate_solution(spark):
+    """Stars synthesized through a KNOWN affine WCS are fit back to the
+    same coefficients; degenerate images (too few / collinear stars)
+    yield NULL coefficients instead of garbage."""
+    from spatialindex_spark.operators.detect import affine_wcs_fit
+
+    a, b, c = 0.01, -0.002, 120.0     # ra  = a*u + b*v + c
+    d, e, f = 0.0015, 0.011, -30.0    # dec = d*u + e*v + f
+    rows = []
+    for s in range(8):
+        u, v = (s * 7) % 50, (s * 13) % 40
+        rows.append((1, u, v, a * u + b * v + c, d * u + e * v + f))
+    rows += [(2, 0, 0, 120.0, -30.0), (2, 1, 1, 120.01, -29.99)]  # n<3
+    rows += [(3, i, 2 * i, 120.0 + 0.01 * i, -30.0) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "image_id long, u long, v long, ra double, dec double")
+    got = {r["image_id"]: r for r in affine_wcs_fit(df).collect()}
+    for k, want in zip("abcdef", (a, b, c, d, e, f)):
+        assert abs(got[1][k] - want) < 1e-6, (k, got[1][k], want)
+    assert got[2]["a"] is None and got[2]["n_stars"] == 2
+    assert got[3]["a"] is None  # collinear -> singular normal matrix

@@ -45,3 +45,27 @@ def test_audio_features_distributed(spark):
     pcm = imaging.synth_audio(5)
     assert np.array_equal(
         imaging.decode_audio(imaging.encode_audio(pcm, "pcmz"), "pcmz"), pcm)
+
+
+def test_caption_conflicts(spark):
+    """Near-identical images (phash within 2 bits) with DIFFERENT captions
+    are flagged; the same twin with an identical caption is not."""
+    from spatialindex_spark.operators.multimodal import caption_conflicts
+
+    base = 0x5A5A_1234_ABCD_0F0F
+    rows = [
+        (1, base, "a cat"),
+        (2, base ^ 0b11, "a dog"),        # conflict with 1 (2 bits)
+        (3, base ^ 0b101, "a cat"),       # near-dup of 1, SAME caption
+        (4, base ^ (0xFF << 32), "a cat"),  # far image (8 bits) -> no pair
+        (5, base ^ 1, None),  # null caption differs from any text
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id long, phash long, caption string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in caption_conflicts(df, max_hamming=3).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 2
+    assert (1, 3) not in got            # identical caption: benign dup
+    assert (2, 3) in got                # dog vs cat within 3 bits
+    assert all(4 not in k for k in got)
+    assert (1, 5) in got                # null caption != 'a cat'

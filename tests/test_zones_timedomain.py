@@ -433,3 +433,49 @@ def test_stream_periodogram_across_batches(spark, tmp_path):
     # the planted 1.3 c/d signal dominates the running spectrum too
     for k in (1, 2):
         assert got[(k, 1.3)][1] > max(got[(k, 0.7)][1], got[(k, 2.9)][1])
+
+
+def test_phase_fold_exact_bins(spark):
+    """Folding at a known period: integer phase bins and quantized means
+    match a hand computation; a planted square-wave signal shows up as a
+    two-level folded profile."""
+    from spatialindex_spark.operators.timedomain import phase_fold
+
+    P = 1_000_000  # 1 s period in micros
+    rows = []
+    for i in range(40):
+        t = i * 250_000 + 13  # quarter-period steps -> 4 distinct phases
+        y = 5.0 if (t % P) < P // 2 else 1.0  # square wave in phase
+        rows.append((7, t, y))
+    df = spark.createDataFrame(rows, "key long, t_us long, value double")
+    out = phase_fold(df, "key", "t_us", "value", period_us=P, n_bins=4)
+    got = {r["phase_bin"]: (r["n_obs"], r["mean_y"], r["amp_y"])
+           for r in out.collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0] == (10, 5.0, 0.0) and got[1] == (10, 5.0, 0.0)
+    assert got[2] == (10, 1.0, 0.0) and got[3] == (10, 1.0, 0.0)
+
+
+def test_phase_fold_negative_time(spark):
+    from spatialindex_spark.operators.timedomain import phase_fold
+
+    df = spark.createDataFrame([(1, -250_000, 2.0)],
+                               "key long, t_us long, value double")
+    r = phase_fold(df, "key", "t_us", "value", 1_000_000, 4).collect()[0]
+    assert r["phase_bin"] == 3  # pmod folds pre-epoch times into [0, P)
+
+
+def test_linear_fit_recovers_line(spark):
+    from spatialindex_spark.operators.timedomain import linear_fit
+
+    hour = 3_600_000_000
+    rows = [(1, i * hour, 2.5 * i + 4.0) for i in range(20)]
+    rows += [(2, 0, 9.0)]                       # n=1 -> NULL fit
+    rows += [(3, 5 * hour, 1.0), (3, 5 * hour, 3.0)]  # zero t-variance
+    df = spark.createDataFrame(rows, "key long, t_us long, value double")
+    got = {r["key"]: r for r in
+           linear_fit(df, "key", "t_us", "value").collect()}
+    assert got[1]["slope"] == 2.5 and got[1]["intercept"] == 4.0
+    assert got[2]["slope"] is None and got[2]["intercept"] is None
+    assert got[3]["slope"] is None
+    assert got[1]["n_obs"] == 20
