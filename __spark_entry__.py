@@ -2086,6 +2086,44 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"))
 
 
+def _q_xmatch3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-catalog chained crossmatch (the multi-survey federation
+    pattern: match survey A to B, then carry A's position into a match
+    against catalog C). Two ring-keyed J3 crossmatches back to back —
+    the composition gate proving the operator's output is directly
+    re-matchable without re-ingest. Oracle: two all-pairs trig joins
+    with the (implied) dec-band prefilter so DuckDB can IEJoin."""
+    from spatialindex_spark.operators.joins import crossmatch
+
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    supp = _supplier_sky(spark, sf_dir).select("s_suppkey", "ra", "dec")
+    ab = (crossmatch(cust, supp, radius_deg=1.5)
+          .select(F.col("c_custkey_l").alias("c_custkey"),
+                  F.col("s_suppkey_r").alias("s_suppkey"),
+                  F.col("ra_l").alias("ra"), F.col("dec_l").alias("dec")))
+    orders = _orders_sky(spark, sf_dir).select("o_orderkey", "ra", "dec")
+    abc = crossmatch(ab, orders, radius_deg=0.5)
+    return abc.select(F.col("c_custkey_l").alias("c_custkey"),
+                      F.col("s_suppkey_l").alias("s_suppkey"),
+                      F.col("o_orderkey_r").alias("o_orderkey"))
+
+
+def _xmatch3_sql() -> str:
+    trig = ("cos(radians({a}.dec))*cos(radians({b}.dec))"
+            "*cos(radians({a}.ra)-radians({b}.ra)) "
+            "+ sin(radians({a}.dec))*sin(radians({b}.dec))")
+    return (
+        f"{_CUST_CTE}, "
+        f"osky AS (SELECT o_orderkey, {_SKY_SQL_O} FROM orders), "
+        "ab AS (SELECT c.c_custkey, s.s_suppkey, c.ra, c.dec "
+        "FROM csky c, ssky s WHERE abs(c.dec - s.dec) <= 1.5 AND "
+        + trig.format(a="c", b="s") + " >= cos(radians(1.5))) "
+        "SELECT ab.c_custkey, ab.s_suppkey, o.o_orderkey "
+        "FROM ab, osky o WHERE abs(ab.dec - o.dec) <= 0.5 AND "
+        + trig.format(a="ab", b="o") + " >= cos(radians(0.5))"
+    )
+
+
 def _q_phase_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phase-folded binned lightcurve at a fixed 1-day period
     (operators/timedomain.py:phase_fold): integer phase bins + quantized
@@ -2300,6 +2338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "xmatch3": _q_xmatch3,
         "phase_fold": _q_phase_fold,
         "trend_fit": _q_trend_fit,
         "wcs_fit": _q_wcs_fit,
@@ -3096,6 +3135,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "xmatch3": _xmatch3_sql(),
         "phase_fold": _phase_fold_sql(),
         "trend_fit": _trend_fit_sql(),
         "wcs_fit": _wcs_fit_sql(),

@@ -577,3 +577,64 @@ def stream_periodogram(stream: DataFrame, freqs, key_col: str = "user_id",
                 "n long, sy long, syy long, c1 long, s1 long, yc long, "
                 "ys long, cc long, ss long, cs long", "update",
                 GroupStateTimeout.NoTimeout))
+
+
+def stream_phase_fold(stream: DataFrame, period_us: int, n_bins: int = 8,
+                      key_col: str = "user_id", t_col: str = "t_us",
+                      y_col: str = "value",
+                      y_quant: int = 1000) -> DataFrame:
+    """Stateful streaming phase folding: the cross-batch incremental twin
+    of operators/timedomain.py:phase_fold. Per-key state is four int64
+    arrays of length ``n_bins`` — (n, sum_yq, min_yq, max_yq) per phase
+    bin — so the running folded profile is EXACT at every emission (the
+    phase bin is pure integer arithmetic, identical to the batch
+    operator's ``((t % P) * B) div P``; arrival order is irrelevant
+    because per-bin sums are order-free). State is 32*n_bins bytes per
+    object regardless of history length: a survey can maintain live
+    folded lightcurves for every known periodic object on an unbounded
+    detection stream. Every micro-batch emits the key's full non-empty
+    profile (outputMode update keeps the latest per (key, bin))."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    P, B = int(period_us), int(n_bins)
+    q = float(y_quant)
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            ns, sys_, mns, mxs = (list(x) for x in state.get)
+        else:
+            ns = [0] * B
+            sys_ = [0] * B
+            mns = [None] * B
+            mxs = [None] * B
+        tq = pdf[t_col].astype("int64")
+        bins = ((tq % P + P) % P) * B // P
+        yqs = (pdf[y_col] * y_quant).round().astype("int64")
+        for b, v in zip(bins, yqs):
+            b, v = int(b), int(v)
+            ns[b] += 1
+            sys_[b] += v
+            mns[b] = v if mns[b] is None else min(mns[b], v)
+            mxs[b] = v if mxs[b] is None else max(mxs[b], v)
+        state.update((ns, sys_, mns, mxs))
+        out = {key_col: [], "phase_bin": [], "n_obs": [], "mean_y": [],
+               "amp_y": []}
+        for b in range(B):
+            if ns[b] == 0:
+                continue
+            out[key_col].append(key[0])
+            out["phase_bin"].append(b)
+            out["n_obs"].append(ns[b])
+            out["mean_y"].append(round((sys_[b] / ns[b]) / q, 9))
+            out["amp_y"].append((mxs[b] - mns[b]) / q)
+        yield pd.DataFrame(out)
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(
+                update,
+                f"{key_col} long, phase_bin int, n_obs long, "
+                "mean_y double, amp_y double",
+                "ns array<long>, sys array<long>, mns array<long>, "
+                "mxs array<long>", "update", GroupStateTimeout.NoTimeout))

@@ -479,3 +479,47 @@ def test_linear_fit_recovers_line(spark):
     assert got[2]["slope"] is None and got[2]["intercept"] is None
     assert got[3]["slope"] is None
     assert got[1]["n_obs"] == 20
+
+
+def test_stream_phase_fold_across_batches(spark, tmp_path):
+    """Final streaming emissions == batch phase_fold on the union of two
+    micro-batches (exact integer state; arrival order irrelevant)."""
+    import random
+
+    from spatialindex_spark.operators.timedomain import phase_fold
+    from spatialindex_spark.streaming.ingest import stream_phase_fold
+
+    P = 86_400_000_000
+    rng = random.Random(11)
+    batch1, batch2 = [], []
+    for k in (1, 2):
+        for i in range(50):
+            t = rng.randrange(0, 40 * P)
+            y = round(rng.uniform(-3, 9), 3)
+            (batch1 if i < 30 else batch2).append((k, t, y))
+    src = str(tmp_path / "pf_in")
+    schema = "user_id long, t_us long, value double"
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_phase_fold(stream, P, n_bins=8)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_pf").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY "
+            "user_id, phase_bin ORDER BY n_obs DESC) AS rk FROM t_pf) "
+            "WHERE rk = 1").collect()
+        got = {(r["user_id"], r["phase_bin"]):
+               (r["n_obs"], r["mean_y"], r["amp_y"]) for r in rows}
+    finally:
+        q.stop()
+    want = {(r["key"], r["phase_bin"]): (r["n_obs"], r["mean_y"], r["amp_y"])
+            for r in phase_fold(
+                spark.createDataFrame(batch1 + batch2, schema),
+                "user_id", "t_us", "value", P, n_bins=8).collect()}
+    assert got == want
