@@ -609,6 +609,23 @@ def main():
                   "host_state": scaling["host_state"],
                   "pair_status": scaling["pair_status"],
                   "n_attempts": len(scaling["attempts"])}
+        # real multi-executor evidence (separate JVMs, --py-files zip):
+        # measured by scripts/cluster_scale_probe.py, cited here with its
+        # provenance — re-run the probe to refresh (kept out of the
+        # in-bench path so the driver's bench run stays time-bounded).
+        cpath = os.path.join("bench_artifacts", "cluster_scaling.json")
+        if os.path.exists(cpath):
+            try:
+                with open(cpath) as fh:
+                    cs = json.load(fh)
+                if "efficiency_execs_1_to_4" in cs:
+                    scal_c["execs_1_to_4"] = {
+                        "efficiency": cs["efficiency_execs_1_to_4"],
+                        "clean_pairs": cs["clean_pairs"],
+                        "source": "cluster_scale_probe artifact",
+                        "recorded_unix": int(os.path.getmtime(cpath))}
+            except (json.JSONDecodeError, OSError):
+                pass
     out = {
         "metric": "spatial_join_tile_assignment",
         "value": results["spatial_join_tiles"],
