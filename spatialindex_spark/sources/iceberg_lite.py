@@ -72,6 +72,10 @@ class IcebergLiteTable:
         # appends from racing resumers could tear jsonl lines; rename is
         # atomic on POSIX and on object stores with atomic rename)
         self.lineage_dir = os.path.join(self.meta_dir, "lineage.d")
+        # streaming appends: data-stream/batch=<id>/bucket=<k>/*.parquet
+        # plus one atomic marker per micro-batch (metadata/batches.d)
+        self.stream_dir = os.path.join(path, "data-stream")
+        self.batches_dir = os.path.join(self.meta_dir, "batches.d")
 
     # -- bucket math --------------------------------------------------------
     def bucket_expr(self):
@@ -263,6 +267,7 @@ class IcebergLiteTable:
 
     def commit_snapshot(self, data_rel: str | None = None) -> dict:
         done = self.committed_buckets()
+        batches = self.committed_batches()
         cur = self._snapshot_meta()
         snap_n = cur["snapshot"] + 1 if cur else 0
         if data_rel is None:
@@ -277,7 +282,9 @@ class IcebergLiteTable:
             "level": self.level,
             "num_buckets": self.num_buckets,
             "buckets": sorted(done),
-            "total_rows": sum(r["row_count"] for r in done.values()),
+            "batches": sorted(batches),
+            "total_rows": sum(r["row_count"] for r in done.values())
+            + sum(b["row_count"] for b in batches.values()),
             "manifest": [done[b] for b in sorted(done)],
             "data_rel": data_rel,
         }
@@ -296,6 +303,111 @@ class IcebergLiteTable:
                 os.fsync(f.fileno())
             os.replace(tmp, final)
         return snapshot
+
+    # -- streaming append (exactly-once micro-batch sink) --------------------
+    def committed_batches(self) -> dict[int, dict]:
+        """Batch markers (one per committed micro-batch), keyed by id."""
+        out = {}
+        if os.path.isdir(self.batches_dir):
+            for name in os.listdir(self.batches_dir):
+                if name.startswith("batch-") and name.endswith(".json"):
+                    with open(os.path.join(self.batches_dir, name)) as f:
+                        row = json.load(f)
+                    out[int(row["batch_id"])] = row
+        return out
+
+    def append_batch(self, df: DataFrame, batch_id: int) -> dict:
+        """EXACTLY-ONCE micro-batch append — the Structured Streaming sink
+        primitive (use :func:`stream_write` for the foreachBatch wiring).
+
+        Protocol: if this batch's marker exists, return it unchanged (a
+        foreachBatch RETRY after a sink/driver crash replays the same
+        batch_id — the idempotence check makes the replay a no-op, which
+        is what turns at-least-once replay into exactly-once table
+        state). Otherwise any unmarked ``data-stream/batch=<id>`` dir is
+        crash debris from a half-appended attempt and is deleted, the
+        batch stages into a private dir, ONE atomic directory rename
+        publishes all its files, and the batch marker (per-bucket rows /
+        cell ranges / additive crc checksum) lands last with an atomic
+        replace. The marker is the single mutation readers trust:
+        :meth:`read` shows only marked batches, so a half-appended batch
+        is invisible, and :meth:`stat_pruned_buckets` derives per-bucket
+        stats from bulk markers + batch markers (nothing is widened in
+        place, so a crash between rename and marker cannot double-count).
+        """
+        import fcntl
+        import shutil
+        import uuid
+
+        os.makedirs(self.meta_dir, exist_ok=True)
+        with open(os.path.join(self.meta_dir, "write.lock"), "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                existing = self.committed_batches().get(int(batch_id))
+                if existing is not None:
+                    return existing
+                bdir = os.path.join(self.stream_dir, f"batch={int(batch_id)}")
+                if os.path.isdir(bdir):     # rename landed, marker did not
+                    shutil.rmtree(bdir)
+                stage = os.path.join(self.path,
+                                     f".stage-batch-{uuid.uuid4().hex}")
+                part = df.withColumn("bucket", self.bucket_expr())
+                (part.sortWithinPartitions("bucket", self.cell_col)
+                     .write.mode("overwrite").partitionBy("bucket")
+                     .parquet(stage))
+                spark = df.sparkSession
+                staged = [d for d in os.listdir(stage)
+                          if d.startswith("bucket=")]
+                stats = []
+                if staged:
+                    for r in (spark.read.parquet(stage).groupBy("bucket")
+                              .agg(F.count(F.lit(1)).alias("row_count"),
+                                   F.min(self.cell_col).alias("cell_min"),
+                                   F.max(self.cell_col).alias("cell_max"),
+                                   F.sum(F.crc32(F.col(self.cell_col)
+                                                 .cast("string")))
+                                   .alias("checksum"))
+                              .collect()):
+                        stats.append({
+                            "bucket": int(r["bucket"]),
+                            "row_count": int(r["row_count"]),
+                            "cell_min": int(r["cell_min"]),
+                            "cell_max": int(r["cell_max"]),
+                            "checksum": int(r["checksum"])})
+                    os.makedirs(self.stream_dir, exist_ok=True)
+                    os.rename(stage, bdir)  # one rename publishes the batch
+                else:
+                    shutil.rmtree(stage, ignore_errors=True)
+                marker = {"batch_id": int(batch_id),
+                          "row_count": sum(s["row_count"] for s in stats),
+                          "buckets": stats, "ts": time.time()}
+                os.makedirs(self.batches_dir, exist_ok=True)
+                final = os.path.join(self.batches_dir,
+                                     f"batch-{int(batch_id)}.json")
+                tmp = final + f".tmp-{os.getpid()}"
+                with open(tmp, "w") as f:
+                    f.write(json.dumps(marker))
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.replace(tmp, final)
+                self.commit_snapshot()
+                return marker
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
+
+    def stream_write(self, stream_df: DataFrame, checkpoint: str,
+                     trigger: dict | None = None):
+        """Structured Streaming sink: every micro-batch lands as one
+        exactly-once :meth:`append_batch` commit (foreachBatch replays
+        carry the same batch_id; the marker check absorbs them). Returns
+        the started StreamingQuery."""
+        writer = (stream_df.writeStream
+                  .foreachBatch(lambda bdf, bid: self.append_batch(bdf, bid)
+                                and None)
+                  .option("checkpointLocation", checkpoint))
+        if trigger:
+            writer = writer.trigger(**trigger)
+        return writer.start()
 
     # -- maintenance ---------------------------------------------------------
     def compact(self, spark: SparkSession) -> dict:
@@ -368,9 +480,30 @@ class IcebergLiteTable:
         snap = self._snapshot_meta(snapshot)
         data_rel = snap.get("data_rel", "data") if snap else "data"
         data_dir = os.path.join(self.path, data_rel)
-        df = spark.read.option("basePath", data_dir).parquet(data_dir)
+        df = None
+        if os.path.isdir(data_dir):    # absent for stream-only tables
+            df = spark.read.option("basePath", data_dir).parquet(data_dir)
+            if snapshot is not None:
+                df = df.filter(
+                    F.col("bucket").isin([int(b) for b in snap["buckets"]]))
+        # streaming appends: only MARKED batches are visible (a
+        # half-appended batch has files but no marker and never reads);
+        # time travel restricts to the batch ids the snapshot recorded —
+        # `batch` is a partition column, so the isin prunes directories.
         if snapshot is not None:
-            df = df.filter(F.col("bucket").isin([int(b) for b in snap["buckets"]]))
+            vis = [int(b) for b in snap.get("batches", [])]
+        else:
+            vis = sorted(self.committed_batches())
+        if os.path.isdir(self.stream_dir):
+            sdf = (spark.read.option("basePath", self.stream_dir)
+                   .parquet(self.stream_dir)
+                   .filter(F.col("batch").isin(vis or [-1]))
+                   .drop("batch"))
+            df = sdf if df is None else df.unionByName(sdf)
+        if df is None:
+            raise FileNotFoundError(
+                f"table {self.path} has no committed data (no {data_rel}/ "
+                "and no stream batches)")
         if ranges:
             from ..functions.cover import ranges_predicate
 
@@ -384,17 +517,33 @@ class IcebergLiteTable:
         range is skipped even though its nominal cell space overlaps —
         sparse sky regions leave buckets far narrower than their hash
         span. Unknown (not-yet-committed) buckets are kept, so a read
-        during a half-finished write never silently narrows."""
+        during a half-finished write never silently narrows. Streaming
+        appends are merged IN-DERIVATION (bulk markers are never widened
+        in place): each committed batch marker contributes its per-bucket
+        cell ranges, so a bucket whose bulk range misses a query but
+        whose appended rows hit it is correctly kept."""
         done = self.committed_buckets()
+        stream_stats: dict[int, list[dict]] = {}
+        for b in self.committed_batches().values():
+            for s in b.get("buckets", []):
+                stream_stats.setdefault(int(s["bucket"]), []).append(s)
         keep = []
         for b in self.buckets_for_ranges(ranges):
             st = done.get(b)
+            spans = []
+            if st is not None and st["row_count"] > 0 \
+                    and st["cell_min"] is not None:
+                spans.append((int(st["cell_min"]), int(st["cell_max"])))
+            spans += [(int(s["cell_min"]), int(s["cell_max"]))
+                      for s in stream_stats.get(b, [])]
             if st is None:
-                keep.append(b)          # no lineage: cannot prune safely
+                # no bulk lineage: a bulk write may be in flight for this
+                # bucket regardless of stream stats — cannot prune safely
+                keep.append(b)
                 continue
-            if st["row_count"] == 0 or st["cell_min"] is None:
+            if not spans:
                 continue                # committed empty: nothing to read
-            if any(int(lo) <= st["cell_max"] and int(hi) >= st["cell_min"]
-                   for lo, hi in ranges):
+            if any(int(lo) <= mx and int(hi) >= mn
+                   for lo, hi in ranges for mn, mx in spans):
                 keep.append(b)
         return keep

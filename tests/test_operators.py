@@ -1786,3 +1786,94 @@ def test_default_constraint_splice_base4(spark):
                              spt_ind="hpx", spt_encoding="base4")
     with pytest.raises(ValueError):
         with_spatial_columns(base, level=7, spt_encoding="base16")
+
+
+def test_iceberg_stream_append_exactly_once(spark, tmp_path):
+    """Micro-batch appends: exactly-once under foreachBatch-style replay,
+    half-appended batches invisible, batch-level time travel, and
+    stat-pruning that sees appended cell ranges without mutating bulk
+    lineage."""
+    import os
+    import shutil
+
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    allrows = synth_images_indexed(spark, 500, level=7, systems=("htm",))
+    idn = F.substring("image_id", 4, 15).cast("long")
+    base = allrows.filter(idn < 400)
+    b1 = allrows.filter((idn >= 400) & (idn < 460))
+    b2 = allrows.filter(idn >= 460)
+    t = IcebergLiteTable(str(tmp_path / "tab"), num_buckets=8)
+    t.write(base)
+    snap_base = t._snapshot_meta()["snapshot"]
+
+    m1 = t.append_batch(b1.select(*base.columns), 0)
+    snap_b1 = t._snapshot_meta()["snapshot"]
+    m2 = t.append_batch(b2.select(*base.columns), 1)
+    assert m1["row_count"] == 60 and m2["row_count"] == 40
+    assert t.read(spark).count() == 500
+
+    # replayed batch id (foreachBatch retry) is a no-op
+    again = t.append_batch(b1.select(*base.columns), 0)
+    assert again == m1
+    assert t.read(spark).count() == 500
+
+    # time travel: pre-append snapshot sees only the bulk table; the
+    # post-batch-1 snapshot sees exactly base + batch 1
+    assert t.read(spark, snapshot=snap_base).count() == 400
+    assert t.read(spark, snapshot=snap_b1).count() == 460
+
+    # half-appended batch (files, no marker) is invisible and cleaned up
+    # by the retry
+    bdir = os.path.join(t.stream_dir, "batch=7")
+    shutil.copytree(os.path.join(t.stream_dir, "batch=0"), bdir)
+    assert t.read(spark).count() == 500
+    t.append_batch(b2.select(*base.columns), 7)
+    assert t.read(spark).count() == 540
+
+    # stat pruning sees appended cells: query exactly one appended row's
+    # cell; its bucket must be kept and the row found
+    row = b1.select("spt_ind").orderBy("spt_ind").first()
+    cell = int(row["spt_ind"])
+    got = t.read(spark, ranges=[[cell, cell]])
+    gidn = F.substring("image_id", 4, 15).cast("long")
+    assert got.filter((gidn >= 400) & (gidn < 460)).count() >= 1
+
+
+def test_iceberg_stream_write_end_to_end(spark, tmp_path):
+    """readStream -> stream_write(foreachBatch sink) -> table: every
+    micro-batch is one marked commit; the table equals the union of the
+    inputs and time travel replays the ingest history batch by batch."""
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    allrows = synth_images_indexed(spark, 300, level=7, systems=("htm",))
+    idn = F.substring("image_id", 4, 15).cast("long")
+    src = str(tmp_path / "stream_src")
+    allrows.filter(idn < 200).coalesce(1).write.parquet(src)
+
+    t = IcebergLiteTable(str(tmp_path / "stab"), num_buckets=8)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = t.stream_write(stream, checkpoint=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        n1 = t.read(spark).count()
+        assert n1 == 200
+        allrows.filter(idn >= 200).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        assert t.read(spark).count() == 300
+    finally:
+        q.stop()
+    batches = t.committed_batches()
+    assert len(batches) == 2 and sum(
+        b["row_count"] for b in batches.values()) == 300
+    # per-batch time travel: the snapshot committed right after batch 0
+    snaps = sorted(int(k.split("-")[1].split(".")[0])
+                   for k in __import__("os").listdir(t.meta_dir)
+                   if k.startswith("snapshot-"))
+    counts = sorted(t.read(spark, snapshot=s2).count() for s2 in snaps)
+    assert counts[0] == 0 or counts[0] == 200  # pre- or post-batch-0
+    assert counts[-1] == 300
