@@ -87,6 +87,63 @@ def write_clustered(df: DataFrame, path: str, cell_col: str = "spt_ind",
     cluster_by_cell(df, cell_col, num_partitions).write.mode(mode).parquet(path)
 
 
+def zorder_col(cell, tbucket, cell_bits: int = 20, t_bits: int = 20):
+    """MSB-ALIGNED bit interleave of two long Columns into one Z-value —
+    the reference's P6 bit interleave (healpix spread_bits) lifted to a
+    pure-JVM Column expression, with one crucial difference: each
+    column's TOP bit (bit cell_bits-1 / t_bits-1) lands in the top
+    interleave level regardless of the widths differing. A naive LSB
+    interleave of a 9-bit cell with a 6-bit day counter puts three pure
+    cell bits above the first live time bit, so the top of the sort
+    order degenerates to cell-only and time predicates stop pruning —
+    pass each column's ACTUAL magnitude in bits. Total bits must be
+    <= 62."""
+    if cell_bits + t_bits > 62:
+        raise ValueError("cell_bits + t_bits must be <= 62")
+    z = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    pos = cell_bits + t_bits
+    for i in range(max(cell_bits, t_bits)):
+        if i < cell_bits:
+            pos -= 1
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftrightunsigned(cell, cell_bits - 1 - i)
+                .bitwiseAND(one), pos))
+        if i < t_bits:
+            pos -= 1
+            z = z.bitwiseOR(F.shiftleft(
+                F.shiftrightunsigned(tbucket, t_bits - 1 - i)
+                .bitwiseAND(one), pos))
+    return z
+
+
+def cluster_by_cell_time(df: DataFrame, cell_col: str = "spt_ind",
+                         t_col: str = "t_us",
+                         t_bucket_us: int = 86_400_000_000,
+                         cell_bits: int = 20, t_bits: int = 16,
+                         num_partitions: int | None = None,
+                         keep_z: bool = True) -> DataFrame:
+    """Two-dimensional Z-order clustering for TIME-DOMAIN tables: range-
+    partition + sort by interleave(cell, time_bucket), so a written
+    table's parquet row-group min/max stats are tight in BOTH columns
+    and the survey's canonical query — sky region AND epoch window —
+    prunes row groups on both predicates. Cell-only clustering leaves
+    every row group spanning the full time axis (a time cut reads
+    everything); time-only clustering does the reverse. The Z-curve
+    bounds both extents per row group at the cost of a ~2x looser cell
+    extent than pure cell sort — the classic locality trade, measured in
+    test_zorder_cell_time_rowgroup_pruning."""
+    tb = (F.col(t_col).cast("long") / F.lit(int(t_bucket_us))).cast("long")
+    df = df.withColumn("_z", zorder_col(F.col(cell_col).cast("long"),
+                                        tb, cell_bits, t_bits))
+    if num_partitions:
+        df = df.repartitionByRange(num_partitions, F.col("_z"))
+    else:
+        df = df.repartitionByRange(F.col("_z"))
+    df = df.sortWithinPartitions("_z")
+    return df if keep_z else df.drop("_z")
+
+
 def write_bucketed(df: DataFrame, table: str, key_col: str,
                    num_buckets: int = 32, mode: str = "overwrite") -> None:
     """Write a BUCKETED table on the join key (Spark bucketBy + sortBy):
