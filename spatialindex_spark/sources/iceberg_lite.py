@@ -265,7 +265,8 @@ class IcebergLiteTable:
                                f"snapshot-{snapshot}.json")) as f:
             return json.load(f)
 
-    def commit_snapshot(self, data_rel: str | None = None) -> dict:
+    def commit_snapshot(self, data_rel: str | None = None,
+                        folded_through: int | None = None) -> dict:
         done = self.committed_buckets()
         batches = self.committed_batches()
         cur = self._snapshot_meta()
@@ -274,6 +275,11 @@ class IcebergLiteTable:
             # inherit the current generation dir (a compaction moved it);
             # legacy snapshots without the key read the original "data"
             data_rel = cur.get("data_rel", "data") if cur else "data"
+        if folded_through is None:
+            # inherit the fold watermark: batch ids <= it are physically
+            # folded into the generation dir and must not re-union
+            folded_through = cur.get("folded_through", -1) if cur else -1
+        live = {i: b for i, b in batches.items() if i > folded_through}
         snapshot = {
             "snapshot": snap_n,
             "table": self.path,
@@ -282,9 +288,10 @@ class IcebergLiteTable:
             "level": self.level,
             "num_buckets": self.num_buckets,
             "buckets": sorted(done),
-            "batches": sorted(batches),
+            "batches": sorted(live),
+            "folded_through": folded_through,
             "total_rows": sum(r["row_count"] for r in done.values())
-            + sum(b["row_count"] for b in batches.values()),
+            + sum(b["row_count"] for b in live.values()),
             "manifest": [done[b] for b in sorted(done)],
             "data_rel": data_rel,
         }
@@ -439,7 +446,7 @@ class IcebergLiteTable:
             fcntl.flock(lockf, fcntl.LOCK_EX)
             try:
                 done = self.committed_buckets()
-                if sorted(done) != list(range(self.num_buckets)):
+                if done and sorted(done) != list(range(self.num_buckets)):
                     raise RuntimeError(
                         f"compact: table has {len(done)}/{self.num_buckets} "
                         "committed buckets; finish (or resume) the write "
@@ -447,7 +454,26 @@ class IcebergLiteTable:
                 cur = self._snapshot_meta()
                 src_rel = cur.get("data_rel", "data") if cur else "data"
                 src = os.path.join(self.path, src_rel)
-                df = spark.read.option("basePath", src).parquet(src)
+                df = None
+                if os.path.isdir(src):      # absent for stream-only tables
+                    df = spark.read.option("basePath", src).parquet(src)
+                # FOLD streaming batches: every batch visible at this
+                # moment joins the new generation; the snapshot's
+                # folded_through watermark stops them re-unioning on read
+                # (batch markers stay forever, so append idempotence is
+                # unaffected). Pre-fold snapshots still union their own
+                # batch lists against their own generation dirs.
+                folded = cur.get("folded_through", -1) if cur else -1
+                vis = [i for i in sorted(self.committed_batches())
+                       if i > folded]
+                if vis and os.path.isdir(self.stream_dir):
+                    sdf = (spark.read.option("basePath", self.stream_dir)
+                           .parquet(self.stream_dir)
+                           .filter(F.col("batch").isin(vis)).drop("batch"))
+                    df = sdf if df is None else df.unionByName(sdf)
+                if df is None:
+                    raise RuntimeError("compact: table has no data")
+                new_folded = max(vis) if vis else folded
                 stage = os.path.join(self.path, f".stage-{uuid.uuid4().hex}")
                 # sort by (bucket, cell): the dynamic-partition writer
                 # requires a bucket ordering and would otherwise re-sort
@@ -462,7 +488,40 @@ class IcebergLiteTable:
                 if os.path.isdir(dst):      # crashed previous compaction
                     shutil.rmtree(dst)
                 os.rename(stage, dst)       # atomic claim, like write()
-                return self.commit_snapshot(data_rel=new_rel)
+                if vis:
+                    # folded rows change bucket CONTENT: recompute the
+                    # bucket lineage from the new generation. A crash
+                    # here leaves markers wider than the still-current
+                    # old snapshot — pruning stays sound (wider = keep
+                    # more) and the re-run recomputes identical content.
+                    stats = (spark.read.option("basePath", dst).parquet(dst)
+                             .groupBy("bucket")
+                             .agg(F.count(F.lit(1)).alias("row_count"),
+                                  F.min(self.cell_col).alias("cell_min"),
+                                  F.max(self.cell_col).alias("cell_max"),
+                                  F.sum(F.crc32(F.col(self.cell_col)
+                                                .cast("string")))
+                                  .alias("checksum"))
+                             .collect())
+                    seen = set()
+                    for r in stats:
+                        seen.add(int(r["bucket"]))
+                        self._commit_bucket({
+                            "bucket": int(r["bucket"]),
+                            "row_count": int(r["row_count"]),
+                            "cell_min": int(r["cell_min"]),
+                            "cell_max": int(r["cell_max"]),
+                            "checksum": int(r["checksum"]),
+                            "status": "committed", "ts": time.time()})
+                    for b in range(self.num_buckets):
+                        if b not in seen:
+                            self._commit_bucket({
+                                "bucket": b, "row_count": 0,
+                                "cell_min": None, "cell_max": None,
+                                "checksum": 0, "status": "committed",
+                                "ts": time.time()})
+                return self.commit_snapshot(data_rel=new_rel,
+                                            folded_through=new_folded)
             finally:
                 fcntl.flock(lockf, fcntl.LOCK_UN)
 
@@ -493,7 +552,11 @@ class IcebergLiteTable:
         if snapshot is not None:
             vis = [int(b) for b in snap.get("batches", [])]
         else:
-            vis = sorted(self.committed_batches())
+            # batch markers are the commit point (a marker may exist whose
+            # snapshot write crashed), but folded batches live inside the
+            # generation dir and must not re-union
+            folded = snap.get("folded_through", -1) if snap else -1
+            vis = [i for i in sorted(self.committed_batches()) if i > folded]
         if os.path.isdir(self.stream_dir):
             sdf = (spark.read.option("basePath", self.stream_dir)
                    .parquet(self.stream_dir)

@@ -1877,3 +1877,54 @@ def test_iceberg_stream_write_end_to_end(spark, tmp_path):
     counts = sorted(t.read(spark, snapshot=s2).count() for s2 in snaps)
     assert counts[0] == 0 or counts[0] == 200  # pre- or post-batch-0
     assert counts[-1] == 300
+
+
+def test_iceberg_compact_folds_stream_batches(spark, tmp_path):
+    """Compaction folds committed stream batches into the new generation:
+    same rows through one sorted file per bucket, folded batches never
+    re-union (folded_through watermark), replaying a folded batch id is
+    still a no-op, pre-fold snapshots still read their own layout, and
+    post-fold appends keep working."""
+    import glob
+
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    allrows = synth_images_indexed(spark, 500, level=7, systems=("htm",))
+    idn = F.substring("image_id", 4, 15).cast("long")
+    base = allrows.filter(idn < 300)
+    b1 = allrows.filter((idn >= 300) & (idn < 400))
+    b2 = allrows.filter((idn >= 400) & (idn < 450))
+    b3 = allrows.filter(idn >= 450)
+
+    t = IcebergLiteTable(str(tmp_path / "tab"), num_buckets=8)
+    t.write(base)
+    t.append_batch(b1.select(*base.columns), 0)
+    t.append_batch(b2.select(*base.columns), 1)
+    pre_fold_snap = t._snapshot_meta()["snapshot"]
+    n_files_before = len(glob.glob(f"{t.path}/data*/**/*.parquet",
+                                   recursive=True))
+
+    snap = t.compact(spark)
+    assert snap["folded_through"] == 1
+    assert snap["batches"] == []
+    assert snap["total_rows"] == 450
+    assert t.read(spark).count() == 450
+    # one file per bucket in the new generation
+    gen = glob.glob(f"{t.path}/{snap['data_rel']}/bucket=*/**.parquet")
+    assert 0 < len(gen) <= 8 < n_files_before
+
+    # replaying a FOLDED batch id is still a no-op
+    t.append_batch(b1.select(*base.columns), 0)
+    assert t.read(spark).count() == 450
+
+    # pre-fold time travel reads the old layout
+    assert t.read(spark, snapshot=pre_fold_snap).count() == 450
+
+    # post-fold appends land and stat pruning still finds appended cells
+    t.append_batch(b3.select(*base.columns), 2)
+    assert t.read(spark).count() == 500
+    cell = int(b3.select("spt_ind").orderBy("spt_ind").first()["spt_ind"])
+    got = t.read(spark, ranges=[[cell, cell]])
+    gidn = F.substring("image_id", 4, 15).cast("long")
+    assert got.filter(gidn >= 450).count() >= 1
