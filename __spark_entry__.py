@@ -2086,6 +2086,57 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"))
 
 
+def _q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The storage layer under the driver gate: orders_sky lands in an
+    Iceberg-lite table as a bulk write PLUS two exactly-once stream
+    appends (sources/iceberg_lite.py), then a cone query reads it back
+    through bucket pruning + lineage-stat pruning + the covering
+    predicate + the exact geometry filter. The oracle is pure-geometry
+    SQL over the source rows — any torn append, lost bucket, wrong
+    watermark, or unsound prune shows up as a row diff."""
+    import tempfile
+
+    from spatialindex_spark.functions.constraints import SpatialIndex
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+
+    df = _orders_sky(spark, sf_dir).select(
+        "o_orderkey", "ra", "dec", "x", "y", "z",
+        F.col("htm7").alias("spt_ind"))
+    t = IcebergLiteTable(tempfile.mkdtemp(prefix="spx_tblrt_"),
+                         num_buckets=8)
+    k = F.col("o_orderkey") % 10
+    t.write(df.filter(k <= 7))
+    t.append_batch(df.filter(k == 8), 0)
+    t.append_batch(df.filter(k == 9), 1)
+
+    c = SpatialIndex().cone_search(TBL_CONE_RA, TBL_CONE_DEC, TBL_CONE_RAD,
+                                   mode=0, level=7, as_constraints=True)
+    back = t.read(spark, ranges=[[int(lo), int(hi)] for lo, hi in c.ranges])
+    v = sc_to_v3(TBL_CONE_RA, TBL_CONE_DEC)
+    import math as _m
+
+    cosr = _m.cos(_m.radians(TBL_CONE_RAD))
+    exact = (F.col("x") * float(v.x) + F.col("y") * float(v.y)
+             + F.col("z") * float(v.z)) >= cosr
+    return back.filter(exact).select("o_orderkey")
+
+
+TBL_CONE_RA, TBL_CONE_DEC, TBL_CONE_RAD = 200.0, 35.0, 9.0
+
+
+def _table_roundtrip_sql() -> str:
+    import math as _m
+
+    v = sc_to_v3(TBL_CONE_RA, TBL_CONE_DEC)
+    cosr = _m.cos(_m.radians(TBL_CONE_RAD))
+    return (
+        f"WITH o AS (SELECT o_orderkey, {_SKY_SQL_O} FROM orders), "
+        f"oxyz AS (SELECT o_orderkey, {_XYZ_SQL} FROM o) "
+        f"SELECT o_orderkey FROM oxyz WHERE "
+        f"({v.x!r})*x + ({v.y!r})*y + ({v.z!r})*z >= {cosr!r}"
+    )
+
+
 def _q_xmatch3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-catalog chained crossmatch (the multi-survey federation
     pattern: match survey A to B, then carry A's position into a match
@@ -2338,6 +2389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "table_roundtrip": _q_table_roundtrip,
         "xmatch3": _q_xmatch3,
         "phase_fold": _q_phase_fold,
         "trend_fit": _q_trend_fit,
@@ -3135,6 +3187,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "table_roundtrip": _table_roundtrip_sql(),
         "xmatch3": _xmatch3_sql(),
         "phase_fold": _phase_fold_sql(),
         "trend_fit": _trend_fit_sql(),
