@@ -2086,6 +2086,51 @@ def _q_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.col("w.start").alias("win_start"), "event_type", "n", "sum_value"))
 
 
+def _q_para_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup signal (operators/dedup.py:
+    paragraph_dup_fraction — RefinedWeb/CCNet-style): documents are
+    augmented into multi-paragraph form with PLANTED cross-document
+    shared paragraphs (7 classes + a tail every 5th doc), and the
+    operator's two-xxhash64 duplicate marking must equal the oracle's
+    TRUE string-equality computation — the oracle gates the hash-pair
+    proxy itself."""
+    from spatialindex_spark.operators.dedup import paragraph_dup_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit("\n\n"),
+            F.concat(F.lit("shared-"), (F.col("doc_id") % 7)), F.lit("\n\n"),
+            F.substring("text", 41, 40),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("\n\nshared-tail"))
+            .otherwise(F.lit(""))).alias("text"))
+    return paragraph_dup_fraction(aug)
+
+
+def _para_dedup_sql() -> str:
+    return (
+        "WITH aug AS (SELECT doc_id, "
+        "  text[1:40] || chr(10) || chr(10) || "
+        "  'shared-' || (doc_id % 7) || chr(10) || chr(10) || "
+        "  text[41:80] || "
+        "  CASE WHEN doc_id % 5 = 0 THEN chr(10)||chr(10)||'shared-tail' "
+        "       ELSE '' END AS text FROM documents), "
+        "p AS (SELECT doc_id, unnest(string_split_regex(text, "
+        "  '\\n{2,}|\\r\\n\\r\\n')) AS para FROM aug), "
+        "n AS (SELECT doc_id, "
+        "  lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS pn "
+        "  FROM p), "
+        "f AS (SELECT doc_id, pn FROM n WHERE length(pn) >= 1), "
+        "d AS (SELECT pn, count(DISTINCT doc_id) AS ndocs FROM f "
+        "  GROUP BY pn) "
+        "SELECT f.doc_id, count(*) AS n_paras, "
+        "  sum((d.ndocs > 1)::INT)::BIGINT AS n_dup_paras, "
+        "  round(sum((d.ndocs > 1)::INT)::BIGINT / count(*), 9) AS dup_frac "
+        "FROM f JOIN d ON f.pn = d.pn GROUP BY f.doc_id"
+    )
+
+
 def _q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The storage layer under the driver gate: orders_sky lands in an
     Iceberg-lite table as a bulk write PLUS two exactly-once stream
@@ -2389,6 +2434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "para_dedup": _q_para_dedup,
         "table_roundtrip": _q_table_roundtrip,
         "xmatch3": _q_xmatch3,
         "phase_fold": _q_phase_fold,
@@ -3187,6 +3233,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "para_dedup": _para_dedup_sql(),
         "table_roundtrip": _table_roundtrip_sql(),
         "xmatch3": _xmatch3_sql(),
         "phase_fold": _phase_fold_sql(),

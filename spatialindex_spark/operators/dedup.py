@@ -512,3 +512,49 @@ def hamming_dedup_losers(hashed: DataFrame, hash_col: str, id_col: str,
     loser column."""
     pairs = hamming_pairs(hashed, hash_col, id_col, band_bits, max_hamming)
     return pairs.select(F.col("id_b").alias(id_col)).distinct()
+
+
+def paragraph_dup_fraction(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           min_para_chars: int = 1,
+                           normalize: bool = True) -> DataFrame:
+    """Per-document duplicate-PARAGRAPH fraction — the sub-document dedup
+    signal (RefinedWeb/CCNet style): a document whose paragraphs mostly
+    appear verbatim elsewhere in the corpus is boilerplate or a partial
+    mirror even when no whole-document pair matches, so document-level
+    exact/near dedup keeps it. Emits (id, n_paras, n_dup_paras,
+    dup_frac); gate with ``dup_frac >= tau`` downstream.
+
+    A paragraph is duplicated iff its (normalized) content hash occurs in
+    MORE THAN ONE document — within-document repeats alone don't count
+    (that is `repetition`'s job). Scale shape: paragraphs explode
+    map-side into (doc, two 8-byte hashes) rows — the text itself never
+    shuffles; one distinct + one groupBy on the hash pair computes
+    cross-document multiplicity; one broadcast-eligible semi-join back.
+    Same birthday-safety as exact_dedup: paragraphs pair two
+    independently-seeded xxhash64 keys so a single-hash collision cannot
+    mark a unique paragraph duplicated at 10^12-paragraph scale.
+    """
+    para = F.explode(F.split(F.col(text_col), r"\n{2,}|\r\n\r\n")) \
+        .alias("_p")
+    rows = df.select(F.col(id_col), para)
+    p = F.col("_p")
+    if normalize:
+        p = F.lower(F.trim(F.regexp_replace(p, r"\s+", " ")))
+    paras = (rows.select(id_col, p.alias("_pn"))
+             .filter(F.length("_pn") >= min_para_chars)
+             .select(id_col,
+                     F.xxhash64(F.col("_pn")).alias("_h1"),
+                     F.xxhash64(F.col("_pn"), F.lit(1)).alias("_h2")))
+    # cross-document multiplicity per paragraph hash
+    docs_per = (paras.select(id_col, "_h1", "_h2").distinct()
+                .groupBy("_h1", "_h2")
+                .agg(F.count(F.lit(1)).alias("_ndocs")))
+    marked = (paras.join(docs_per, ["_h1", "_h2"])
+              .withColumn("_dup", (F.col("_ndocs") > 1).cast("int")))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_paras"),
+                 F.sum("_dup").alias("n_dup_paras"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_paras")
+                                / F.col("n_paras"), 9)))

@@ -1928,3 +1928,22 @@ def test_iceberg_compact_folds_stream_batches(spark, tmp_path):
     got = t.read(spark, ranges=[[cell, cell]])
     gidn = F.substring("image_id", 4, 15).cast("long")
     assert got.filter(gidn >= 450).count() >= 1
+
+
+def test_paragraph_dup_fraction(spark):
+    """Planted cross-document shared paragraph is flagged; within-document
+    repeats alone are NOT duplicates; unique paragraphs stay clean."""
+    from spatialindex_spark.operators.dedup import paragraph_dup_fraction
+
+    rows = [
+        (1, "alpha unique one\n\nSHARED PARA\n\nbeta unique"),
+        (2, "gamma unique\n\nshared  para"),   # normalizes to the same
+        (3, "solo text\n\nsolo text"),         # within-doc repeat only
+        (4, "entirely unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in paragraph_dup_fraction(df).collect()}
+    assert got[1]["n_paras"] == 3 and got[1]["n_dup_paras"] == 1
+    assert got[2]["n_paras"] == 2 and got[2]["n_dup_paras"] == 1
+    assert got[3]["n_dup_paras"] == 0          # repeats within one doc
+    assert got[4]["dup_frac"] == 0.0
