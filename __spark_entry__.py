@@ -2426,6 +2426,100 @@ def _caption_dedup_sql() -> str:
     )
 
 
+def _q_map_ud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEALPix ud_grade round-trip (operators/counts.py:ud_grade): a
+    level-3 hash-pixel density map degraded to level 1 (sum), upgraded
+    back to level 2 with the exact mass-conserving integer split
+    (healpy power=-2 analogue), then degrade-MEAN back to level 1 — one
+    query gating all three value semantics. The oracle replays the
+    shift / long-division / mean chain in integer SQL."""
+    from spatialindex_spark.operators.counts import ud_grade
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = (orders.select(((F.col("o_orderkey") * F.lit(2654435761))
+                        % F.lit(768)).alias("pix"))
+         .groupBy("pix").agg(F.count(F.lit(1)).alias("n")))
+    d1 = ud_grade(m, 3, 1, mode="sum")
+    u2 = ud_grade(d1, 1, 2, mode="sum")
+    return ud_grade(u2, 2, 1, mode="mean")
+
+
+def _map_ud_sql() -> str:
+    return (
+        "WITH m AS (SELECT (o_orderkey * 2654435761) % 768 AS pix, "
+        "count(*)::BIGINT AS n FROM orders GROUP BY 1), "
+        "d AS (SELECT pix // 16 AS pix, sum(n)::BIGINT AS s "
+        "FROM m GROUP BY 1), "
+        "u AS (SELECT d.pix * 4 + j AS pix, "
+        "s // 4 + CASE WHEN j < s % 4 THEN 1 ELSE 0 END AS n "
+        "FROM d, generate_series(0, 3) t(j)) "
+        "SELECT pix // 4 AS pix, round(sum(n) / count(*), 9) AS n, "
+        "count(*)::BIGINT AS n_child FROM u GROUP BY 1"
+    )
+
+
+_BAYES_SIG = ((0.3 * math.pi / 180.0) ** 2 + (0.4 * math.pi / 180.0) ** 2)
+
+
+def _q_bayes_xmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budavári–Szalay probabilistic crossmatch
+    (operators/joins.py:bayes_match): per-pair Bayes factor under 0.3/0.4
+    deg circular Gaussian astrometric errors, radius 1.5 deg, prior 0.5.
+    The oracle recomputes ln B = ln(2/s) - (1-dot)/s and the posterior
+    over the identical all-pairs dot filter."""
+    from spatialindex_spark.operators.joins import bayes_match
+
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    supp = _supplier_sky(spark, sf_dir).select("s_suppkey", "ra", "dec")
+    bm = bayes_match(cust, supp, 1.5, 0.3, 0.4, prior=0.5)
+    return bm.select("c_custkey_l", "s_suppkey_r",
+                     F.round("ln_bayes", 6).alias("ln_bayes"),
+                     F.round("posterior", 6).alias("posterior"))
+
+
+def _bayes_xmatch_sql() -> str:
+    s = repr(_BAYES_SIG)
+    lnc = repr(math.log(2.0 / _BAYES_SIG))
+    dot = ("cos(radians(c.dec))*cos(radians(s.dec))"
+           "*cos(radians(c.ra)-radians(s.ra)) "
+           "+ sin(radians(c.dec))*sin(radians(s.dec))")
+    return (
+        f"{_CUST_CTE} "
+        "SELECT c_custkey_l, s_suppkey_r, round(ln_b, 6) AS ln_bayes, "
+        "round(exp(ln_b) * 0.5 / (exp(ln_b) * 0.5 + 0.5), 6) AS posterior "
+        "FROM ("
+        "  SELECT c.c_custkey AS c_custkey_l, s.s_suppkey AS s_suppkey_r, "
+        f"  {lnc} - (1.0 - ({dot})) / {s} AS ln_b "
+        f"  FROM csky c, ssky s WHERE {dot} >= cos(radians(1.5)))"
+    )
+
+
+def _q_moc_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVOA MOC 1.1 ASCII serialization round-trip
+    (operators/moc.py:moc_to_ascii/moc_from_ascii): the moc_rollup
+    multi-order cells are serialized to the standard ``order/pix pix-pix``
+    string, re-parsed, and re-peeled to normal form. Equality with the
+    moc_rollup oracle holds iff serializer + parser are lossless — the
+    interop surface is the thing under test. The collect is bounded by
+    npix(order) (a map-scale object, never catalog rows)."""
+    from spatialindex_spark.operators.moc import (flat_to_uniq,
+                                                  moc_from_ascii,
+                                                  moc_from_pixels,
+                                                  moc_to_ascii, uniq_to_flat)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pixed = orders.select(
+        ((F.col("o_orderkey") * F.lit(2654435761)) % F.lit(49152))
+        .alias("_pix"))
+    cells = moc_from_pixels(pixed, "_pix", 6).collect()
+    flat = uniq_to_flat([(r["moc_order"], r["pix"]) for r in cells], 6)
+    text = moc_to_ascii(flat, 6)
+    back, order = moc_from_ascii(text)
+    out = flat_to_uniq(back, order)
+    return spark.createDataFrame([(int(o), int(p)) for o, p in out],
+                                 "moc_order int, pix long")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness gate checks the first
     50 entries, so the newest / recently-changed queries lead and the
@@ -2434,6 +2528,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is value-checked by scripts/oracle_sweep.py at sf0.01 + sf0.1."""
     return {
         # new in r4
+        "map_ud": _q_map_ud,
+        "bayes_xmatch": _q_bayes_xmatch,
+        "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
         "table_roundtrip": _q_table_roundtrip,
         "xmatch3": _q_xmatch3,
@@ -3233,6 +3330,9 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             "  + sin(radians(c.dec))*sin(radians(s.dec)) >= cos(radians(1.5))"
             ") WHERE rk = 1"
         ),
+        "map_ud": _map_ud_sql(),
+        "bayes_xmatch": _bayes_xmatch_sql(),
+        "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),
         "table_roundtrip": _table_roundtrip_sql(),
         "xmatch3": _xmatch3_sql(),

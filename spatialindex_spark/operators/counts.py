@@ -336,3 +336,63 @@ def map_smooth(map_df: DataFrame, level: int, pix_col: str = "pix",
                      9)
     return out.select(F.col("_center").alias(pix_col), "n_disc",
                       smooth.alias("smooth"))
+
+
+def ud_grade(map_df: DataFrame, level_in: int, level_out: int,
+             pix_col: str = "pix", val_col: str = "n",
+             mode: str = "sum") -> DataFrame:
+    """Change a NESTED HEALPix map's resolution (healpy ``ud_grade``
+    analogue; nesting math per the reference's bit layout, sptHPX.c
+    nested-scheme shifts).
+
+    Degrade (``level_out < level_in``): parent = ``pix >> 2*dk``; one
+    groupBy sums PRESENT children (sparse-map semantics — healpy's
+    dense-average variant is ``mode='mean'``, the exact-integer mean over
+    present children, count emitted so callers can re-densify).
+
+    Upgrade (``level_out > level_in``): each pixel explodes into its
+    ``4**dk`` nested children JVM-side (``explode(sequence(...))``, no
+    Python). ``mode='sum'`` conserves total mass exactly with integer
+    long-division — child j gets ``v DIV m + (j < v MOD m)`` — the
+    deterministic, aggregation-order-independent analogue of healpy's
+    ``power=-2``; ``mode='copy'`` replicates the value (healpy default).
+
+    Values must be integral (counts/quantized); quantize first if not.
+    Output: (pix, n[, n_child for degrade-mean]). Both directions are one
+    narrow shuffle (degrade) or a pure map-side explode (upgrade) — the
+    map never carries more than npix(level) rows, so this holds at any
+    catalog scale (the map, not the catalog, is the operand).
+    """
+    if mode not in ("sum", "mean", "copy"):
+        raise ValueError(f"ud_grade mode {mode!r}")
+    dk = level_out - level_in
+    v = F.col(val_col).cast("long")
+    if dk == 0:
+        return map_df.select(F.col(pix_col).cast("long").alias(pix_col),
+                             v.alias(val_col))
+    if dk < 0:
+        if mode == "copy":
+            raise ValueError("mode='copy' is upgrade-only")
+        g = (map_df.select(
+                F.shiftright(F.col(pix_col).cast("long"), -2 * dk)
+                .alias(pix_col), v.alias("_v"))
+             .groupBy(pix_col)
+             .agg(F.sum("_v").alias("_s"),
+                  F.count(F.lit(1)).alias("n_child")))
+        if mode == "sum":
+            return g.select(pix_col, F.col("_s").alias(val_col))
+        return g.select(pix_col, F.round(F.col("_s") / F.col("n_child"), 9)
+                        .alias(val_col), "n_child")
+    m = 4 ** dk
+    if mode == "mean":
+        raise ValueError("mode='mean' is degrade-only")
+    j = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_j")
+    base = map_df.select(
+        F.shiftleft(F.col(pix_col).cast("long"), 2 * dk).alias("_p"),
+        v.alias("_v"), j)
+    child = (F.col("_p") + F.col("_j")).alias(pix_col)
+    if mode == "copy":
+        return base.select(child, F.col("_v").alias(val_col))
+    share = (F.col("_v") - (F.col("_v") % m)) / m \
+        + (F.col("_j") < F.col("_v") % m).cast("long")
+    return base.select(child, share.cast("long").alias(val_col))

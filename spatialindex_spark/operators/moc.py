@@ -158,6 +158,64 @@ def uniq_to_flat(cells, order: int) -> list[list[int]]:
     return _normalize(rs)
 
 
+def moc_to_ascii(ranges, order: int) -> str:
+    """Serialize a flat-form MOC to the IVOA MOC 1.1 ASCII form:
+    ``"o1/p p-p o2/p ..."`` — cells grouped by ascending order, runs of
+    consecutive pixels collapsed to ``lo-hi``, and a trailing bare
+    ``order/`` token when no cell sits at the MOC order (MOCORD must
+    always be declared). Round-trips bit-exactly via :func:`moc_from_ascii`.
+    """
+    cells = flat_to_uniq(ranges, order)
+    by_order: dict[int, list[int]] = {}
+    for o, pix in cells:
+        by_order.setdefault(o, []).append(pix)
+    parts = []
+    for o in sorted(by_order):
+        toks = []
+        pixes = by_order[o]
+        i = 0
+        while i < len(pixes):
+            j = i
+            while j + 1 < len(pixes) and pixes[j + 1] == pixes[j] + 1:
+                j += 1
+            toks.append(str(pixes[i]) if i == j
+                        else f"{pixes[i]}-{pixes[j]}")
+            i = j + 1
+        parts.append(f"{o}/" + " ".join(toks))
+    if order not in by_order:
+        parts.append(f"{order}/")
+    return " ".join(parts)
+
+
+def moc_from_ascii(text: str) -> tuple[list[list[int]], int]:
+    """Parse an IVOA MOC 1.1 ASCII string -> (flat ranges, order). The
+    MOC order is the highest order token present (bare ``N/`` included)."""
+    cells: list[tuple[int, int]] = []
+    order = -1
+    cur_order: int | None = None
+    for tok in text.split():
+        if "/" in tok:
+            o_s, rest = tok.split("/", 1)
+            cur_order = int(o_s)
+            if cur_order < 0:
+                raise ValueError(f"negative order in {tok!r}")
+            order = max(order, cur_order)
+            tok = rest
+            if not tok:
+                continue
+        if cur_order is None:
+            raise ValueError(f"pixel token {tok!r} before any order/")
+        if "-" in tok:
+            lo_s, hi_s = tok.split("-", 1)
+            lo, hi = int(lo_s), int(hi_s)
+        else:
+            lo = hi = int(tok)
+        cells.extend((cur_order, p) for p in range(lo, hi + 1))
+    if order < 0:
+        raise ValueError("empty MOC string")
+    return uniq_to_flat(cells, order), order
+
+
 def uniq_from_pixarray(pix: np.ndarray, order: int) -> list[tuple[int, int]]:
     """Numpy reference for moc_from_pixels (testing / driver-side use):
     occupied order-``order`` pixels -> normalized (order, pix) cells."""

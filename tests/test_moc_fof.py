@@ -256,3 +256,35 @@ def test_density_mom_partition_and_numpy_parity(spark):
     for lo, hi in flat:
         covered.update(range(lo, hi + 1))
     assert set(pix) <= covered
+
+
+def test_moc_ascii_roundtrip_and_format():
+    from hypothesis import given, settings, strategies as st
+
+    from spatialindex_spark.operators.moc import (moc_from_ascii,
+                                                  moc_to_ascii)
+
+    # hand-checked IVOA examples: runs collapse, orders group, MOCORD
+    # always declared
+    assert moc_to_ascii([[0, 11]], 0) == "0/0-11"
+    assert moc_to_ascii([[0, 4 ** 3 * 12 - 1]], 3) == "0/0-11 3/"
+    s = moc_to_ascii([[4, 4], [16, 31]], 2)
+    assert s == "0/1 2/4"
+    assert moc_from_ascii(s) == ([[4, 4], [16, 31]], 2)
+    # bare-order token parses as empty coverage at that order
+    assert moc_from_ascii("2/") == ([], 2)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 12 * 4 ** 4 - 1),
+                              st.integers(0, 40)),
+                    min_size=1, max_size=8),
+           st.just(4))
+    def rt(spans, order):
+        npix = 12 * 4 ** order
+        rs = [[lo, min(lo + w, npix - 1)] for lo, w in spans]
+        from spatialindex_spark.operators.moc import _normalize
+        norm = _normalize(rs)
+        back, o = moc_from_ascii(moc_to_ascii(rs, order))
+        assert o == order and back == norm
+
+    rt()

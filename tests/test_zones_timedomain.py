@@ -523,3 +523,96 @@ def test_stream_phase_fold_across_batches(spark, tmp_path):
                 spark.createDataFrame(batch1 + batch2, schema),
                 "user_id", "t_us", "value", P, n_bins=8).collect()}
     assert got == want
+
+
+def test_ud_grade_semantics(spark):
+    import numpy as np
+
+    from spatialindex_spark.operators.counts import ud_grade
+
+    rng = np.random.default_rng(7)
+    pix = rng.choice(768, size=200, replace=False)
+    vals = rng.integers(0, 50, size=200)
+    df = spark.createDataFrame(
+        [(int(p), int(v)) for p, v in zip(pix, vals)], "pix long, n long")
+
+    # degrade-sum conserves total mass; parents are pix >> 2*dk
+    d = {r.pix: r.n for r in ud_grade(df, 3, 1, mode="sum").collect()}
+    exp = {}
+    for p, v in zip(pix, vals):
+        exp[int(p) >> 4] = exp.get(int(p) >> 4, 0) + int(v)
+    assert d == exp
+
+    # degrade-mean: exact integer mean over PRESENT children
+    dm = {r.pix: (r.n, r.n_child)
+          for r in ud_grade(df, 3, 1, mode="mean").collect()}
+    for parent, (mean, nc) in dm.items():
+        kids = [int(v) for p, v in zip(pix, vals) if int(p) >> 4 == parent]
+        assert nc == len(kids)
+        assert mean == round(sum(kids) / len(kids), 9)
+
+    # upgrade-sum conserves mass exactly (integer long division split)
+    u = ud_grade(df, 3, 5, mode="sum")
+    assert u.agg({"n": "sum"}).collect()[0][0] == int(vals.sum())
+    assert u.count() == 200 * 16
+    # every child of pixel p lies in [p<<4, (p+1)<<4) and gets
+    # v DIV 16 or v DIV 16 + 1
+    rows = u.collect()
+    by_parent = {}
+    for r in rows:
+        by_parent.setdefault(r.pix >> 4, []).append(r.n)
+    for p, v in zip(pix, vals):
+        share = sorted(by_parent[int(p)])
+        q, rmd = divmod(int(v), 16)
+        assert share == [q] * (16 - rmd) + [q + 1] * rmd
+
+    # copy replicates; round-trip degrade(mean) of copy is the identity
+    c = ud_grade(df, 3, 4, mode="copy")
+    back = {r.pix: r.n for r in ud_grade(c, 4, 3, mode="mean").collect()}
+    assert back == {int(p): float(v) for p, v in zip(pix, vals)}
+
+    import pytest
+    with pytest.raises(ValueError):
+        ud_grade(df, 3, 1, mode="copy")
+    with pytest.raises(ValueError):
+        ud_grade(df, 3, 5, mode="mean")
+
+
+def test_bayes_match_formula_and_pairs(spark):
+    import math
+
+    import numpy as np
+
+    from spatialindex_spark.operators.joins import bayes_match, crossmatch
+
+    rng = np.random.default_rng(11)
+    n = 300
+    lra = rng.uniform(0, 360, n); ldec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+    rra = lra + rng.normal(0, 0.2, n); rdec = ldec + rng.normal(0, 0.2, n)
+    left = spark.createDataFrame(
+        [(i, float(a), float(d)) for i, (a, d) in enumerate(zip(lra, ldec))],
+        "lid long, ra double, dec double")
+    right = spark.createDataFrame(
+        [(i, float(a % 360), float(np.clip(d, -89.9, 89.9)))
+         for i, (a, d) in enumerate(zip(rra, rdec))],
+        "rid long, ra double, dec double")
+
+    bm = bayes_match(left, right, 1.5, 0.3, 0.4, prior=0.25).collect()
+    cm = crossmatch(left, right, 1.5)
+    # same pair set as crossmatch, plus the two probability columns
+    assert {(r.lid_l, r.rid_r) for r in bm} == \
+        {(r.lid_l, r.rid_r) for r in cm.collect()}
+    s = (0.3 * math.pi / 180) ** 2 + (0.4 * math.pi / 180) ** 2
+
+    def xyz(ra, dec):
+        ra, dec = math.radians(ra), math.radians(dec)
+        return np.array([math.cos(dec) * math.cos(ra),
+                         math.cos(dec) * math.sin(ra), math.sin(dec)])
+
+    for r in bm[:50]:
+        dot = float(xyz(r.ra_l, r.dec_l) @ xyz(r.ra_r, r.dec_r))
+        lnb = math.log(2.0 / s) - (1.0 - dot) / s
+        assert abs(lnb - r.ln_bayes) < 1e-6
+        b = math.exp(lnb)
+        assert abs(b * 0.25 / (b * 0.25 + 0.75) - r.posterior) < 1e-9
+        assert 0.0 <= r.posterior <= 1.0
