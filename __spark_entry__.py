@@ -2520,6 +2520,41 @@ def _q_moc_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "moc_order int, pix long")
 
 
+def _q_ring_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RING <-> NESTED scheme conversion (functions/healpix.py:nest2ring /
+    ring2nest — the healpy/FITS interop surface; external sky maps ship
+    RING-ordered). Scale-invariant like h3_kring: the operand is the
+    complete order-3 pixel set. The oracle is DEFINITIONAL, not a replay:
+    RING order is, by construction (Gorski et al. 2005), the rank of
+    pixel centers by (z desc, phi asc) — the centers come from the
+    golden-tested pix2loc kernel as a literal VALUES table, DuckDB
+    computes the rank, and `back` gates the inverse round-trip."""
+    from spatialindex_spark.functions.udfs import (nest2ring_udf,
+                                                   ring2nest_udf)
+
+    df = spark.range(12 * 4 ** 3).select(F.col("id").alias("pix"))
+    out = df.select("pix", nest2ring_udf(3)(F.col("pix")).alias("ring_pix"))
+    return out.select("pix", "ring_pix",
+                      ring2nest_udf(3)(F.col("ring_pix")).alias("back"))
+
+
+def _ring_order_sql() -> str:
+    import numpy as np
+
+    from spatialindex_spark.functions.healpix import pix2loc
+
+    pix = np.arange(12 * 4 ** 3, dtype=np.int64)
+    z, phi = pix2loc(3, pix)
+    vals = ", ".join(f"({int(p)}, {z_!r}, {ph!r})"
+                     for p, z_, ph in zip(pix, z, phi))
+    return (
+        f"WITH c(pix, z, phi) AS (VALUES {vals}) "
+        "SELECT pix::BIGINT AS pix, "
+        "(row_number() OVER (ORDER BY z DESC, phi ASC) - 1)::BIGINT "
+        "AS ring_pix, pix::BIGINT AS back FROM c"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER matters: the driver's correctness gate checks the first
     50 entries, so the newest / recently-changed queries lead and the
@@ -2529,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # new in r4
         "map_ud": _q_map_ud,
+        "ring_order": _q_ring_order,
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
@@ -3331,6 +3367,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
             ") WHERE rk = 1"
         ),
         "map_ud": _map_ud_sql(),
+        "ring_order": _ring_order_sql(),
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),

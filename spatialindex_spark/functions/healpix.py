@@ -347,3 +347,103 @@ def safe_ring1_rad(order: int) -> float:
             f"safe_ring1_rad unsound at order {order}: 0.59*max_pix_rad="
             f"{bound} exceeds measured non-adjacency threshold {measured}")
     return bound
+
+
+def _isqrt(v: np.ndarray) -> np.ndarray:
+    """Exact vectorized integer sqrt (inputs < 2^52: float sqrt + fixup)."""
+    v = np.asarray(v, dtype=np.int64)
+    s = np.floor(np.sqrt(v.astype(np.float64))).astype(np.int64)
+    s = np.where((s + 1) * (s + 1) <= v, s + 1, s)
+    return np.where(s * s > v, s - 1, s)
+
+
+def nest2ring(order: int, pix) -> np.ndarray:
+    """NESTED -> RING pixel index (Gorski et al. 2005 scheme change; the
+    healpy/FITS interop direction — sky maps ship RING-ordered).
+
+    Shares pix2loc's ring decomposition (JRLL/JPLL tables above, cited to
+    sptQueryLib.c:2207-2289): ring number jr from the face diagonal, then
+    the pixel-in-ring index; RING id = pixels-before-ring + in-ring index.
+    Gated definitionally in tests: RING order IS the rank of pixel centers
+    by (z desc, phi asc) — verified for every pixel at orders 0..5.
+    """
+    pix = np.atleast_1d(np.asarray(pix, dtype=np.int64))
+    nside = np.int64(1) << order
+    npface = nside * nside
+    npix = 12 * npface
+    ncap = 2 * nside * (nside - 1)
+    face = pix >> (2 * order)
+    p = pix & (npface - 1)
+    ix = compress_bits(p)
+    iy = compress_bits(p >> 1)
+    jr = (JRLL[face] << order) - ix - iy - 1
+    polar_n = jr < nside
+    polar_s = jr > 3 * nside
+    nr = np.where(polar_n, jr, np.where(polar_s, 4 * nside - jr, nside))
+    n_before = np.where(
+        polar_n, 2 * nr * (nr - 1),
+        np.where(polar_s, npix - 2 * (nr + 1) * nr,
+                 ncap + (jr - nside) * 4 * nside))
+    kshift = np.where(polar_n | polar_s, 0, (jr - nside) & 1)
+    # numerator is always even (jpll*nr and ix-iy+1+kshift share parity),
+    # so floor division == the C code's truncating division
+    jp = (JPLL[face] * nr + ix - iy + 1 + kshift) >> 1
+    jp = np.where(jp > 4 * nr, jp - 4 * nr, jp)
+    jp = np.where(jp < 1, jp + 4 * nr, jp)
+    return n_before + jp - 1
+
+
+def ring2nest(order: int, rpix) -> np.ndarray:
+    """RING -> NESTED pixel index (inverse of nest2ring; same tables).
+
+    Ring/in-ring indices recovered per region (polar caps by exact integer
+    sqrt, equatorial by division), face from the in-ring position, then
+    the (ix, iy) face coordinates re-interleave through the shared
+    spread_bits kernel. Round-trip identity over every pixel at orders
+    0..6 is pytest-gated."""
+    rpix = np.atleast_1d(np.asarray(rpix, dtype=np.int64))
+    nside = np.int64(1) << order
+    npix = 12 * nside * nside
+    ncap = 2 * nside * (nside - 1)
+    nl2 = 2 * nside
+    north = rpix < ncap
+    south = rpix >= npix - ncap
+
+    # north cap rings: iring = (1 + isqrt(1+2p)) >> 1
+    irn = (1 + _isqrt(1 + 2 * rpix)) >> 1
+    iphn = rpix + 1 - 2 * irn * (irn - 1)
+
+    # south cap (counted from the south pole)
+    ips = npix - rpix
+    irs_pole = (1 + _isqrt(2 * ips - 1)) >> 1
+    iphs = 4 * irs_pole + 1 - (ips - 2 * irs_pole * (irs_pole - 1))
+    irs = 2 * nl2 - irs_pole
+
+    # equatorial
+    ipe = rpix - ncap
+    tmp = ipe >> (order + 2) if order >= 0 else ipe // (4 * nside)
+    ire_ring = tmp + nside
+    iphe = ipe - tmp * 4 * nside + 1
+
+    iring = np.where(north, irn, np.where(south, irs, ire_ring))
+    iphi = np.where(north, iphn, np.where(south, iphs, iphe))
+    nr = np.where(north, irn, np.where(south, irs_pole, nside))
+    kshift = np.where(north | south, 0, (iring + nside) & 1)
+
+    # face: polar caps directly from the in-ring quadrant; equatorial from
+    # the two diagonal lattices
+    face_n = (iphn - 1) // np.maximum(irn, 1)
+    face_s = 8 + (iphs - 1) // np.maximum(irs_pole, 1)
+    ire = ire_ring - nside + 1
+    irm = nl2 + 2 - ire
+    ifm = (iphe - (ire >> 1) + nside - 1) >> order
+    ifp = (iphe - (irm >> 1) + nside - 1) >> order
+    face_e = np.where(ifp == ifm, ifp | 4, np.where(ifp < ifm, ifp, ifm + 8))
+    face = np.where(north, face_n, np.where(south, face_s, face_e))
+
+    irt = iring - (JRLL[face] << order) + 1
+    ipt = 2 * iphi - JPLL[face] * nr - kshift - 1
+    ipt = np.where(ipt >= 2 * nl2, ipt - 8 * nside, ipt)
+    ix = (ipt - irt) >> 1
+    iy = (-ipt - irt) >> 1
+    return xyf2nest(order, ix, iy, face)

@@ -236,3 +236,27 @@ def register_all(spark, level: int = 7) -> None:
     spark.udf.register("htm_idtodec", htm_idtodec_udf)
     spark.udf.register("htm_level", htm_level_udf)
     spark.udf.register("angsep", angsep_udf)
+
+
+def nest2ring_udf(level: int):
+    """NESTED -> RING HEALPix index at a fixed order (healpy/FITS interop
+    — external sky maps ship RING-ordered)."""
+    from .healpix import nest2ring as _n2r
+
+    @pandas_udf("long")
+    def _udf(pix: pd.Series) -> pd.Series:
+        return pd.Series(_n2r(level, pix.values))
+
+    return _udf
+
+
+def ring2nest_udf(level: int):
+    """RING -> NESTED HEALPix index at a fixed order (ingest direction:
+    external RING-ordered maps -> the engine's nested cell ids)."""
+    from .healpix import ring2nest as _r2n
+
+    @pandas_udf("long")
+    def _udf(pix: pd.Series) -> pd.Series:
+        return pd.Series(_r2n(level, pix.values))
+
+    return _udf

@@ -409,3 +409,31 @@ def test_s2_cap_ranges_covering():
         inside, _b = s2_polygon_ranges(pra, pdec, lv, split=True)
         fullm = in_ranges(ids, inside)
         assert not np.any(fullm & ~member), (pra, lv, "unsound")
+
+
+def test_nest2ring_definitional_and_roundtrip():
+    import numpy as np
+
+    from spatialindex_spark.functions.healpix import (nest2ring, pix2loc,
+                                                      ring2nest)
+
+    for order in range(0, 6):
+        npix = 12 * 4 ** order
+        pix = np.arange(npix, dtype=np.int64)
+        r = nest2ring(order, pix)
+        assert sorted(r.tolist()) == list(range(npix))
+        assert np.array_equal(ring2nest(order, r), pix)
+        # RING order IS the rank of centers by (z desc, phi asc)
+        z, phi = pix2loc(order, pix)
+        rank = np.lexsort((phi, -np.round(z, 12)))
+        expect = np.empty(npix, dtype=np.int64)
+        expect[rank] = np.arange(npix)
+        assert np.array_equal(r, expect), order
+    # deep orders: random two-way round-trips
+    rng = np.random.default_rng(3)
+    for order in (10, 13, 16):
+        npix = 12 * (1 << order) ** 2
+        p = rng.integers(0, npix, size=50000)
+        assert np.array_equal(ring2nest(order, nest2ring(order, p)), p)
+        q = rng.integers(0, npix, size=50000)
+        assert np.array_equal(nest2ring(order, ring2nest(order, q)), q)
