@@ -2520,6 +2520,93 @@ def _q_moc_ascii(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  "moc_order int, pix long")
 
 
+def _q_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-catalog Landy-Szalay cross-correlation
+    (operators/correlation.py:cross_correlation): customer x supplier
+    skies with independent hash randoms — four ring-keyed pair scans,
+    the estimator a fixed IEEE tree over exact integer counts."""
+    from spatialindex_spark.operators.correlation import cross_correlation
+
+    data1, rand1 = _corr_catalogs(spark, sf_dir)
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    data2 = (s.select(F.col("s_suppkey").alias("id"),
+                      ((F.col("s_suppkey") * F.lit(0.618034)) % 360)
+                      .alias("ra"),
+                      F.degrees(F.asin(
+                          2 * ((F.col("s_suppkey") * F.lit(0.381966)) % 1)
+                          - 1)).alias("dec")))
+    rand2 = (s.select(F.col("s_suppkey").alias("id"),
+                      ((F.col("s_suppkey") * F.lit(0.354813)) % 360)
+                      .alias("ra"),
+                      F.degrees(F.asin(
+                          2 * ((F.col("s_suppkey") * F.lit(0.708204)) % 1)
+                          - 1)).alias("dec")))
+    return cross_correlation(data1, data2, rand1, rand2, _LS_EDGES,
+                             "id", "id", "id", "id")
+
+
+def _cross_corr_sql() -> str:
+    import math as _m
+
+    cos_edges = [_m.cos(_m.radians(e)) for e in _LS_EDGES]
+    nb = len(_LS_EDGES) - 1
+    dot = ("cos(radians(a.dec))*cos(radians(b.dec))"
+           "*cos(radians(a.ra)-radians(b.ra))"
+           "+ sin(radians(a.dec))*sin(radians(b.dec))")
+    case = "CASE " + " ".join(
+        f"WHEN dot <= {cos_edges[i]!r} AND dot > {cos_edges[i + 1]!r} "
+        f"THEN {i}" for i in range(nb)) + " END"
+    vals = ", ".join(
+        f"({i}, {_LS_EDGES[i]!r}::DOUBLE, {_LS_EDGES[i + 1]!r}::DOUBLE)"
+        for i in range(nb))
+
+    def pairs(x, y):
+        return (f"SELECT bin, count(*)::BIGINT AS n FROM (SELECT {case} "
+                f"AS bin FROM (SELECT {dot} AS dot FROM {x} a, {y} b)) "
+                "WHERE bin IS NOT NULL GROUP BY bin")
+
+    def den(x, y):
+        return f"((SELECT count(*) FROM {x}) * (SELECT count(*) FROM {y}))"
+
+    return (
+        "WITH d1 AS (SELECT c_custkey AS id, "
+        "(c_custkey * 0.618034) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec "
+        "FROM customer WHERE c_custkey % 2 = 0), "
+        "r1 AS (SELECT c_custkey AS id, "
+        "(c_custkey * 0.354813) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.708204) % 1) - 1)) AS dec "
+        "FROM customer WHERE c_custkey % 3 = 0), "
+        "d2 AS (SELECT s_suppkey AS id, "
+        "(s_suppkey * 0.618034) % 360 AS ra, "
+        "degrees(asin(2 * ((s_suppkey * 0.381966) % 1) - 1)) AS dec "
+        "FROM supplier), "
+        "r2 AS (SELECT s_suppkey AS id, "
+        "(s_suppkey * 0.354813) % 360 AS ra, "
+        "degrees(asin(2 * ((s_suppkey * 0.708204) % 1) - 1)) AS dec "
+        "FROM supplier), "
+        f"ab AS ({pairs('d1', 'd2')}), "
+        f"ar AS ({pairs('d1', 'r2')}), "
+        f"br AS ({pairs('d2', 'r1')}), "
+        f"rr AS ({pairs('r1', 'r2')}), "
+        f"bins(bin, theta_lo, theta_hi) AS (VALUES {vals}) "
+        "SELECT bins.bin, theta_lo, theta_hi, "
+        "COALESCE(ab.n, 0) AS n_d1d2, COALESCE(ar.n, 0) AS n_d1r2, "
+        "COALESCE(br.n, 0) AS n_d2r1, COALESCE(rr.n, 0) AS n_r1r2, "
+        "round(CASE WHEN COALESCE(rr.n, 0) > 0 THEN "
+        f"(COALESCE(ab.n, 0) / {den('d1', 'd2')} "
+        f"- COALESCE(ar.n, 0) / {den('d1', 'r2')} "
+        f"- COALESCE(br.n, 0) / {den('d2', 'r1')} "
+        f"+ COALESCE(rr.n, 0) / {den('r1', 'r2')}) "
+        f"/ (COALESCE(rr.n, 0) / {den('r1', 'r2')}) "
+        "END, 9) AS w_ls "
+        "FROM bins LEFT JOIN ab ON bins.bin = ab.bin "
+        "LEFT JOIN ar ON bins.bin = ar.bin "
+        "LEFT JOIN br ON bins.bin = br.bin "
+        "LEFT JOIN rr ON bins.bin = rr.bin ORDER BY bins.bin"
+    )
+
+
 def _q_ring_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RING <-> NESTED scheme conversion (functions/healpix.py:nest2ring /
     ring2nest — the healpy/FITS interop surface; external sky maps ship
@@ -2565,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r4
         "map_ud": _q_map_ud,
         "ring_order": _q_ring_order,
+        "cross_corr": _q_cross_corr,
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
@@ -3368,6 +3456,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         ),
         "map_ud": _map_ud_sql(),
         "ring_order": _ring_order_sql(),
+        "cross_corr": _cross_corr_sql(),
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),

@@ -114,3 +114,51 @@ def landy_szalay(data: DataFrame, random: DataFrame, edges_deg,
                (ddn - F.lit(2.0) * drn + rrn) / rrn)
     return j.select("bin", "theta_lo", "theta_hi", "n_dd", "n_dr", "n_rr",
                     F.round(w, 9).alias("w_ls")).orderBy("bin")
+
+
+def cross_correlation(data1: DataFrame, data2: DataFrame,
+                      random1: DataFrame, random2: DataFrame, edges_deg,
+                      id1: str, id2: str, rid1: str, rid2: str,
+                      **kwargs) -> DataFrame:
+    """Two-catalog Landy-Szalay CROSS-correlation (the LS 1993 estimator
+    generalized to two samples — e.g. Blake et al. 2006 galaxy x QSO):
+
+        w_12 = (d1d2 - d1r2 - d2r1 + r1r2) / r1r2
+
+    per bin, each term its ordered-pair count normalized by the catalog
+    size product. All four scans are cross-catalog (no self-pair
+    exclusion needed); each rides the same ring-keyed crossmatch at the
+    largest edge, so the scale shape is identical to :func:`landy_szalay`
+    — four bounded candidate joins + four tiny bin groupBys, never
+    all-pairs.
+
+    Returns (bin, theta_lo, theta_hi, n_d1d2, n_d1r2, n_d2r1, n_r1r2,
+    w_ls); NULL w where r1r2 is empty.
+    """
+    edges = [float(e) for e in edges_deg]
+    n1, n2 = data1.count(), data2.count()
+    m1, m2 = random1.count(), random2.count()
+    if min(n1, n2, m1, m2) < 1:
+        raise ValueError("all four catalogs must be non-empty")
+    d1d2 = pair_counts(data1, data2, edges, id1, id2, **kwargs)
+    d1r2 = pair_counts(data1, random2, edges, id1, rid2, **kwargs)
+    d2r1 = pair_counts(data2, random1, edges, id2, rid1, **kwargs)
+    r1r2 = pair_counts(random1, random2, edges, rid1, rid2, **kwargs)
+    spark = data1.sparkSession
+    bins = spark.createDataFrame(
+        [(i, edges[i], edges[i + 1]) for i in range(len(edges) - 1)],
+        "bin int, theta_lo double, theta_hi double")
+    j = (bins
+         .join(d1d2.withColumnRenamed("n", "n_d1d2"), "bin", "left")
+         .join(d1r2.withColumnRenamed("n", "n_d1r2"), "bin", "left")
+         .join(d2r1.withColumnRenamed("n", "n_d2r1"), "bin", "left")
+         .join(r1r2.withColumnRenamed("n", "n_r1r2"), "bin", "left")
+         .na.fill(0, ["n_d1d2", "n_d1r2", "n_d2r1", "n_r1r2"]))
+    a = F.col("n_d1d2") / F.lit(n1 * n2)
+    b = F.col("n_d1r2") / F.lit(n1 * m2)
+    c = F.col("n_d2r1") / F.lit(n2 * m1)
+    d = F.col("n_r1r2") / F.lit(m1 * m2)
+    w = F.when(F.col("n_r1r2") > 0, (a - b - c + d) / d)
+    return j.select("bin", "theta_lo", "theta_hi", "n_d1d2", "n_d1r2",
+                    "n_d2r1", "n_r1r2",
+                    F.round(w, 9).alias("w_ls")).orderBy("bin")

@@ -616,3 +616,66 @@ def test_bayes_match_formula_and_pairs(spark):
         b = math.exp(lnb)
         assert abs(b * 0.25 / (b * 0.25 + 0.75) - r.posterior) < 1e-9
         assert 0.0 <= r.posterior <= 1.0
+
+
+def test_cross_correlation_matches_brute_force(spark):
+    import math
+
+    import numpy as np
+
+    from spatialindex_spark.operators.correlation import cross_correlation
+
+    rng = np.random.default_rng(23)
+
+    def cat(n, clump=None):
+        ra = rng.uniform(0, 360, n)
+        dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        if clump:  # plant correlated structure at (ra0, dec0)
+            k = n // 3
+            ra[:k] = clump[0] + rng.normal(0, 0.5, k)
+            dec[:k] = clump[1] + rng.normal(0, 0.5, k)
+        return ra, dec
+
+    d1 = cat(150, clump=(40.0, 10.0))
+    d2 = cat(120, clump=(40.0, 10.0))
+    r1, r2 = cat(200), cat(180)
+
+    def df(arr):
+        return spark.createDataFrame(
+            [(i, float(a % 360), float(np.clip(d, -89.9, 89.9)))
+             for i, (a, d) in enumerate(zip(*arr))],
+            "id long, ra double, dec double")
+
+    edges = [0.5, 1.0, 2.0, 4.0]
+    out = {r.bin: r for r in cross_correlation(
+        df(d1), df(d2), df(r1), df(r2), edges,
+        "id", "id", "id", "id").collect()}
+
+    def brute(a, b):
+        va = np.stack([np.cos(np.radians(a[1])) * np.cos(np.radians(a[0])),
+                       np.cos(np.radians(a[1])) * np.sin(np.radians(a[0])),
+                       np.sin(np.radians(a[1]))], 1)
+        vb = np.stack([np.cos(np.radians(b[1])) * np.cos(np.radians(b[0])),
+                       np.cos(np.radians(b[1])) * np.sin(np.radians(b[0])),
+                       np.sin(np.radians(b[1]))], 1)
+        dots = va @ vb.T
+        seps = np.degrees(np.arccos(np.clip(dots, -1, 1)))
+        return np.histogram(seps.ravel(), bins=edges)[0]
+
+    # clip catalogs the same way df() does before computing the reference
+    def clipped(arr):
+        return arr[0] % 360, np.clip(arr[1], -89.9, 89.9)
+
+    d1c, d2c, r1c, r2c = map(clipped, (d1, d2, r1, r2))
+    ab = brute(d1c, d2c); ar = brute(d1c, r2c)
+    br = brute(d2c, r1c); rr = brute(r1c, r2c)
+    n1, n2, m1, m2 = 150, 120, 200, 180
+    for i in range(3):
+        row = out[i]
+        assert (row.n_d1d2, row.n_d1r2, row.n_d2r1, row.n_r1r2) == \
+            (ab[i], ar[i], br[i], rr[i]), i
+        a = ab[i] / (n1 * n2); b = ar[i] / (n1 * m2)
+        c = br[i] / (n2 * m1); d = rr[i] / (m1 * m2)
+        assert abs(row.w_ls - (a - b - c + d) / d) < 1e-8
+    # planted cross-clump must show positive correlation in the first bin
+    assert out[0].w_ls > 0.5
