@@ -589,6 +589,121 @@ def _q_photometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ph.select("target_id", "image_id", "npix", "flux")
 
 
+SHAPE_MAX_ID = 2000
+SHAPE_MAX_TGT = 1200
+
+
+def _q_source_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed image-moment shape measurement
+    (operators/detect.py:source_moments): flux-weighted centroid +
+    central second moments in a 5x5 window at fixed catalog positions
+    over formula-pixel payloads. The oracle replays the TAN window
+    arithmetic, the six integer moment sums, AND the derived IEEE
+    moment trees in SQL — pixel morphology, fully value-oracled."""
+    from spatialindex_spark.operators.detect import source_moments
+    from spatialindex_spark.sources import imaging
+
+    meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= SHAPE_MAX_ID)
+
+    def gen(batches):
+        for b in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "ra": [], "dec": [], "hpx7": []}
+            for r in b.itertuples(index=False):
+                fmt = ("raw", "z")[int(r.image_id) % 2]   # lossless only
+                img = imaging.synth_image_photometric(
+                    int(r.image_id), int(r.w), int(r.h))
+                out["image_id"].append(int(r.image_id))
+                out["bytes"].append(imaging.encode(img, fmt))
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(fmt)
+                out["ra"].append(float(r.ra))
+                out["dec"].append(float(r.dec))
+                out["hpx7"].append(int(r.hpx7))
+            yield pd.DataFrame(out)
+
+    imgs = meta.mapInPandas(
+        gen, "image_id long, bytes binary, w int, h int, fmt string, "
+             "ra double, dec double, hpx7 long")
+    targets = (_customer_sky(spark, sf_dir)
+               .filter(F.col("c_custkey") <= SHAPE_MAX_TGT)
+               .select(F.col("c_custkey").alias("target_id"), "ra", "dec"))
+    sm = source_moments(targets, imgs, CUTOUT_SCALE, PHOT_APERTURE,
+                        max_dim_px=64, cell_col="hpx7", cell_level=7)
+    return sm.select("target_id", "image_id", "s_v", "s_vx", "s_vy",
+                     "s_vxx", "s_vxy", "s_vyy", "xbar", "ybar",
+                     "cxx", "cyy", "cxy")
+
+
+def _source_shape_sql() -> str:
+    srad = repr(math.radians(CUTOUT_SCALE))
+    psize = 2 * PHOT_APERTURE + 1
+    return f"""
+WITH imgs AS (
+  SELECT o_orderkey AS image_id,
+         (o_orderkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders WHERE o_orderkey <= {SHAPE_MAX_ID}),
+tgts AS (
+  SELECT c_custkey AS target_id,
+         (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer WHERE c_custkey <= {SHAPE_MAX_TGT}),
+pix AS (
+  SELECT t.target_id, i.image_id, i.w, i.h,
+    sin(radians(i.dec)) * sin(radians(t.dec))
+      + cos(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)) AS den,
+    i.w / 2.0 - ((cos(radians(t.dec)) * sin(radians(t.ra) - radians(i.ra))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS px,
+    i.h / 2.0 + (((cos(radians(i.dec)) * sin(radians(t.dec))
+      - sin(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS py
+  FROM tgts t CROSS JOIN imgs i),
+winr AS (
+  SELECT target_id, image_id, w, h,
+         CAST(FLOOR(px) AS INT) - {PHOT_APERTURE} AS x0r,
+         CAST(FLOOR(py) AS INT) - {PHOT_APERTURE} AS y0r
+  FROM pix WHERE den > 0 AND px >= 0 AND px < w AND py >= 0 AND py < h),
+win AS (
+  SELECT target_id, image_id,
+         GREATEST(0, x0r) AS x0, LEAST(w, x0r + {psize}) AS x1,
+         GREATEST(0, y0r) AS y0, LEAST(h, y0r + {psize}) AS y1
+  FROM winr),
+sums AS (
+  SELECT target_id, image_id,
+         SUM(v)::BIGINT AS s_v,
+         SUM(v * xs)::BIGINT AS s_vx,
+         SUM(v * ys)::BIGINT AS s_vy,
+         SUM(v * xs * xs)::BIGINT AS s_vxx,
+         SUM(v * xs * ys)::BIGINT AS s_vxy,
+         SUM(v * ys * ys)::BIGINT AS s_vyy
+  FROM (SELECT target_id, image_id, xs, ys,
+               (image_id * 31 + xs * 7 + ys * 13) % 251 AS v
+        FROM win, unnest(range(win.x0, win.x1)) AS t1(xs),
+             unnest(range(win.y0, win.y1)) AS t2(ys))
+  GROUP BY target_id, image_id)
+SELECT target_id, image_id, s_v, s_vx, s_vy, s_vxx, s_vxy, s_vyy,
+  round(CASE WHEN s_v > 0 THEN s_vx / s_v END, 9) AS xbar,
+  round(CASE WHEN s_v > 0 THEN s_vy / s_v END, 9) AS ybar,
+  round(CASE WHEN s_v > 0 THEN
+    s_vxx / s_v - (s_vx / s_v) * (s_vx / s_v) END, 9) AS cxx,
+  round(CASE WHEN s_v > 0 THEN
+    s_vyy / s_v - (s_vy / s_v) * (s_vy / s_v) END, 9) AS cyy,
+  round(CASE WHEN s_v > 0 THEN
+    s_vxy / s_v - (s_vx / s_v) * (s_vy / s_v) END, 9) AS cxy
+FROM sums"""
+
+
 DIFF_MAX_ID = 600
 DIFF_EPOCH_OFFSET = 7777
 DIFF_THRESHOLD = 10
@@ -2653,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "map_ud": _q_map_ud,
         "ring_order": _q_ring_order,
         "cross_corr": _q_cross_corr,
+        "source_shape": _q_source_shape,
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
@@ -3457,6 +3573,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "map_ud": _map_ud_sql(),
         "ring_order": _ring_order_sql(),
         "cross_corr": _cross_corr_sql(),
+        "source_shape": _source_shape_sql(),
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),

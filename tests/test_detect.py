@@ -183,3 +183,83 @@ def test_affine_wcs_fit_recovers_plate_solution(spark):
         assert abs(got[1][k] - want) < 1e-6, (k, got[1][k], want)
     assert got[2]["a"] is None and got[2]["n_stars"] == 2
     assert got[3]["a"] is None  # collinear -> singular normal matrix
+
+
+def test_source_moments_matches_numpy(spark):
+    """source_moments == brute-force numpy flux-weighted moments over
+    the photometric payload, incl. clipped edge windows; a planted
+    delta-function image yields zero central moments at the spike."""
+    from spatialindex_spark.operators.detect import source_moments
+
+    rng = np.random.default_rng(29)
+    n_img, ap = 20, 2
+    meta = pd.DataFrame({
+        "image_id": np.arange(n_img, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n_img),
+        "dec": np.degrees(np.arcsin(rng.uniform(-0.9, 0.9, n_img))),
+        "w": rng.choice([16, 32], n_img).astype(np.int32),
+        "h": rng.choice([16, 32], n_img).astype(np.int32),
+    })
+    rows = []
+    for r in meta.itertuples(index=False):
+        fmt = ("raw", "z")[int(r.image_id) % 2]
+        if int(r.image_id) == 0:
+            # delta function: single nonzero pixel at the image center
+            img = np.zeros((int(r.h), int(r.w), 3), dtype=np.uint8)
+            img[int(r.h) // 2, int(r.w) // 2, :] = 200
+        else:
+            img = imaging.synth_image_photometric(int(r.image_id),
+                                                  int(r.w), int(r.h))
+        rows.append((int(r.image_id), float(r.ra), float(r.dec),
+                     int(r.w), int(r.h), fmt, imaging.encode(img, fmt)))
+    images = spark.createDataFrame(
+        rows, "image_id long, ra double, dec double, w int, h int, "
+              "fmt string, bytes binary")
+    tg = [(int(r.image_id) * 10, float(r.ra), float(r.dec))
+          for r in meta.itertuples(index=False)]
+    tg += [(int(r.image_id) * 10 + 1,
+            float(r.ra + (r.w / 2 - 0.6) * SCALE),
+            float(min(89.0, r.dec + (r.h / 2 - 0.6) * SCALE)))
+           for r in meta.itertuples(index=False)]
+    targets = spark.createDataFrame(
+        tg, "target_id long, ra double, dec double")
+    got = {(r.target_id, r.image_id): r
+           for r in source_moments(targets, images, SCALE, ap,
+                                   max_dim_px=32).collect()}
+    assert len(got) >= n_img
+
+    imgs_by_id = {row[0]: row for row in rows}
+    for (t_id, i_id), g in got.items():
+        tra, tdec = next((a, d) for t, a, d in tg if t == t_id)
+        r = meta.iloc[i_id]
+        px, py, den = tan_pix_np(
+            np.array([tra]), np.array([tdec]), float(r.ra), float(r.dec),
+            int(r.w), int(r.h), SCALE)
+        x0r = int(np.floor(px[0])) - ap
+        y0r = int(np.floor(py[0])) - ap
+        x0, x1 = max(0, x0r), min(int(r.w), x0r + 2 * ap + 1)
+        y0, y1 = max(0, y0r), min(int(r.h), y0r + 2 * ap + 1)
+        if i_id == 0:
+            img = np.zeros((int(r.h), int(r.w), 3), dtype=np.uint8)
+            img[int(r.h) // 2, int(r.w) // 2, :] = 200
+        else:
+            img = imaging.synth_image_photometric(i_id, int(r.w),
+                                                  int(r.h))
+        v = img[y0:y1, x0:x1, 0].astype(np.int64)
+        xs = np.arange(x0, x1, dtype=np.int64)[None, :]
+        ys = np.arange(y0, y1, dtype=np.int64)[:, None]
+        assert g.s_v == v.sum()
+        assert g.s_vx == (v * xs).sum() and g.s_vy == (v * ys).sum()
+        assert g.s_vxx == (v * xs * xs).sum()
+        assert g.s_vxy == (v * xs * ys).sum()
+        assert g.s_vyy == (v * ys * ys).sum()
+        if g.s_v > 0:
+            xb = g.s_vx / g.s_v
+            assert abs(g.xbar - round(xb, 9)) < 1e-12
+            assert abs(g.cxx - round(g.s_vxx / g.s_v - xb * xb, 9)) < 1e-9
+
+    # the delta image: centroid at the spike, zero central moments
+    d = got[(0, 0)]
+    assert d.s_v == 200
+    assert d.xbar == meta.iloc[0].w // 2 and d.ybar == meta.iloc[0].h // 2
+    assert d.cxx == 0.0 and d.cyy == 0.0 and d.cxy == 0.0
