@@ -2722,6 +2722,115 @@ def _cross_corr_sql() -> str:
     )
 
 
+def _q_corr_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landy-Szalay w(theta) with delete-one-region jackknife errors
+    (operators/correlation.py:landy_szalay_jackknife): 12 longitude
+    slices as jackknife regions (SQL-replayable region rule); the
+    leave-one-out recomputation runs on the (bin, lreg, rreg)
+    sufficient table via inclusion-exclusion — no per-region re-scan.
+    The oracle replays pair binning, region bookkeeping, all 12
+    deleted-sample estimators, and the two-pass variance in SQL."""
+    from spatialindex_spark.operators.correlation import \
+        landy_szalay_jackknife
+
+    data, rand = _corr_catalogs(spark, sf_dir)
+
+    def reg(ra, dec):
+        return (F.floor(ra / F.lit(30.0)).cast("int") % 12).cast("int")
+
+    return landy_szalay_jackknife(data, rand, _LS_EDGES, "id", "id",
+                                  reg, 12)
+
+
+def _corr_jackknife_sql() -> str:
+    import math as _m
+
+    cos_edges = [_m.cos(_m.radians(e)) for e in _LS_EDGES]
+    nb = len(_LS_EDGES) - 1
+    dot = ("cos(radians(a.dec))*cos(radians(b.dec))"
+           "*cos(radians(a.ra)-radians(b.ra))"
+           "+ sin(radians(a.dec))*sin(radians(b.dec))")
+    case = "CASE " + " ".join(
+        f"WHEN dot <= {cos_edges[i]!r} AND dot > {cos_edges[i + 1]!r} "
+        f"THEN {i}" for i in range(nb)) + " END"
+    vals = ", ".join(
+        f"({i}, {_LS_EDGES[i]!r}::DOUBLE, {_LS_EDGES[i + 1]!r}::DOUBLE)"
+        for i in range(nb))
+
+    def pairs(name, x, y, self_excl):
+        w = f"WHERE {'a.id <> b.id' if self_excl else 'TRUE'}"
+        return (f"{name} AS (SELECT bin, lreg, rreg, count(*)::BIGINT "
+                f"AS n FROM (SELECT {case} AS bin, "
+                "CAST(FLOOR(lra/30.0) AS INT) % 12 AS lreg, "
+                "CAST(FLOOR(rra/30.0) AS INT) % 12 AS rreg "
+                f"FROM (SELECT a.ra AS lra, b.ra AS rra, {dot} AS dot "
+                f"FROM {x} a, {y} b {w})) "
+                "WHERE bin IS NOT NULL GROUP BY 1, 2, 3)")
+
+    return (
+        "WITH d AS (SELECT c_custkey AS id, "
+        "(c_custkey * 0.618034) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec "
+        "FROM customer WHERE c_custkey % 2 = 0), "
+        "r AS (SELECT c_custkey AS id, "
+        "(c_custkey * 0.354813) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.708204) % 1) - 1)) AS dec "
+        "FROM customer WHERE c_custkey % 3 = 0), "
+        f"{pairs('ddp', 'd', 'd', True)}, "
+        f"{pairs('drp', 'd', 'r', False)}, "
+        f"{pairs('rrp', 'r', 'r', True)}, "
+        "nd_by AS (SELECT CAST(FLOOR(ra/30.0) AS INT) % 12 AS reg, "
+        "count(*)::BIGINT AS n FROM d GROUP BY 1), "
+        "nr_by AS (SELECT CAST(FLOOR(ra/30.0) AS INT) % 12 AS reg, "
+        "count(*)::BIGINT AS n FROM r GROUP BY 1), "
+        "ndt AS (SELECT count(*)::BIGINT AS n FROM d), "
+        "nrt AS (SELECT count(*)::BIGINT AS n FROM r), "
+        f"bins(bin, theta_lo, theta_hi) AS (VALUES {vals}), "
+        "ks AS (SELECT CAST(unnest(range(0, 12)) AS INT) AS k), "
+        "tot AS (SELECT b.bin, "
+        "COALESCE((SELECT sum(n) FROM ddp WHERE ddp.bin = b.bin), 0)"
+        "::BIGINT AS n_dd, "
+        "COALESCE((SELECT sum(n) FROM drp WHERE drp.bin = b.bin), 0)"
+        "::BIGINT AS n_dr, "
+        "COALESCE((SELECT sum(n) FROM rrp WHERE rrp.bin = b.bin), 0)"
+        "::BIGINT AS n_rr FROM bins b), "
+        "jk AS (SELECT b.bin, ks.k, "
+        "(SELECT n FROM ndt) - COALESCE((SELECT n FROM nd_by "
+        "WHERE reg = ks.k), 0) AS ndk, "
+        "(SELECT n FROM nrt) - COALESCE((SELECT n FROM nr_by "
+        "WHERE reg = ks.k), 0) AS nrk, "
+        "COALESCE((SELECT sum(n) FROM ddp WHERE ddp.bin = b.bin "
+        "AND lreg <> ks.k AND rreg <> ks.k), 0) AS ddk, "
+        "COALESCE((SELECT sum(n) FROM drp WHERE drp.bin = b.bin "
+        "AND lreg <> ks.k AND rreg <> ks.k), 0) AS drk, "
+        "COALESCE((SELECT sum(n) FROM rrp WHERE rrp.bin = b.bin "
+        "AND lreg <> ks.k AND rreg <> ks.k), 0) AS rrk "
+        "FROM bins b, ks), "
+        "wk AS (SELECT bin, k, "
+        "(ddk / (ndk * (ndk - 1)) - 2.0 * (drk / (ndk * nrk)) "
+        "+ rrk / (nrk * (nrk - 1))) / (rrk / (nrk * (nrk - 1))) AS w "
+        "FROM jk WHERE ndk >= 2 AND nrk >= 2 AND rrk > 0), "
+        "mw AS (SELECT bin, avg(w) AS m, count(*)::INT AS c "
+        "FROM wk GROUP BY bin), "
+        "err AS (SELECT wk.bin, mw.c AS n_jk, "
+        "CASE WHEN mw.c >= 2 THEN sqrt((mw.c - 1) / CAST(mw.c AS DOUBLE) "
+        "* sum((wk.w - mw.m) * (wk.w - mw.m))) END AS w_err "
+        "FROM wk JOIN mw USING (bin) GROUP BY wk.bin, mw.c, mw.m) "
+        "SELECT bins.bin, theta_lo, theta_hi, tot.n_dd, tot.n_dr, "
+        "tot.n_rr, "
+        "round(CASE WHEN tot.n_rr > 0 THEN "
+        "(tot.n_dd / ((SELECT n FROM ndt) * ((SELECT n FROM ndt) - 1)) "
+        "- 2.0 * (tot.n_dr / ((SELECT n FROM ndt) * (SELECT n FROM nrt)))"
+        " + tot.n_rr / ((SELECT n FROM nrt) * ((SELECT n FROM nrt) - 1)))"
+        " / (tot.n_rr / ((SELECT n FROM nrt) * ((SELECT n FROM nrt) - 1)"
+        ")) END, 9) AS w_ls, "
+        "round(err.w_err, 9) AS w_err, "
+        "COALESCE(err.n_jk, 0) AS n_jk "
+        "FROM bins JOIN tot ON bins.bin = tot.bin "
+        "LEFT JOIN err ON bins.bin = err.bin ORDER BY bins.bin"
+    )
+
+
 def _q_ring_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RING <-> NESTED scheme conversion (functions/healpix.py:nest2ring /
     ring2nest — the healpy/FITS interop surface; external sky maps ship
@@ -2769,6 +2878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ring_order": _q_ring_order,
         "cross_corr": _q_cross_corr,
         "source_shape": _q_source_shape,
+        "corr_jackknife": _q_corr_jackknife,
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
@@ -3574,6 +3684,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "ring_order": _ring_order_sql(),
         "cross_corr": _cross_corr_sql(),
         "source_shape": _source_shape_sql(),
+        "corr_jackknife": _corr_jackknife_sql(),
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),

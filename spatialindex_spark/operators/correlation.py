@@ -162,3 +162,141 @@ def cross_correlation(data1: DataFrame, data2: DataFrame,
     return j.select("bin", "theta_lo", "theta_hi", "n_d1d2", "n_d1r2",
                     "n_d2r1", "n_r1r2",
                     F.round(w, 9).alias("w_ls")).orderBy("bin")
+
+
+def pair_counts_by_region(left: DataFrame, right: DataFrame, edges_deg,
+                          left_id: str, right_id: str,
+                          region_expr, exclude_self: bool = False,
+                          **kwargs) -> DataFrame:
+    """Ordered-pair counts per (bin, left-region, right-region):
+    the sufficient statistics for leave-one-region-out resampling.
+    ``region_expr`` is a Column-builder ``f(ra_col, dec_col) -> Column``
+    applied to each endpoint's coordinates; the output is bounded at
+    n_bins * K^2 rows regardless of catalog size."""
+    edges = [float(e) for e in edges_deg]
+    if sorted(edges) != edges or len(edges) < 2:
+        raise ValueError("edges_deg must be ascending with >= 2 entries")
+    cos_edges = [math.cos(math.radians(e)) for e in edges]
+    suffixes = kwargs.get("suffixes", ("_l", "_r"))
+    lcols = kwargs.get("left_cols", ("ra", "dec"))
+    rcols = kwargs.get("right_cols", ("ra", "dec"))
+    cm = crossmatch(left, right, edges[-1], **kwargs)
+    sl, sr = suffixes
+    lr, ld = lcols
+    rr_, rd = rcols
+    rad = F.radians
+    dot = (F.cos(rad(F.col(ld + sl))) * F.cos(rad(F.col(rd + sr)))
+           * F.cos(rad(F.col(lr + sl)) - rad(F.col(rr_ + sr)))
+           + F.sin(rad(F.col(ld + sl))) * F.sin(rad(F.col(rd + sr))))
+    if exclude_self:
+        cm = cm.filter(F.col(left_id + sl) != F.col(right_id + sr))
+    binned = cm.select(
+        _bin_expr(dot, cos_edges).alias("bin"),
+        region_expr(F.col(lr + sl), F.col(ld + sl)).alias("lreg"),
+        region_expr(F.col(rr_ + sr), F.col(rd + sr)).alias("rreg"))
+    return (binned.where(F.col("bin").isNotNull())
+            .groupBy("bin", "lreg", "rreg")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def landy_szalay_jackknife(data: DataFrame, random: DataFrame, edges_deg,
+                           data_id: str, random_id: str,
+                           region_expr, n_regions: int,
+                           **kwargs) -> DataFrame:
+    """Landy-Szalay w(theta) with spatial (delete-one-region) jackknife
+    errors — the standard survey error bar (Norberg et al. 2009).
+
+    Each catalog row is assigned a sky region by ``region_expr``; for
+    every region k the estimator is recomputed on the catalogs with
+    region k deleted (pair counts via inclusion-exclusion over the
+    (bin, lreg, rreg) sufficient table — NO re-scan per region), and
+
+        sigma^2(bin) = (K-1)/K * sum_k (w_k - mean_k(w))^2
+
+    over the regions where the deleted-sample RR is non-empty. The
+    three pair scans are the same three landy_szalay runs; everything
+    after them operates on n_bins*K^2-bounded frames, so the error
+    estimate adds zero catalog-scale work.
+
+    Returns (bin, theta_lo, theta_hi, n_dd, n_dr, n_rr, w_ls, w_err,
+    n_jk) with w_err NULL when fewer than 2 regions are usable.
+    """
+    edges = [float(e) for e in edges_deg]
+    K = int(n_regions)
+    spark = data.sparkSession
+    lcols = kwargs.get("left_cols", ("ra", "dec"))
+    lr, ld = lcols
+
+    # per-region catalog sizes (bounded at K rows; collected)
+    def reg_counts(df):
+        rows = (df.groupBy(region_expr(F.col(lr), F.col(ld)).alias("reg"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        return {int(r.reg): int(r.n) for r in rows}
+
+    nd_by, nr_by = reg_counts(data), reg_counts(random)
+    nd, nr = sum(nd_by.values()), sum(nr_by.values())
+    if nd < 2 or nr < 2:
+        raise ValueError("need >= 2 rows in both catalogs")
+
+    dd = pair_counts_by_region(data, data, edges, data_id, data_id,
+                               region_expr, exclude_self=True, **kwargs)
+    dr = pair_counts_by_region(data, random, edges, data_id, random_id,
+                               region_expr, **kwargs)
+    rr = pair_counts_by_region(random, random, edges, random_id,
+                               random_id, region_expr, exclude_self=True,
+                               **kwargs)
+
+    # bounded frames: bring the sufficient tables to the driver and do
+    # the K leave-one-out recomputations exactly (plain Python floats,
+    # deterministic iteration order — mirrored 1:1 in the SQL oracle)
+    def tab(df):
+        t = {}
+        for r in df.collect():
+            t[(int(r.bin), int(r.lreg), int(r.rreg))] = int(r.n)
+        return t
+
+    tdd, tdr, trr = tab(dd), tab(dr), tab(rr)
+    nb = len(edges) - 1
+
+    def tot(t, b):
+        return sum(n for (bb, _, _), n in t.items() if bb == b)
+
+    def excl(t, b, k):
+        return sum(n for (bb, i, j), n in t.items()
+                   if bb == b and i != k and j != k)
+
+    out_rows = []
+    for b in range(nb):
+        n_dd, n_dr, n_rr = tot(tdd, b), tot(tdr, b), tot(trr, b)
+        w = None
+        if n_rr > 0:
+            ddn = n_dd / (nd * (nd - 1))
+            drn = n_dr / (nd * nr)
+            rrn = n_rr / (nr * (nr - 1))
+            w = (ddn - 2.0 * drn + rrn) / rrn
+        wks = []
+        for k in range(K):
+            ndk = nd - nd_by.get(k, 0)
+            nrk = nr - nr_by.get(k, 0)
+            rrk = excl(trr, b, k)
+            if ndk < 2 or nrk < 2 or rrk == 0:
+                continue
+            ddk = excl(tdd, b, k)
+            drk = excl(tdr, b, k)
+            wk = ((ddk / (ndk * (ndk - 1)) - 2.0 * (drk / (ndk * nrk))
+                   + rrk / (nrk * (nrk - 1)))
+                  / (rrk / (nrk * (nrk - 1))))
+            wks.append(wk)
+        err = None
+        if len(wks) >= 2:
+            m = sum(wks) / len(wks)
+            err = math.sqrt((len(wks) - 1) / len(wks)
+                            * sum((x - m) ** 2 for x in wks))
+        out_rows.append((b, edges[b], edges[b + 1], n_dd, n_dr, n_rr,
+                         None if w is None else round(w, 9),
+                         None if err is None else round(err, 9),
+                         len(wks)))
+    return spark.createDataFrame(
+        out_rows,
+        "bin int, theta_lo double, theta_hi double, n_dd long, "
+        "n_dr long, n_rr long, w_ls double, w_err double, n_jk int")

@@ -679,3 +679,86 @@ def test_cross_correlation_matches_brute_force(spark):
         assert abs(row.w_ls - (a - b - c + d) / d) < 1e-8
     # planted cross-clump must show positive correlation in the first bin
     assert out[0].w_ls > 0.5
+
+
+def test_landy_szalay_jackknife_brute(spark):
+    """Jackknife w(theta) == brute-force python recomputation of the
+    estimator on each deleted-region sample; central w matches plain
+    landy_szalay."""
+    import math
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from spatialindex_spark.operators.correlation import (
+        landy_szalay, landy_szalay_jackknife)
+
+    rng = np.random.default_rng(41)
+
+    def cat(n, seed_clump=False):
+        ra = rng.uniform(0, 360, n)
+        dec = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))
+        if seed_clump:
+            ra[: n // 4] = 70 + rng.normal(0, 0.6, n // 4)
+            dec[: n // 4] = 5 + rng.normal(0, 0.6, n // 4)
+        return ra % 360, np.clip(dec, -89.9, 89.9)
+
+    d = cat(320, True)
+    r = cat(420)
+
+    def df(a):
+        return spark.createDataFrame(
+            [(i, float(x), float(y)) for i, (x, y) in
+             enumerate(zip(*a))], "id long, ra double, dec double")
+
+    edges = [2.0, 4.0, 8.0, 16.0]
+    K = 12
+
+    def reg_col(ra, dec):
+        return (F.floor(ra / F.lit(30.0)).cast("int") % K).cast("int")
+
+    got = {row.bin: row for row in landy_szalay_jackknife(
+        df(d), df(r), edges, "id", "id", reg_col, K).collect()}
+    base = {row.bin: row for row in landy_szalay(
+        df(d), df(r), edges, "id", "id").collect()}
+    for b in range(3):
+        assert got[b].n_dd == base[b].n_dd and got[b].n_rr == base[b].n_rr
+        assert got[b].w_ls == base[b].w_ls
+
+    # brute python: delete each longitude slice, recompute
+    def vec(a):
+        ra, dec = np.radians(a[0]), np.radians(a[1])
+        return np.stack([np.cos(dec) * np.cos(ra),
+                         np.cos(dec) * np.sin(ra), np.sin(dec)], 1)
+
+    def counts(a, b, same):
+        seps = np.degrees(np.arccos(np.clip(vec(a) @ vec(b).T, -1, 1)))
+        if same:
+            np.fill_diagonal(seps, -1)
+        return np.histogram(seps.ravel(), bins=edges)[0]
+
+    regions_d = (d[0] // 30).astype(int) % K
+    regions_r = (r[0] // 30).astype(int) % K
+    for b in range(3):
+        wks = []
+        for k in range(K):
+            dm = (d[0][regions_d != k], d[1][regions_d != k])
+            rm = (r[0][regions_r != k], r[1][regions_r != k])
+            nd, nr = len(dm[0]), len(rm[0])
+            rrk = counts(rm, rm, True)[b]
+            if nd < 2 or nr < 2 or rrk == 0:
+                continue
+            ddk = counts(dm, dm, True)[b]
+            drk = counts(dm, rm, False)[b]
+            wk = ((ddk / (nd * (nd - 1)) - 2.0 * (drk / (nd * nr))
+                   + rrk / (nr * (nr - 1))) / (rrk / (nr * (nr - 1))))
+            wks.append(wk)
+        assert got[b].n_jk == len(wks)
+        if len(wks) < 2:
+            assert got[b].w_err is None
+            continue
+        m = sum(wks) / len(wks)
+        err = math.sqrt((len(wks) - 1) / len(wks)
+                        * sum((x - m) ** 2 for x in wks))
+        assert abs(got[b].w_err - err) < 1e-8, (b, got[b].w_err, err)
+    assert any(got[b].n_jk >= 2 for b in range(3))
