@@ -704,6 +704,117 @@ SELECT target_id, image_id, s_v, s_vx, s_vy, s_vxx, s_vxy, s_vyy,
 FROM sums"""
 
 
+ANNULUS_RADII = (1, 2, 4)   # aperture / annulus-in / annulus-out half-widths
+
+
+def _q_annulus_phot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Background-subtracted aperture photometry
+    (operators/detect.py:annulus_photometry): 3x3 aperture flux minus
+    the local sky from the 5x5..9x9 square annulus, one decode per
+    (target, image). The oracle replays the three nested clipped
+    windows (from the shared 1e-6-rounded pixel coordinate), the three
+    integer sums, and the subtraction tree in SQL."""
+    from spatialindex_spark.operators.detect import annulus_photometry
+    from spatialindex_spark.sources import imaging
+
+    meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= SHAPE_MAX_ID)
+
+    def gen(batches):
+        for b in batches:
+            out = {"image_id": [], "bytes": [], "w": [], "h": [],
+                   "fmt": [], "ra": [], "dec": [], "hpx7": []}
+            for r in b.itertuples(index=False):
+                fmt = ("raw", "z")[int(r.image_id) % 2]   # lossless only
+                img = imaging.synth_image_photometric(
+                    int(r.image_id), int(r.w), int(r.h))
+                out["image_id"].append(int(r.image_id))
+                out["bytes"].append(imaging.encode(img, fmt))
+                out["w"].append(int(r.w))
+                out["h"].append(int(r.h))
+                out["fmt"].append(fmt)
+                out["ra"].append(float(r.ra))
+                out["dec"].append(float(r.dec))
+                out["hpx7"].append(int(r.hpx7))
+            yield pd.DataFrame(out)
+
+    imgs = meta.mapInPandas(
+        gen, "image_id long, bytes binary, w int, h int, fmt string, "
+             "ra double, dec double, hpx7 long")
+    targets = (_customer_sky(spark, sf_dir)
+               .filter(F.col("c_custkey") <= SHAPE_MAX_TGT)
+               .select(F.col("c_custkey").alias("target_id"), "ra", "dec"))
+    ap, r_in, r_out = ANNULUS_RADII
+    ph = annulus_photometry(targets, imgs, CUTOUT_SCALE, ap, r_in, r_out,
+                            max_dim_px=64, cell_col="hpx7", cell_level=7)
+    return ph.select("target_id", "image_id", "n_ap", "flux_ap", "n_in",
+                     "flux_in", "n_out", "flux_out", "bkg_mean",
+                     "net_flux")
+
+
+def _annulus_phot_sql() -> str:
+    srad = repr(math.radians(CUTOUT_SCALE))
+    ap, r_in, r_out = ANNULUS_RADII
+
+    def wsum(r, nk, fk):
+        return (
+            f"SELECT target_id, image_id, count(*)::BIGINT AS {nk}, "
+            f"SUM((image_id * 31 + xs * 7 + ys * 13) % 251)::BIGINT "
+            f"AS {fk} FROM ("
+            "SELECT target_id, image_id, w, h, "
+            f"CAST(FLOOR(ROUND(px, 6)) AS INT) - {r} AS x0r, "
+            f"CAST(FLOOR(ROUND(py, 6)) AS INT) - {r} AS y0r "
+            "FROM pix WHERE den > 0 AND px >= 0 AND px < w "
+            "AND py >= 0 AND py < h) wr, "
+            f"unnest(range(GREATEST(0, wr.x0r), "
+            f"LEAST(wr.w, wr.x0r + {2 * r + 1}))) AS t1(xs), "
+            f"unnest(range(GREATEST(0, wr.y0r), "
+            f"LEAST(wr.h, wr.y0r + {2 * r + 1}))) AS t2(ys) "
+            "GROUP BY target_id, image_id")
+
+    return f"""
+WITH imgs AS (
+  SELECT o_orderkey AS image_id,
+         (o_orderkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders WHERE o_orderkey <= {SHAPE_MAX_ID}),
+tgts AS (
+  SELECT c_custkey AS target_id,
+         (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer WHERE c_custkey <= {SHAPE_MAX_TGT}),
+pix AS (
+  SELECT t.target_id, i.image_id, i.w, i.h,
+    sin(radians(i.dec)) * sin(radians(t.dec))
+      + cos(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)) AS den,
+    i.w / 2.0 - ((cos(radians(t.dec)) * sin(radians(t.ra) - radians(i.ra))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS px,
+    i.h / 2.0 + (((cos(radians(i.dec)) * sin(radians(t.dec))
+      - sin(radians(i.dec)) * cos(radians(t.dec))
+        * cos(radians(t.ra) - radians(i.ra)))
+      / (sin(radians(i.dec)) * sin(radians(t.dec))
+         + cos(radians(i.dec)) * cos(radians(t.dec))
+           * cos(radians(t.ra) - radians(i.ra)))) / {srad}) AS py
+  FROM tgts t CROSS JOIN imgs i),
+a AS ({wsum(ap, 'n_ap', 'flux_ap')}),
+i AS ({wsum(r_in, 'n_in', 'flux_in')}),
+o AS ({wsum(r_out, 'n_out', 'flux_out')})
+SELECT a.target_id, a.image_id, n_ap, flux_ap, n_in, flux_in, n_out,
+  flux_out,
+  round(CASE WHEN n_out - n_in > 0 THEN
+    (flux_out - flux_in) / (n_out - n_in) END, 9) AS bkg_mean,
+  round(CASE WHEN n_out - n_in > 0 THEN
+    flux_ap - n_ap * ((flux_out - flux_in) / (n_out - n_in)) END, 9)
+    AS net_flux
+FROM a JOIN i ON a.target_id = i.target_id AND a.image_id = i.image_id
+JOIN o ON a.target_id = o.target_id AND a.image_id = o.image_id"""
+
+
 DIFF_MAX_ID = 600
 DIFF_EPOCH_OFFSET = 7777
 DIFF_THRESHOLD = 10
@@ -2879,6 +2990,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corr": _q_cross_corr,
         "source_shape": _q_source_shape,
         "corr_jackknife": _q_corr_jackknife,
+        "annulus_phot": _q_annulus_phot,
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
@@ -3685,6 +3797,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "cross_corr": _cross_corr_sql(),
         "source_shape": _source_shape_sql(),
         "corr_jackknife": _corr_jackknife_sql(),
+        "annulus_phot": _annulus_phot_sql(),
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),

@@ -414,3 +414,89 @@ def source_moments(targets: DataFrame, images: DataFrame,
                     nz(xb).alias("xbar"), nz(yb).alias("ybar"),
                     nz(cxx).alias("cxx"), nz(cyy).alias("cyy"),
                     nz(cxy).alias("cxy"))
+
+
+def annulus_photometry(targets: DataFrame, images: DataFrame,
+                       scale_deg_px: float, aperture_px: int,
+                       annulus_in_px: int, annulus_out_px: int,
+                       channel: int = 0,
+                       target_id: str = "target_id",
+                       image_id: str = "image_id",
+                       bytes_col: str = "bytes",
+                       max_images: int = 1_000_000,
+                       **window_kwargs) -> DataFrame:
+    """Background-subtracted aperture photometry: flux inside the
+    (2*aperture_px+1)-square aperture minus the local background
+    estimated from the square annulus between the inner and outer
+    windows (``aperture_px <= annulus_in_px < annulus_out_px``) — the
+    standard local-sky-subtraction measurement.
+
+        bkg_mean = (flux_out - flux_in) / (n_out - n_in)
+        net_flux = flux_ap - n_ap * bkg_mean       (NULL if annulus empty)
+
+    One cutout_windows pairing at the OUTER size and ONE decode per
+    (target, image): all three nested windows are sliced from the same
+    frame inside a single Arrow batch, so the scale shape is exactly
+    forced_photometry's with three 8-byte sums instead of one. All
+    windows derive from floor(round(px, 6)) — the 1e-6-rounded pixel
+    coordinate both engines share — so the oracle replays the window
+    arithmetic, the three integer sums, and the subtraction tree in SQL.
+    """
+    if not (0 <= aperture_px <= annulus_in_px < annulus_out_px):
+        raise ValueError("need 0 <= aperture <= annulus_in < annulus_out")
+    from .cutouts import cutout_windows
+    from ..sources import imaging
+
+    win = cutout_windows(targets, images, scale_deg_px,
+                         2 * annulus_out_px + 1, target_id=target_id,
+                         image_id=image_id, **window_kwargs)
+    wsel = win.select(target_id, image_id, "px", "py")
+    ids = [r[0] for r in
+           wsel.select(image_id).distinct().limit(max_images + 1)
+           .collect()]
+    if len(ids) > max_images:
+        raise ValueError(
+            f"annulus_photometry matched > {max_images} distinct images; "
+            "raise max_images or partition the target list")
+    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
+               .filter(F.col(image_id).isin(ids))
+               .join(F.broadcast(wsel), image_id))
+
+    id_dtype = dict(matched.dtypes)[image_id]
+    tid_dtype = dict(matched.dtypes)[target_id]
+    cols = ("n_ap", "flux_ap", "n_in", "flux_in", "n_out", "flux_out")
+    schema = (f"{target_id} {tid_dtype}, {image_id} {id_dtype}, "
+              + ", ".join(f"{c} long" for c in cols))
+    radii = (aperture_px, annulus_in_px, annulus_out_px)
+
+    def run(batches):
+        for b in batches:
+            out = {k: [] for k in (target_id, image_id, *cols)}
+            for r in b.itertuples(index=False):
+                d = r._asdict()
+                img = imaging.decode(d[bytes_col], int(d["w"]),
+                                     int(d["h"]), str(d["fmt"]))
+                w, h = int(d["w"]), int(d["h"])
+                fx = int(np.floor(float(d["px"])))
+                fy = int(np.floor(float(d["py"])))
+                out[target_id].append(d[target_id])
+                out[image_id].append(d[image_id])
+                for rad, nk, fk in zip(radii, cols[::2], cols[1::2]):
+                    x0 = max(0, fx - rad)
+                    x1 = min(w, fx - rad + 2 * rad + 1)
+                    y0 = max(0, fy - rad)
+                    y1 = min(h, fy - rad + 2 * rad + 1)
+                    cut = img[y0:y1, x0:x1, channel].astype(np.int64)
+                    out[nk].append(int(cut.size))
+                    out[fk].append(int(cut.sum()))
+            yield pd.DataFrame(out)
+
+    m = matched.mapInPandas(run, schema)
+    n_bkg = F.col("n_out") - F.col("n_in")
+    s_bkg = F.col("flux_out") - F.col("flux_in")
+    bkg = s_bkg / n_bkg
+    net = F.col("flux_ap") - F.col("n_ap") * (s_bkg / n_bkg)
+    return m.select(
+        target_id, image_id, *cols,
+        F.round(F.when(n_bkg > 0, bkg), 9).alias("bkg_mean"),
+        F.round(F.when(n_bkg > 0, net), 9).alias("net_flux"))

@@ -263,3 +263,84 @@ def test_source_moments_matches_numpy(spark):
     assert d.s_v == 200
     assert d.xbar == meta.iloc[0].w // 2 and d.ybar == meta.iloc[0].h // 2
     assert d.cxx == 0.0 and d.cyy == 0.0 and d.cxy == 0.0
+
+
+def test_annulus_photometry_background_subtraction(spark):
+    """Constant background nets to exactly 0; a planted spike on a
+    constant background nets to exactly the spike excess; clipped
+    windows match a numpy twin."""
+    from spatialindex_spark.operators.detect import annulus_photometry
+
+    rng = np.random.default_rng(31)
+    n_img = 12
+    meta = pd.DataFrame({
+        "image_id": np.arange(n_img, dtype=np.int64),
+        "ra": rng.uniform(0, 360, n_img),
+        "dec": np.degrees(np.arcsin(rng.uniform(-0.9, 0.9, n_img))),
+        "w": np.full(n_img, 32, dtype=np.int32),
+        "h": np.full(n_img, 32, dtype=np.int32),
+    })
+
+    def payload(i, w, h):
+        if i == 0:           # constant background
+            return np.full((h, w, 3), 40, dtype=np.uint8)
+        if i == 1:           # constant + center spike
+            img = np.full((h, w, 3), 40, dtype=np.uint8)
+            img[h // 2, w // 2, :] = 240
+            return img
+        return imaging.synth_image_photometric(i, w, h)
+
+    rows = []
+    for r in meta.itertuples(index=False):
+        fmt = ("raw", "z")[int(r.image_id) % 2]
+        img = payload(int(r.image_id), int(r.w), int(r.h))
+        rows.append((int(r.image_id), float(r.ra), float(r.dec),
+                     int(r.w), int(r.h), fmt, imaging.encode(img, fmt)))
+    images = spark.createDataFrame(
+        rows, "image_id long, ra double, dec double, w int, h int, "
+              "fmt string, bytes binary")
+    tg = [(int(r.image_id) * 10, float(r.ra), float(r.dec))
+          for r in meta.itertuples(index=False)]
+    tg += [(int(r.image_id) * 10 + 1,
+            float(r.ra + (r.w / 2 - 0.6) * SCALE),
+            float(min(89.0, r.dec + (r.h / 2 - 0.6) * SCALE)))
+           for r in meta.itertuples(index=False)]
+    targets = spark.createDataFrame(
+        tg, "target_id long, ra double, dec double")
+    ap, r_in, r_out = 1, 2, 4
+    got = {(r.target_id, r.image_id): r
+           for r in annulus_photometry(targets, images, SCALE, ap, r_in,
+                                       r_out, max_dim_px=32).collect()}
+    assert len(got) >= n_img
+
+    # exact background subtraction on the synthetic cases (centered,
+    # unclipped): constant -> 0; constant+spike -> spike excess
+    g0 = got[(0, 0)]
+    assert g0.n_ap == 9 and g0.n_out == 81 and g0.n_in == 25
+    assert g0.bkg_mean == 40.0 and g0.net_flux == 0.0
+    g1 = got[(10, 1)]
+    assert g1.bkg_mean == 40.0 and g1.net_flux == 240.0 - 40.0
+
+    # numpy twin everywhere (incl. clipped corner windows)
+    for (t_id, i_id), g in got.items():
+        tra, tdec = next((a, d) for t, a, d in tg if t == t_id)
+        r = meta.iloc[i_id]
+        px, py, den = tan_pix_np(
+            np.array([tra]), np.array([tdec]), float(r.ra), float(r.dec),
+            int(r.w), int(r.h), SCALE)
+        fx = int(np.floor(round(px[0], 6)))
+        fy = int(np.floor(round(py[0], 6)))
+        img = payload(i_id, int(r.w), int(r.h))
+        sums = {}
+        for rad, nk, fk in ((ap, "n_ap", "flux_ap"),
+                            (r_in, "n_in", "flux_in"),
+                            (r_out, "n_out", "flux_out")):
+            x0, x1 = max(0, fx - rad), min(int(r.w), fx + rad + 1)
+            y0, y1 = max(0, fy - rad), min(int(r.h), fy + rad + 1)
+            cut = img[y0:y1, x0:x1, 0].astype(np.int64)
+            sums[nk], sums[fk] = cut.size, int(cut.sum())
+        for k, v in sums.items():
+            assert getattr(g, k) == v, (t_id, i_id, k)
+    import pytest
+    with pytest.raises(ValueError):
+        annulus_photometry(targets, images, SCALE, 3, 2, 4)
