@@ -1004,6 +1004,94 @@ def _q_lightcurve(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("span_days").cast("long").alias("span_days"))
 
 
+def _q_pm_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Associate-then-fit proper motions
+    (operators/timedomain.py:proper_motions): detections drift linearly
+    from their parent object (integer micro-deg per epoch tick, +-1
+    quantum dither so the LSQ is genuine), best_match associates them,
+    one shared-statistics groupBy fits BOTH coordinates. The oracle
+    replays synthesis, the association window, and both fits; the
+    planted mu must come back as the slope."""
+    from spatialindex_spark.operators.timedomain import proper_motions
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base_ra = (F.col("o_custkey") * F.lit(0.618034)) % 360
+    base_dec = F.degrees(F.asin(
+        2 * ((F.col("o_custkey") * F.lit(0.381966)) % 1) - 1))
+    tick = F.col("o_orderkey") % 12
+    mu_a = (F.col("o_custkey") % 21) - 10            # micro-deg / tick
+    mu_d = (F.expr("o_custkey div 3") % 21) - 10
+    dith_a = (F.col("o_orderkey") * 7) % 3 - 1
+    dith_d = (F.col("o_orderkey") * 11) % 3 - 1
+    det = o.select(
+        F.col("o_orderkey").alias("det_id"),
+        (((base_ra + (mu_a * tick + dith_a) * F.lit(1e-6)) % 360 + 360)
+         % 360).alias("ra"),
+        F.least(F.lit(89.9999), F.greatest(
+            F.lit(-89.9999),
+            base_dec + (mu_d * tick + dith_d) * F.lit(1e-6))).alias("dec"),
+        (tick * F.lit(3_600_000_000)).cast("long").alias("t_us"))
+    cust = _customer_sky(spark, sf_dir).select("c_custkey", "ra", "dec")
+    pm = proper_motions(det, cust, LC_RADIUS, det_id="det_id",
+                        obj_id="c_custkey", time_col="t_us")
+    return pm.select(F.col("obj").alias("c_custkey"), "n_obs",
+                     "pm_ra", "pm_dec", "ra0", "dec0")
+
+
+def _pm_fit_sql() -> str:
+    dot = ("cos(radians(d.dec))*cos(radians(c.dec))"
+           "*cos(radians(d.ra)-radians(c.ra))"
+           " + sin(radians(d.dec))*sin(radians(c.dec))")
+    return f"""
+WITH det AS (
+  SELECT o_orderkey AS det_id,
+    ((((o_custkey * 0.618034) % 360)
+      + (((o_custkey % 21) - 10) * (o_orderkey % 12)
+         + ((o_orderkey * 7) % 3 - 1)) * 0.000001) % 360 + 360) % 360
+      AS ra,
+    LEAST(89.9999, GREATEST(-89.9999,
+      degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1))
+      + ((((o_custkey // 3) % 21) - 10) * (o_orderkey % 12)
+         + ((o_orderkey * 11) % 3 - 1)) * 0.000001)) AS dec,
+    (o_orderkey % 12) * 3600000000 AS t_us
+  FROM orders),
+csky AS (
+  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  FROM customer),
+bm AS (
+  SELECT c_custkey, ra, dec, t_us FROM (
+    SELECT d.det_id, c.c_custkey, d.ra, d.dec, d.t_us,
+      row_number() OVER (PARTITION BY d.det_id ORDER BY
+        degrees(acos(least(greatest({dot}, -1.0), 1.0))) ASC,
+        c.c_custkey ASC) AS rk
+    FROM det d CROSS JOIN csky c
+    WHERE {dot} >= cos(radians({LC_RADIUS}))
+  ) WHERE rk = 1),
+q AS (SELECT c_custkey, t_us // 3600000000 AS t,
+        CAST(round(ra * 1000000) AS BIGINT) AS yra,
+        CAST(round(dec * 1000000) AS BIGINT) AS ydec FROM bm),
+g AS (SELECT c_custkey, count(*) AS n, sum(t) AS st, sum(t * t) AS stt,
+        sum(yra) AS sra, sum(t * yra) AS stra,
+        sum(ydec) AS sdec, sum(t * ydec) AS stdec
+      FROM q GROUP BY c_custkey),
+g2 AS (SELECT c_custkey, n, n::DOUBLE AS nd, st::DOUBLE AS std,
+        stt::DOUBLE AS sttd, sra::DOUBLE AS srad, stra::DOUBLE AS strad,
+        sdec::DOUBLE AS sdecd, stdec::DOUBLE AS stdecd FROM g),
+g3 AS (SELECT *, (nd * sttd - std * std) AS den,
+        (nd * strad - std * srad) AS numa,
+        (nd * stdecd - std * sdecd) AS numd FROM g2)
+SELECT c_custkey, n AS n_obs,
+  CASE WHEN den != 0 THEN round((numa / den) / 1000000.0, 9) END AS pm_ra,
+  CASE WHEN den != 0 THEN round((numd / den) / 1000000.0, 9) END
+    AS pm_dec,
+  CASE WHEN den != 0 THEN
+    round(((srad - (numa / den) * std) / nd) / 1000000.0, 9) END AS ra0,
+  CASE WHEN den != 0 THEN
+    round(((sdecd - (numd / den) * std) / nd) / 1000000.0, 9) END AS dec0
+FROM g3"""
+
+
 def _q_minhash_transitive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH dedup with transitive clustering: verified near-dup
     pairs are collapsed with distributed connected components and one
@@ -2991,6 +3079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_shape": _q_source_shape,
         "corr_jackknife": _q_corr_jackknife,
         "annulus_phot": _q_annulus_phot,
+        "pm_fit": _q_pm_fit,
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
@@ -3798,6 +3887,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "source_shape": _source_shape_sql(),
         "corr_jackknife": _corr_jackknife_sql(),
         "annulus_phot": _annulus_phot_sql(),
+        "pm_fit": _pm_fit_sql(),
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),

@@ -380,3 +380,64 @@ def linear_fit(df: DataFrame, key_col: str, t_col: str, y_col: str,
         ((sy - slope_q * st) / n) / F.lit(q), 9))
     return g.select("key", F.col("n").alias("n_obs"),
                     slope.alias("slope"), intercept.alias("intercept"))
+
+
+def proper_motions(det: DataFrame, catalog: DataFrame, radius_deg: float,
+                   det_id: str, obj_id: str, time_col: str,
+                   ra_col: str = "ra", dec_col: str = "dec",
+                   t_quant_us: int = 3_600_000_000,
+                   pos_quant: int = 1_000_000, **kwargs) -> DataFrame:
+    """Associate-then-fit: the pipeline that PRODUCES proper-motion
+    columns (the input :func:`propagate_epoch` / pm_crossmatch consumes).
+    Detections best_match into the catalog (J3 window semantics), then
+    ONE partial-agg groupBy per object accumulates the shared exact
+    int64 sufficient statistics for BOTH coordinate fits — the same
+    quantized-LSQ formulation as :func:`linear_fit` (builtin regr_slope
+    is not oracle-matchable; this is), with ra and dec sharing (n, st,
+    stt), so the fit costs one narrow shuffle of seven longs per object
+    after the association.
+
+    Output: (obj, n_obs, pm_ra, pm_dec, ra0, dec0) — slopes in
+    position-units per t-tick, intercepts at t=0; NULL fits on n < 2 or
+    zero t-variance. RA is fit as-given (callers near the wrap
+    pre-center with a local offset; deterministic either way).
+    """
+    from ..operators.joins import best_match
+
+    sl, sr = kwargs.get("suffixes", ("_l", "_r"))
+    probe = det.select(det_id, ra_col, dec_col, time_col)
+    pairs = best_match(probe, catalog, radius_deg, left_id=det_id,
+                       right_id=obj_id, **kwargs)
+    tq = F.expr(f"{time_col}{sl} div {int(t_quant_us)}").cast("long")
+    raq = F.round(F.col(ra_col + sl) * pos_quant).cast("long")
+    decq = F.round(F.col(dec_col + sl) * pos_quant).cast("long")
+    g = (pairs.select(F.col(obj_id + sr).alias("obj"), tq.alias("_t"),
+                      raq.alias("_ra"), decq.alias("_dec"))
+         .groupBy("obj")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("_t").alias("_st"),
+              F.sum(F.col("_t") * F.col("_t")).alias("_stt"),
+              F.sum("_ra").alias("_sra"),
+              F.sum(F.col("_t") * F.col("_ra")).alias("_stra"),
+              F.sum("_dec").alias("_sdec"),
+              F.sum(F.col("_t") * F.col("_dec")).alias("_stdec")))
+    n = F.col("n").cast("double")
+    st = F.col("_st").cast("double")
+    stt = F.col("_stt").cast("double")
+    den = n * stt - st * st
+    q = float(pos_quant)
+
+    def fit(sy_col, sty_col):
+        sy = F.col(sy_col).cast("double")
+        sty = F.col(sty_col).cast("double")
+        slope_q = (n * sty - st * sy) / den
+        slope = F.when(den != 0, F.round(slope_q / F.lit(q), 9))
+        icpt = F.when(den != 0, F.round(
+            ((sy - slope_q * st) / n) / F.lit(q), 9))
+        return slope, icpt
+
+    pm_ra, ra0 = fit("_sra", "_stra")
+    pm_dec, dec0 = fit("_sdec", "_stdec")
+    return g.select(F.col("obj"), F.col("n").alias("n_obs"),
+                    pm_ra.alias("pm_ra"), pm_dec.alias("pm_dec"),
+                    ra0.alias("ra0"), dec0.alias("dec0"))

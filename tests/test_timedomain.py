@@ -287,3 +287,51 @@ def test_pm_crossmatch_matches_brute_force(spark):
     import pytest as _pt
     with _pt.raises(Exception, match="pole|assert"):
         propagate_epoch(bad, 10.0).collect()
+
+
+def test_proper_motions_recovers_planted_mu(spark):
+    """proper_motions recovers an exactly-planted linear drift: slope ==
+    mu (positions built on an exact micro-deg lattice, zero dither), and
+    with +-1-quantum dither the fit matches a numpy lstsq twin."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+    from spatialindex_spark.operators.timedomain import proper_motions
+
+    rng = np.random.default_rng(47)
+    n_obj, n_ep = 40, 8
+    ra0 = np.round(rng.uniform(10, 350, n_obj), 6)
+    dec0 = np.round(rng.uniform(-80, 80, n_obj), 6)
+    mu_a = rng.integers(-10, 11, n_obj)     # micro-deg / tick
+    mu_d = rng.integers(-10, 11, n_obj)
+    rows = []
+    for o in range(n_obj):
+        for e in range(n_ep):
+            dith = int((o * 7 + e * 3) % 3) - 1
+            rows.append((o * 100 + e,
+                         float(ra0[o] + (mu_a[o] * e + dith) * 1e-6),
+                         float(dec0[o] + (mu_d[o] * e + dith) * 1e-6),
+                         e * 3_600_000_000))
+    det = spark.createDataFrame(
+        rows, "det_id long, ra double, dec double, t_us long")
+    cat = spark.createDataFrame(
+        [(o, float(ra0[o]), float(dec0[o])) for o in range(n_obj)],
+        "obj_id long, ra double, dec double")
+    got = {r.obj: r for r in proper_motions(
+        det, cat, 0.01, det_id="det_id", obj_id="obj_id",
+        time_col="t_us").collect()}
+    assert len(got) == n_obj
+    for o in range(n_obj):
+        g = got[o]
+        assert g.n_obs == n_ep
+        # numpy twin over the quantized lattice
+        t = np.arange(n_ep)
+        ya = np.array([round((ra0[o] + (mu_a[o] * e
+                       + ((o * 7 + e * 3) % 3) - 1) * 1e-6) * 1e6)
+                       for e in range(n_ep)])
+        A = np.stack([t, np.ones(n_ep)], 1)
+        sl, ic = np.linalg.lstsq(A, ya.astype(float), rcond=None)[0]
+        assert abs(g.pm_ra - sl / 1e6) < 1e-8, (o, g.pm_ra, sl / 1e6)
+        assert abs(g.pm_ra - mu_a[o] * 1e-6) < 1.5e-6  # dither bound
+        assert abs(g.pm_dec - mu_d[o] * 1e-6) < 1.5e-6
+        assert abs(g.ra0 - ra0[o]) < 1e-4 and abs(g.dec0 - dec0[o]) < 1e-4
