@@ -386,6 +386,13 @@ def ud_grade(map_df: DataFrame, level_in: int, level_out: int,
     m = 4 ** dk
     if mode == "mean":
         raise ValueError("mode='mean' is degrade-only")
+    if mode == "sum":
+        # the long-division split is defined for counts; a negative value
+        # would silently violate conservation — fail loudly in-plan (the
+        # operand is npix-bounded, the assert costs nothing)
+        v = F.when(F.assert_true(v >= 0, F.lit(
+            "ud_grade mode='sum' upgrade requires non-negative values"))
+            .isNull(), v)
     j = F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_j")
     base = map_df.select(
         F.shiftleft(F.col(pix_col).cast("long"), 2 * dk).alias("_p"),

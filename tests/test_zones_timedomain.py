@@ -576,6 +576,12 @@ def test_ud_grade_semantics(spark):
         ud_grade(df, 3, 1, mode="copy")
     with pytest.raises(ValueError):
         ud_grade(df, 3, 5, mode="mean")
+    # conserving upgrade rejects negative values in-plan (silent
+    # mis-splits would violate conservation)
+    neg = spark.createDataFrame([(0, -5)], "pix long, n long")
+    with pytest.raises(Exception, match="non-negative"):
+        ud_grade(neg, 1, 2, mode="sum").collect()
+    assert len(ud_grade(neg, 1, 2, mode="copy").collect()) == 4
 
 
 def test_bayes_match_formula_and_pairs(spark):
