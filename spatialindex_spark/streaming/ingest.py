@@ -638,3 +638,65 @@ def stream_phase_fold(stream: DataFrame, period_us: int, n_bins: int = 8,
                 "mean_y double, amp_y double",
                 "ns array<long>, sys array<long>, mns array<long>, "
                 "mxs array<long>", "update", GroupStateTimeout.NoTimeout))
+
+
+def stream_proper_motions(stream: DataFrame, key_col: str = "obj_id",
+                          t_col: str = "t_us",
+                          ra_col: str = "ra", dec_col: str = "dec",
+                          t_quant_us: int = 3_600_000_000,
+                          pos_quant: int = 1_000_000) -> DataFrame:
+    """Stateful streaming proper-motion fit: the cross-batch incremental
+    twin of operators/timedomain.py:proper_motions' fit stage (the
+    association happens upstream; this consumes already-keyed epochs).
+
+    Per-key state is SEVEN int64 sufficient statistics — (n, st, stt,
+    sra, stra, sdec, stdec) — exactly the batch operator's shared-fit
+    moments, so after any in-order replay the running slopes/intercepts
+    are bit-identical to the batch fit on the union (same fixed IEEE
+    Cramer tree). 56 bytes/object; positions are never stored, so a
+    survey maintains LIVE per-object proper motions over unbounded
+    epoch history.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    q = float(pos_quant)
+
+    def update(key, pdfs, state: GroupState):
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf["_t"] = (pdf[t_col].astype("int64") // t_quant_us)
+        pdf["_ra"] = (pdf[ra_col] * pos_quant).round().astype("int64")
+        pdf["_dec"] = (pdf[dec_col] * pos_quant).round().astype("int64")
+        if state.exists:
+            n, st, stt, sra, stra, sdec, stdec = state.get
+        else:
+            n, st, stt, sra, stra, sdec, stdec = 0, 0, 0, 0, 0, 0, 0
+        n += int(len(pdf))
+        st += int(pdf["_t"].sum())
+        stt += int((pdf["_t"] * pdf["_t"]).sum())
+        sra += int(pdf["_ra"].sum())
+        stra += int((pdf["_t"] * pdf["_ra"]).sum())
+        sdec += int(pdf["_dec"].sum())
+        stdec += int((pdf["_t"] * pdf["_dec"]).sum())
+        state.update((n, st, stt, sra, stra, sdec, stdec))
+        den = float(n) * float(stt) - float(st) * float(st)
+        out = {key_col: [key[0]], "n_obs": [n], "pm_ra": [None],
+               "pm_dec": [None], "ra0": [None], "dec0": [None]}
+        if den != 0:
+            for sy, sty, sl_k, ic_k in ((sra, stra, "pm_ra", "ra0"),
+                                        (sdec, stdec, "pm_dec", "dec0")):
+                slope_q = (float(n) * float(sty)
+                           - float(st) * float(sy)) / den
+                out[sl_k] = [round(slope_q / q, 9)]
+                out[ic_k] = [round(
+                    ((float(sy) - slope_q * float(st)) / float(n)) / q, 9)]
+        yield pd.DataFrame(out)
+
+    return (stream.groupBy(key_col)
+            .applyInPandasWithState(
+                update,
+                f"{key_col} long, n_obs long, pm_ra double, "
+                "pm_dec double, ra0 double, dec0 double",
+                "n long, st long, stt long, sra long, stra long, "
+                "sdec long, stdec long", "update",
+                GroupStateTimeout.NoTimeout))

@@ -768,3 +768,61 @@ def test_landy_szalay_jackknife_brute(spark):
                         * sum((x - m) ** 2 for x in wks))
         assert abs(got[b].w_err - err) < 1e-8, (b, got[b].w_err, err)
     assert any(got[b].n_jk >= 2 for b in range(3))
+
+
+def test_stream_proper_motions_across_batches(spark, tmp_path):
+    """Cross-batch incremental fit moments: the stream's FINAL emission
+    per object equals the batch proper_motions fit on the union (the
+    association is made unambiguous so both paths see identical keyed
+    epochs)."""
+    from spatialindex_spark.operators.timedomain import proper_motions
+    from spatialindex_spark.streaming.ingest import stream_proper_motions
+
+    objs = [(k, 40.0 + 5.0 * k, 10.0 + 2.0 * k) for k in range(4)]
+    batch1, batch2 = [], []
+    for k, ra0, dec0 in objs:
+        mu_a, mu_d = (k % 5) - 2, ((k + 2) % 5) - 2   # micro-deg / tick
+        for e in range(10):
+            dith = ((k * 7 + e * 3) % 3) - 1
+            row = (k, 1000 * k + e,
+                   float(ra0 + (mu_a * e + dith) * 1e-6),
+                   float(dec0 + (mu_d * e + dith) * 1e-6),
+                   e * 3_600_000_000)
+            (batch1 if e < 6 else batch2).append(row)
+    schema = ("obj_id long, det_id long, ra double, dec double, "
+              "t_us long")
+    src = str(tmp_path / "pm_in")
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stream_proper_motions(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_pm").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(batch2, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY obj_id ORDER BY n_obs DESC) AS rk FROM t_pm) "
+            "WHERE rk = 1").collect()
+        got = {r["obj_id"]: r for r in rows}
+    finally:
+        q.stop()
+
+    det = spark.createDataFrame(batch1 + batch2, schema) \
+        .select("det_id", "ra", "dec", "t_us")
+    cat = spark.createDataFrame(
+        [(k, ra, dec) for k, ra, dec in objs],
+        "obj_id long, ra double, dec double")
+    want = {r["obj"]: r for r in proper_motions(
+        det, cat, 0.01, det_id="det_id", obj_id="obj_id",
+        time_col="t_us").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["n_obs"] == want[k]["n_obs"] == 10
+        for f in ("pm_ra", "pm_dec", "ra0", "dec0"):
+            assert got[k][f] == want[k][f], (k, f, got[k][f], want[k][f])
+        # planted slope recovered within the dither bound
+        assert abs(got[k]["pm_ra"] - ((k % 5) - 2) * 1e-6) < 1e-6
