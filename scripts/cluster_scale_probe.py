@@ -30,7 +30,8 @@ import zipfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from bench import geom_scan_job  # noqa: E402
+from bench import (EQ_TOTAL, equalization_available, geom_scan_job,  # noqa: E402
+                   package_load)
 
 N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "64000000"))
 BUDGET = float(os.environ.get("SPARK_GRAFT_CLUSTER_BUDGET", "1200"))
@@ -82,16 +83,23 @@ def _median_thr(s, n_exec: int, reps: int = 3):
     return statistics.median(thrs), spread
 
 
-def _isolated(n_exec: int, zip_path: str, reps: int = 3):
-    s = _session(n_exec, zip_path)
-    try:
-        return _median_thr(s, n_exec, reps=reps)
-    finally:
-        s.stop()
+def _isolated(n_exec: int, zip_path: str, reps: int = 3, spinners: int = 0):
+    # spinners > 0: equal-package-load legs (see bench.py package_load —
+    # a real N vs 4N executor fleet runs fully loaded machines in both
+    # legs, so the shared box's idle-package clock boost on the small leg
+    # is a measurement artifact; SCHED_IDLE spinners pin the package at
+    # the same total load for both legs)
+    with package_load(spinners):
+        s = _session(n_exec, zip_path)
+        try:
+            return _median_thr(s, n_exec, reps=reps)
+        finally:
+            s.stop()
 
 
 def main() -> int:
     zip_path = _zip_pkg()
+    eq_on = equalization_available()
     t_start = time.time()
     attempts = []
     pairs = []
@@ -110,6 +118,24 @@ def main() -> int:
                "host_state": "clean" if clean else "degraded",
                "efficiency": round(eff, 3),
                "accepted": drift <= 0.10 and sp4 <= 0.20}
+        if eq_on:
+            # equal-package-load legs in the same attempt window (1 exec
+            # = 2 busy cores, 4 execs = 8), own control re-read
+            thr1e, _ = _isolated(1, zip_path, reps=2,
+                                 spinners=EQ_TOTAL - 2)
+            thr4e, sp4e = _isolated(4, zip_path, reps=2,
+                                    spinners=EQ_TOTAL - 8)
+            ctrl1e, _ = _isolated(1, zip_path, reps=1,
+                                  spinners=EQ_TOTAL - 2)
+            drift_e = abs(ctrl1e - thr1e) / thr1e
+            rec.update({"thr_1exec_eq": round(thr1e, 1),
+                        "thr_4exec_eq": round(thr4e, 1),
+                        "control_drift_eq": round(drift_e, 3),
+                        "efficiency_eq": round(thr4e / (4 * thr1e), 3)})
+            rec["accepted"] = (rec["accepted"] and drift_e <= 0.10
+                               and sp4e <= 0.20)
+        else:
+            rec["efficiency_eq"] = rec["efficiency"]
         attempts.append(rec)
         print(json.dumps(rec), flush=True)
         if rec["accepted"] and clean:
@@ -125,9 +151,14 @@ def main() -> int:
         "attempts": attempts,
         "clean_pairs": len(pairs),
     }
+    out["equalized"] = eq_on
     if pairs:
-        med = statistics.median(p["efficiency"] for p in pairs)
+        # headline = equal-package-load pair (efficiency_eq aliases the
+        # raw number when equalization is unavailable)
+        med = statistics.median(p["efficiency_eq"] for p in pairs)
         out["efficiency_execs_1_to_4"] = round(med, 3)
+        out["efficiency_execs_1_to_4_idle_package"] = round(
+            statistics.median(p["efficiency"] for p in pairs), 3)
         out["thr_rows_per_sec"] = {
             "1exec": statistics.median(p["thr_1exec"] for p in pairs),
             "4exec": statistics.median(p["thr_4exec"] for p in pairs),
