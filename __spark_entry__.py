@@ -2445,6 +2445,60 @@ def _para_dedup_sql() -> str:
     )
 
 
+def _q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (span) dedup signal (operators/dedup.py:
+    span_dup_fraction, anchor="space" — the Lee et al. 2022 sub-document
+    signal in its alignment-free Spark shape): documents are augmented
+    with PLANTED verbatim copy blocks at MISALIGNED byte offsets (the
+    prefix length varies with doc_id % 7, so no fixed-stride grid can
+    line the copies up) and the operator's word-anchored two-xxhash64
+    span marking must equal the oracle's TRUE string-equality
+    computation — gating both the anchor rule and the hash-pair proxy."""
+    from spatialindex_spark.operators.dedup import span_dup_fraction
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    block = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("common span "), F.col("doc_id") % 5,
+                        F.lit(" alpha beta gamma delta epsilon zeta")))
+        .otherwise(F.concat(F.lit("uniq "), F.col("doc_id"),
+                            F.lit(" filler words here for anchors"))))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text").substr(
+                F.lit(1), (F.lit(20) + F.col("doc_id") % 7).cast("int")),
+            F.lit(" "), block, F.lit(" "),
+            F.substring("text", 21, 40)).alias("text"))
+    return span_dup_fraction(aug, window=32, anchor="space")
+
+
+def _span_dedup_sql() -> str:
+    return (
+        "WITH aug AS (SELECT doc_id, "
+        "  substr(text, 1, 20 + (doc_id % 7)) || ' ' || "
+        "  CASE WHEN doc_id % 3 = 0 THEN 'common span ' || (doc_id % 5) "
+        "         || ' alpha beta gamma delta epsilon zeta' "
+        "       ELSE 'uniq ' || doc_id || ' filler words here for anchors' "
+        "  END || ' ' || substr(text, 21, 40) AS text FROM documents), "
+        "pos AS (SELECT doc_id, text, "
+        "  greatest(1, length(text) - 31) AS last_s FROM aug), "
+        "anch AS (SELECT doc_id, text, "
+        "  unnest(list_distinct([1] || "
+        "    [g + 1 FOR g IN range(1, length(text) + 1) "
+        "     IF substr(text, g, 1) IN (' ', chr(10), chr(9)) "
+        "        AND g + 1 <= last_s])) AS s FROM pos), "
+        "f AS (SELECT doc_id, substr(text, s, 32) AS w FROM anch "
+        "  WHERE length(substr(text, s, 32)) > 0), "
+        "d AS (SELECT w, count(DISTINCT doc_id) AS ndocs FROM f "
+        "  GROUP BY w) "
+        "SELECT f.doc_id, count(*) AS n_spans, "
+        "  sum((d.ndocs > 1)::INT)::BIGINT AS n_dup_spans, "
+        "  round(sum((d.ndocs > 1)::INT)::BIGINT / count(*), 9) AS dup_frac "
+        "FROM f JOIN d ON f.w = d.w GROUP BY f.doc_id"
+    )
+
+
 def _q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The storage layer under the driver gate: orders_sky lands in an
     Iceberg-lite table as a bulk write PLUS two exactly-once stream
@@ -3083,6 +3137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bayes_xmatch": _q_bayes_xmatch,
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
+        "span_dedup": _q_span_dedup,
         "table_roundtrip": _q_table_roundtrip,
         "xmatch3": _q_xmatch3,
         "phase_fold": _q_phase_fold,
@@ -3891,6 +3946,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "bayes_xmatch": _bayes_xmatch_sql(),
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),
+        "span_dedup": _span_dedup_sql(),
         "table_roundtrip": _table_roundtrip_sql(),
         "xmatch3": _xmatch3_sql(),
         "phase_fold": _phase_fold_sql(),

@@ -558,3 +558,94 @@ def paragraph_dup_fraction(df: DataFrame, text_col: str = "text",
             .withColumn("dup_frac",
                         F.round(F.col("n_dup_paras")
                                 / F.col("n_paras"), 9)))
+
+
+def span_dup_fraction(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      window: int = 64, stride: int = 16,
+                      anchor: str = "stride") -> DataFrame:
+    """Per-document duplicate-SPAN fraction — exact-substring dedup (the
+    training-data signal of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): a document sharing long
+    verbatim character spans with other documents is a partial mirror /
+    template even when no whole document and no whole paragraph matches,
+    so both ``exact_dedup`` and ``paragraph_dup_fraction`` keep it. The
+    paper's suffix-array formulation is inherently single-machine; the
+    Spark-scale shape is fixed-width ``window``-char spans hashed from a
+    bounded set of start offsets, with cross-document multiplicity
+    deciding duplication (within-document repeats are `repetition`'s
+    job). Emits (id, n_spans, n_dup_spans, dup_frac); gate with
+    ``dup_frac >= tau`` downstream.
+
+    ``anchor`` picks the start offsets — an explicit recall/cost knob:
+
+    - ``"stride"`` (default, cheapest): offsets 1, 1+stride, 1+2*stride,
+      ... A copy of length >= window + stride - 1 is detected IFF its
+      start offsets in the two documents agree mod ``stride`` (window
+      starts inside the copy sit at intra-copy offsets fixed by the
+      document-frame grid, so misaligned copies share no common span
+      string). stride=1 removes the caveat — every copy >= window is
+      caught — at stride-fold shuffle cost. Use for corpora where
+      duplication is whole-prefix / template-at-offset-0 shaped, or as
+      a cheap first-pass screen.
+    - ``"space"`` (alignment-free): offsets are the positions right
+      after each whitespace character (plus offset 1), i.e. word starts.
+      Anchors are CONTENT-DEFINED, so a copied span carries its anchors
+      with it wherever it lands: any copy >= window + max inter-anchor
+      gap is detected regardless of byte offset — the winnowing/CDC idea
+      with a deterministic, SQL-replayable anchor rule. ``stride`` is
+      ignored. Cost: ~one span per word (prose: ~1/6 chars); the anchor
+      scan materializes a per-row int array of length(text) map-side
+      (bounded by the row, never shuffled).
+
+    Scale shape (100 TB): spans explode MAP-SIDE into (doc, two 8-byte
+    hashes) rows — ~24 B per span crosses the shuffle, the text itself
+    never does; one distinct + one groupBy on the hash pair computes
+    cross-document multiplicity; one equi-join back. Everything is JVM
+    Column expressions (sequence/filter/transform/substr/xxhash64) —
+    zero Python in the plan. Documents shorter than ``window``
+    contribute their whole text as one span, so short exact duplicates
+    still flag. Same birthday-safety as exact_dedup: two independently-
+    seeded xxhash64 keys, so a single-hash collision cannot mark a
+    unique span duplicated at 10^12-span scale.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if anchor not in ("stride", "space"):
+        raise ValueError(f"unknown anchor {anchor!r}")
+    t = F.col(text_col)
+    last_start = F.greatest(F.lit(1), F.length(t) - F.lit(window - 1))
+    if anchor == "stride":
+        starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    else:
+        # word-start anchors: position 1 plus every position following a
+        # whitespace char, capped so no span start sits past last_start
+        # (spans shorter than `window` would duplicate each other's
+        # suffixes spuriously at the text tail)
+        starts = F.array_distinct(F.concat(
+            F.array(F.lit(1)),
+            F.filter(
+                F.transform(
+                    F.filter(F.sequence(F.lit(1), F.length(t)),
+                             lambda p: t.substr(p, F.lit(1))
+                             .isin(" ", "\n", "\t")),
+                    lambda p: p + 1),
+                lambda s: s <= last_start)))
+    span = F.explode(F.transform(starts,
+                                 lambda s: t.substr(s, F.lit(window))))
+    spans = (df.select(F.col(id_col), span.alias("_w"))
+             .filter(F.length("_w") > 0)
+             .select(id_col,
+                     F.xxhash64(F.col("_w")).alias("_h1"),
+                     F.xxhash64(F.col("_w"), F.lit(1)).alias("_h2")))
+    docs_per = (spans.select(id_col, "_h1", "_h2").distinct()
+                .groupBy("_h1", "_h2")
+                .agg(F.count(F.lit(1)).alias("_ndocs")))
+    marked = (spans.join(docs_per, ["_h1", "_h2"])
+              .withColumn("_dup", (F.col("_ndocs") > 1).cast("int")))
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("_dup").alias("n_dup_spans"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_spans")
+                                / F.col("n_spans"), 9)))

@@ -1947,3 +1947,49 @@ def test_paragraph_dup_fraction(spark):
     assert got[2]["n_paras"] == 2 and got[2]["n_dup_paras"] == 1
     assert got[3]["n_dup_paras"] == 0          # repeats within one doc
     assert got[4]["dup_frac"] == 0.0
+
+
+def test_span_dup_fraction_alignment(spark):
+    """Exact-substring spans: the space-anchored mode detects a verbatim
+    copy planted at MISALIGNED byte offsets (different offsets mod
+    stride), which the fixed-stride grid provably cannot; within-doc
+    structure alone never flags; whole-text spans catch short dups."""
+    from spatialindex_spark.operators.dedup import span_dup_fraction
+
+    shared = ("the quick brown fox jumps over the lazy dog again "
+              "and again in the meadow tonight")
+    rows = [
+        # copy at offset 40 (10*4-char prefix units)
+        (0, "AAA " * 10 + shared + " tail zero unique text here pad"),
+        # same copy at offset 14 — misaligned mod 16 vs doc 0
+        (1, "B " * 7 + shared + " different tail one more unique xx"),
+        (2, "totally unrelated document with no shared content at all"),
+        (3, "short dup"),
+        (4, "short dup"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sp = {r["doc_id"]: r for r in
+          span_dup_fraction(df, window=32, anchor="space").collect()}
+    assert sp[0]["n_dup_spans"] > 0 and sp[1]["n_dup_spans"] > 0
+    # both sides flag the SAME number of shared spans (the copy's
+    # word anchors travel with its content)
+    assert sp[0]["n_dup_spans"] == sp[1]["n_dup_spans"]
+    assert sp[2]["n_dup_spans"] == 0
+    assert sp[3]["dup_frac"] == 1.0 and sp[4]["dup_frac"] == 1.0
+
+    st = {r["doc_id"]: r for r in
+          span_dup_fraction(df, window=32, stride=16).collect()}
+    # the documented stride-grid blind spot: offsets 40 vs 14 disagree
+    # mod 16, so no window string can coincide
+    assert st[0]["n_dup_spans"] == 0 and st[1]["n_dup_spans"] == 0
+    assert st[3]["dup_frac"] == 1.0            # whole-text span still hits
+
+    # aligned copies DO flag on the stride grid (offset 0 in both)
+    al = spark.createDataFrame(
+        [(10, shared + " first tail unique"),
+         (11, shared + " second tail other")],
+        "doc_id long, text string")
+    ga = {r["doc_id"]: r for r in
+          span_dup_fraction(al, window=32, stride=16).collect()}
+    assert ga[10]["n_dup_spans"] > 0 and ga[11]["n_dup_spans"] > 0
