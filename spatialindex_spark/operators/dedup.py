@@ -560,6 +560,49 @@ def paragraph_dup_fraction(df: DataFrame, text_col: str = "text",
                                 / F.col("n_paras"), 9)))
 
 
+def span_hash_rows(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", *, window: int = 64,
+                   stride: int = 16, anchor: str = "stride",
+                   keep: tuple = ()) -> DataFrame:
+    """Explode a text column into fixed-width span hash rows — the shared
+    extraction under :func:`span_dup_fraction` (batch) and
+    ``streaming.ingest.stream_span_dedup``. Returns one row per span:
+    (id, *keep, _h1, _h2) where the hash pair is two independently-seeded
+    xxhash64 of the ``window``-char span. Pure JVM Column expressions;
+    the text never leaves the map side. See span_dup_fraction for the
+    ``anchor`` semantics (stride grid vs alignment-free word anchors)."""
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if anchor not in ("stride", "space"):
+        raise ValueError(f"unknown anchor {anchor!r}")
+    t = F.col(text_col)
+    last_start = F.greatest(F.lit(1), F.length(t) - F.lit(window - 1))
+    if anchor == "stride":
+        starts = F.sequence(F.lit(1), last_start, F.lit(stride))
+    else:
+        # word-start anchors: position 1 plus every position following a
+        # whitespace char, capped so no span start sits past last_start
+        # (spans shorter than `window` would duplicate each other's
+        # suffixes spuriously at the text tail)
+        starts = F.array_distinct(F.concat(
+            F.array(F.lit(1)),
+            F.filter(
+                F.transform(
+                    F.filter(F.sequence(F.lit(1), F.length(t)),
+                             lambda p: t.substr(p, F.lit(1))
+                             .isin(" ", "\n", "\t")),
+                    lambda p: p + 1),
+                lambda s: s <= last_start)))
+    span = F.explode(F.transform(starts,
+                                 lambda s: t.substr(s, F.lit(window))))
+    return (df.select(F.col(id_col), *[F.col(c) for c in keep],
+                      span.alias("_w"))
+            .filter(F.length("_w") > 0)
+            .select(id_col, *keep,
+                    F.xxhash64(F.col("_w")).alias("_h1"),
+                    F.xxhash64(F.col("_w"), F.lit(1)).alias("_h2")))
+
+
 def span_dup_fraction(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       window: int = 64, stride: int = 16,
@@ -609,35 +652,8 @@ def span_dup_fraction(df: DataFrame, text_col: str = "text",
     seeded xxhash64 keys, so a single-hash collision cannot mark a
     unique span duplicated at 10^12-span scale.
     """
-    if window < 1 or stride < 1:
-        raise ValueError("window and stride must be >= 1")
-    if anchor not in ("stride", "space"):
-        raise ValueError(f"unknown anchor {anchor!r}")
-    t = F.col(text_col)
-    last_start = F.greatest(F.lit(1), F.length(t) - F.lit(window - 1))
-    if anchor == "stride":
-        starts = F.sequence(F.lit(1), last_start, F.lit(stride))
-    else:
-        # word-start anchors: position 1 plus every position following a
-        # whitespace char, capped so no span start sits past last_start
-        # (spans shorter than `window` would duplicate each other's
-        # suffixes spuriously at the text tail)
-        starts = F.array_distinct(F.concat(
-            F.array(F.lit(1)),
-            F.filter(
-                F.transform(
-                    F.filter(F.sequence(F.lit(1), F.length(t)),
-                             lambda p: t.substr(p, F.lit(1))
-                             .isin(" ", "\n", "\t")),
-                    lambda p: p + 1),
-                lambda s: s <= last_start)))
-    span = F.explode(F.transform(starts,
-                                 lambda s: t.substr(s, F.lit(window))))
-    spans = (df.select(F.col(id_col), span.alias("_w"))
-             .filter(F.length("_w") > 0)
-             .select(id_col,
-                     F.xxhash64(F.col("_w")).alias("_h1"),
-                     F.xxhash64(F.col("_w"), F.lit(1)).alias("_h2")))
+    spans = span_hash_rows(df, text_col, id_col,
+                           window=window, stride=stride, anchor=anchor)
     docs_per = (spans.select(id_col, "_h1", "_h2").distinct()
                 .groupBy("_h1", "_h2")
                 .agg(F.count(F.lit(1)).alias("_ndocs")))

@@ -700,3 +700,82 @@ def stream_proper_motions(stream: DataFrame, key_col: str = "obj_id",
                 "n long, st long, stt long, sra long, stra long, "
                 "sdec long, stdec long", "update",
                 GroupStateTimeout.NoTimeout))
+
+
+def stream_span_dedup(stream: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", ts_col: str = "ts",
+                      window: int = 64, stride: int = 16,
+                      anchor: str = "space",
+                      bucket_bits: int = 20,
+                      max_per_bucket: int = 4096) -> DataFrame:
+    """Streaming exact-substring (span) dedup — the ingest-time twin of
+    batch ``dedup.span_dup_fraction``: flags every arriving span whose
+    content was ALREADY ingested from a different document, so a
+    partial mirror is caught the moment it enters the firehose (the
+    batch operator's symmetric marking needs the whole corpus; the
+    streaming semantic is keep-first, like stream_exact_dedup).
+
+    Shape: arriving docs explode MAP-SIDE into (doc, ts, two 8-byte span
+    hashes) via the shared ``span_hash_rows`` extraction (anchor="space"
+    = alignment-free word anchors; text never enters state). Spans group
+    by the low ``bucket_bits`` of the first hash; per-bucket state holds
+    (h1, h2, first-owner id) triples — 24 B per DISTINCT span, capped at
+    ``max_per_bucket`` per bucket with FIFO eviction, so total state is
+    absolutely bounded at 2^bucket_bits x max_per_bucket entries
+    whatever the ingest rate (evictions trade recall for memory,
+    documented like stream_simhash_dedup's per-band cap). A replayed
+    span from the SAME document neither flags nor widens state.
+
+    Output is the PER-SPAN verdict stream (id, ts, dup): consumers
+    aggregate per doc id for an n_dup_spans / dup_frac gate — the
+    per-doc rollup stays with the consumer because stacking another
+    stateful aggregation behind applyInPandasWithState is not
+    universally supported. Within a micro-batch, rows process in
+    (ts, id) order, so same-batch cross-document copies flag exactly
+    like the across-batch case.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators.dedup import span_hash_rows
+
+    mask = (1 << bucket_bits) - 1
+    spans = (span_hash_rows(
+        stream.withColumn(ts_col, F.col(ts_col).cast("timestamp")),
+        text_col, id_col, window=window, stride=stride, anchor=anchor,
+        keep=(ts_col,))
+        .withColumn("_b", F.col("_h1").bitwiseAND(F.lit(mask))))
+
+    def update(key, pdfs, state: GroupState):
+        h1s, h2s, owners = ([], [], []) if not state.exists else state.get
+        h1s, h2s, owners = list(h1s), list(h2s), list(owners)
+        seen = {(a, b): o for a, b, o in zip(h1s, h2s, owners)}
+        out_id, out_ts, out_dup = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values([ts_col, id_col])
+            for rid, rts, h1, h2 in zip(pdf[id_col], pdf[ts_col],
+                                        pdf["_h1"], pdf["_h2"]):
+                k2 = (int(h1), int(h2))
+                owner = seen.get(k2)
+                out_id.append(rid)
+                out_ts.append(rts)
+                out_dup.append(owner is not None and owner != int(rid))
+                if owner is None:
+                    seen[k2] = int(rid)
+                    h1s.append(k2[0])
+                    h2s.append(k2[1])
+                    owners.append(int(rid))
+        if len(h1s) > max_per_bucket:
+            h1s = h1s[-max_per_bucket:]
+            h2s = h2s[-max_per_bucket:]
+            owners = owners[-max_per_bucket:]
+        state.update((h1s, h2s, owners))
+        yield pd.DataFrame({id_col: out_id, ts_col: out_ts,
+                            "dup": out_dup})
+
+    return (spans.groupBy("_b")
+            .applyInPandasWithState(
+                update,
+                f"{id_col} long, {ts_col} timestamp, dup boolean",
+                "h1s array<long>, h2s array<long>, owners array<long>",
+                "append", GroupStateTimeout.NoTimeout))

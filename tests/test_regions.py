@@ -433,3 +433,73 @@ def test_stream_simhash_dedup(spark, tmp_path):
             simhash_dedup(all_rows).select("doc_id").collect()}
     batch_losers = {r[0] for r in rows + rows2} - kept
     assert losers == batch_losers == {10, 11}
+
+
+def test_stream_span_dedup(spark, tmp_path):
+    """Streaming exact-substring dedup across TWO micro-batches: the
+    per-span verdict stream equals a keep-first replay of the batch
+    span extraction in (ts, id) order — a batch-2 copy of batch-1
+    content flags even at a MISALIGNED byte offset (word anchors), a
+    same-doc replayed span does not flag, and first arrivals never do."""
+    from pyspark.sql import functions as F
+
+    from spatialindex_spark.operators.dedup import span_hash_rows
+    from spatialindex_spark.streaming.ingest import stream_span_dedup
+
+    shared = ("the quick brown fox jumps over the lazy dog again "
+              "and again in the meadow tonight")
+    rows = [
+        (0, "2024-01-01 10:00:00",
+         "AAA " * 10 + shared + " tail zero unique text here pad"),
+        (1, "2024-01-01 10:01:00",
+         "totally unrelated document with no shared content at all"),
+        # same-doc internal repetition must NOT flag (cross-doc only)
+        (2, "2024-01-01 10:02:00",
+         "repeat me now " * 12 + "and some unique suffix words"),
+    ]
+    # batch-2: the shared block re-arrives at a DIFFERENT offset
+    rows2 = [
+        (10, "2024-01-01 10:10:00",
+         "B " * 7 + shared + " different tail one more unique xx"),
+        (11, "2024-01-01 10:11:00",
+         "a wholly novel paragraph mentioning starlight and parquet"),
+    ]
+    src = str(tmp_path / "docs")
+    schema = "doc_id long, ts string, text string"
+    spark.createDataFrame(rows, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stream_span_dedup(stream, window=32)
+    ckpt = str(tmp_path / "ckpt_span")
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName("span_stream").option("checkpointLocation", ckpt)
+         .start())
+    q.processAllAvailable()
+    assert spark.sql(
+        "SELECT count(*) c FROM span_stream WHERE dup").first()["c"] == 0
+
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.doc_id, r.dup): r.c for r in spark.sql(
+        "SELECT doc_id, dup, count(*) c FROM span_stream "
+        "GROUP BY doc_id, dup").collect()}
+
+    # keep-first replay over the union with the SAME span extraction
+    all_rows = spark.createDataFrame(rows + rows2, schema)
+    hashes = (span_hash_rows(all_rows, "text", "doc_id",
+                             window=32, anchor="space", keep=("ts",))
+              .orderBy("ts", "doc_id").collect())
+    seen: dict = {}
+    want: dict = {}
+    for r in hashes:
+        k = (r["_h1"], r["_h2"])
+        owner = seen.setdefault(k, r["doc_id"])
+        dup = bool(owner != r["doc_id"])
+        want[(r["doc_id"], dup)] = want.get((r["doc_id"], dup), 0) + 1
+    assert got == want
+    # the misaligned batch-2 copy flagged; the internal repeater did not
+    assert got.get((10, True), 0) > 0
+    assert got.get((2, True), 0) == 0
