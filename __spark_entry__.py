@@ -1430,6 +1430,36 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source"))
 
 
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-balancing (operators/sampling.py:
+    temperature_mix — the XLM-R/mT5 data-mixing sampler): T=0.5 boosts
+    low-resource sources' share of a 300-row budget; the oracle replays
+    the integer-quantized weight -> threshold arithmetic and the
+    deterministic id-hash keep rule exactly."""
+    from spatialindex_spark.operators.sampling import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (temperature_mix(docs, temperature=0.5, target_rows=300)
+            .select("doc_id", "source"))
+
+
+def _temperature_mix_sql() -> str:
+    return (
+        "WITH c AS (SELECT source, count(*) AS n FROM documents "
+        "  GROUP BY source), "
+        "w AS (SELECT source, n, "
+        "  CAST(round(sqrt(n) * 1e6) AS BIGINT) AS wq FROM c), "
+        "t AS (SELECT sum(wq) AS tot FROM w), "
+        "thr AS (SELECT source, least(10000, CAST(round("
+        "  10000 * 300 * wq / (tot * n)) AS BIGINT)) AS thr "
+        "  FROM w, t) "
+        "SELECT d.doc_id, d.source FROM documents d "
+        "JOIN thr USING (source) "
+        "WHERE ((d.doc_id % 1000003) * 2654435761) % 999999937 "
+        "  % 10000 < thr.thr"
+    )
+
+
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics (dup lines, dup word
     5-grams, top word-2-gram share) with the documented thresholds;
@@ -3138,6 +3168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moc_ascii": _q_moc_ascii,
         "para_dedup": _q_para_dedup,
         "span_dedup": _q_span_dedup,
+        "temperature_mix": _q_temperature_mix,
         "table_roundtrip": _q_table_roundtrip,
         "xmatch3": _q_xmatch3,
         "phase_fold": _q_phase_fold,
@@ -3947,6 +3978,7 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         "moc_ascii": _moc_rollup_sql(),
         "para_dedup": _para_dedup_sql(),
         "span_dedup": _span_dedup_sql(),
+        "temperature_mix": _temperature_mix_sql(),
         "table_roundtrip": _table_roundtrip_sql(),
         "xmatch3": _xmatch3_sql(),
         "phase_fold": _phase_fold_sql(),

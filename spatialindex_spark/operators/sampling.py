@@ -48,3 +48,57 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
         thr = F.when(F.col(source_col) == s,
                      F.lit(int(round(frac * 10000)))).otherwise(thr)
     return df.filter((det_hash_col(id_col) % F.lit(10000)) < thr)
+
+
+def temperature_mix(df: DataFrame, temperature: float, target_rows: int,
+                    source_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based source re-balancing — the multilingual /
+    data-mixing sampler of XLM-R, mT5 and Gopher: source ``s`` with
+    ``n_s`` rows receives a share of the ``target_rows`` budget
+    proportional to ``n_s ** temperature``, so ``temperature < 1``
+    up-weights low-resource sources relative to their natural share
+    (T=1 is proportional sampling, T=0 is uniform-over-sources). Rows
+    are then kept by the same deterministic id-hash threshold as
+    :func:`stratified_sample` — reproducible across retries, stages,
+    and engines.
+
+    Numeric discipline (so the SQL oracle is bit-reproducible): the
+    per-source weight is quantized to an INTEGER ``round(n_s**T * 1e6)``
+    — for T=0.5 the pow is a correctly-rounded sqrt everywhere, and the
+    1e-6 quantization absorbs any last-ulp libm disagreement for other
+    T — the weight total is an order-free integer sum, and each keep
+    threshold comes from ONE double division of exact integers
+    (``round(10000 * target * wq_s / (tot * n_s))`` — the integer
+    numerator and denominator stay exact in the double conversion while
+    ``10000 * target * wq_s < 2**53``, ample at gate scale — capped at
+    10000).
+
+    Scale shape: one map-side-combined groupBy on the source key
+    produces the per-source counts — cardinality is the number of
+    SOURCES (bounded, like the ``fractions`` dict the cousin operator
+    takes), so collecting it is a bounded driver aggregate, not a data
+    collect; the sample itself is a shuffle-free Column filter.
+    Expected output size is ``min(target share, n_s)`` per source —
+    a source too small for its boosted share keeps all its rows (the
+    cap; re-run with the residual budget if exact totals matter).
+    """
+    if temperature < 0:
+        raise ValueError("temperature must be >= 0")
+    if target_rows <= 0:
+        raise ValueError("target_rows must be positive")
+    counts = {r[0]: r[1]
+              for r in df.groupBy(source_col).count().collect()}
+    if not counts:
+        return df
+    wq = {s: int(round(n ** temperature * 1e6))
+          for s, n in counts.items()}
+    tot = sum(wq.values())
+    thr = {s: min(10000,
+                  int(round(10000 * target_rows * wq[s]
+                            / (tot * counts[s]))))
+           for s in counts}
+    cond = F.lit(0)
+    for s, t in sorted(thr.items()):
+        cond = F.when(F.col(source_col) == s, F.lit(t)).otherwise(cond)
+    return df.filter((det_hash_col(id_col) % F.lit(10000)) < cond)

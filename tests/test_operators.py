@@ -1586,6 +1586,39 @@ def test_sampling_operators(spark):
     assert 0 < len(by_src["s2"]) < 20   # default 0.5 keeps some
 
 
+def test_temperature_mix(spark):
+    """Temperature mixing: T<1 gives the low-resource source a larger
+    share of the budget than its natural proportion; T=1 reproduces
+    proportional sampling; a source too small for its boosted share
+    caps at keeping everything; selection is deterministic."""
+    from spatialindex_spark.operators.sampling import temperature_mix
+
+    # skewed corpus: 900 rows of s0, 90 of s1, 10 of s2
+    rows = ([(i, "s0") for i in range(900)]
+            + [(1000 + i, "s1") for i in range(90)]
+            + [(2000 + i, "s2") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    def shares(out):
+        by = {"s0": 0, "s1": 0, "s2": 0}
+        for r in out.collect():
+            by[r.source] += 1
+        return by
+
+    cool = shares(temperature_mix(df, 0.5, 200))
+    # natural shares are 90/9/1%; sqrt weights give ~69/22/7% of 200
+    assert cool["s1"] > 0.09 * sum(cool.values())   # boosted above 9%
+    assert cool["s2"] == 10                          # capped: keeps all
+    assert abs(sum(cool.values()) - 200) <= 200 * 0.2
+
+    prop = shares(temperature_mix(df, 1.0, 200))
+    # T=1 is proportional: s0 keeps ~90% of the budget
+    assert prop["s0"] > 0.8 * sum(prop.values())
+
+    again = shares(temperature_mix(df, 0.5, 200))
+    assert again == cool                             # deterministic
+
+
 def test_sessionize_semantics(spark):
     """Gap sessionization: sessions split exactly at gaps > threshold,
     simultaneous events order by the deterministic tiebreak."""
