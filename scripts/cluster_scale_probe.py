@@ -33,7 +33,13 @@ sys.path.insert(0, REPO)
 from bench import (EQ_TOTAL, equalization_available, geom_scan_job,  # noqa: E402
                    package_load)
 
-N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "64000000"))
+# 192M rows, matching bench.py's r4 recalibration: the fixed per-job
+# cost (worker spin-up, task schedules, agg collect) grows with executor
+# count and diluted the 4N leg ~37% at 64M rows — see BENCH.md
+# "fourth pass". Executor JVMs pay MORE fixed cost than threads (RPC
+# task launch, result serialization), so the dilution hit this probe's
+# 4-executor leg hardest; 192M amortizes it identically in both legs.
+N_ROWS = int(os.environ.get("SPARK_GRAFT_SCALE_ROWS", "192000000"))
 BUDGET = float(os.environ.get("SPARK_GRAFT_CLUSTER_BUDGET", "1200"))
 PAIR_TARGET = int(os.environ.get("SPARK_GRAFT_CLUSTER_PAIRS", "3"))
 MAX_ATTEMPTS = 10
@@ -41,7 +47,9 @@ MAX_ATTEMPTS = 10
 # JVMs carry slightly more per-task overhead than in-process threads, so
 # the bands sit a notch under the local[2]/local[8] ones.
 CLEAN_1E = float(os.environ.get("SPARK_GRAFT_CLEAN_1EXEC", "3.3e6"))
-CLEAN_4E = float(os.environ.get("SPARK_GRAFT_CLEAN_4EXEC", "1.05e7"))
+# 4-exec band recalibrated for the 192M-row legs (fixed-cost dilution
+# gone, the leg reads materially higher than at 64M)
+CLEAN_4E = float(os.environ.get("SPARK_GRAFT_CLEAN_4EXEC", "1.2e7"))
 
 
 def _zip_pkg() -> str:
