@@ -649,12 +649,18 @@ def main():
                            "INVERTED between them; see BENCH.md")}
 
         thr32 = isolated_median(geom_scan_job, n_scan, 32)
+        # ingest pipeline (Arrow UDF cell assignment + region/tile join):
+        # 64M-row legs (16M left the 32c leg ~40% fixed-cost-diluted —
+        # fitted fixed costs 1.4/3.5/2.6 s at 2/8/32 cores). The NORTH
+        # pair (2->8) is reported first-class: measured 0.92 at 64M
+        # (8c 6.19M vs 2c 1.69M rows/s). 8->32 stays as transparency —
+        # that leg is the documented single-box Arrow-path bandwidth
+        # ceiling (fitted pure rates 9.3 -> 14.8M rows/s), which added
+        # executor machines lift and one shared socket cannot.
+        n_ing = min(n_scan // 3, 64_000_000)
         ing = {}
-        for cores in (8, 32):
-            # fixed 16M rows (n_scan grew 3x for the geom legs; the ingest
-            # 8->32 metric is transparency-only and need not grow with it)
-            ing[cores] = isolated_median(scaling_job,
-                                         min(n_scan // 4, 16_000_000), cores)
+        for cores in (2, 8, 32):
+            ing[cores] = isolated_median(scaling_job, n_ing, cores)
         scaling = {
             "job": "exact-geometry region scan (64 cones/row, JVM codegen)",
             "rows": n_scan,
@@ -680,6 +686,8 @@ def main():
             "equalized_pair": eq_pair,
             "attempts": attempts,
             "ingest_pipeline_thr": {str(c): round(v, 1) for c, v in ing.items()},
+            "ingest_rows": n_ing,
+            "ingest_efficiency_2_to_8": round((ing[8] / ing[2]) / 4, 3),
             "ingest_efficiency_8_to_32": round((ing[32] / ing[8]) / 4, 3),
         }
 
@@ -734,6 +742,8 @@ def main():
                       (scaling["equalized_pair"] or {}).get(
                           "efficiency_2_to_8_equal_load"),
                   "efficiency_8_to_32": scaling["efficiency_8_to_32"],
+                  "ingest_efficiency_2_to_8":
+                      scaling["ingest_efficiency_2_to_8"],
                   "ingest_efficiency_8_to_32":
                       scaling["ingest_efficiency_8_to_32"],
                   "host_state": scaling["host_state"],
