@@ -753,7 +753,9 @@ def main():
         # measured by scripts/cluster_scale_probe.py, cited here with its
         # provenance — re-run the probe to refresh (kept out of the
         # in-bench path so the driver's bench run stays time-bounded).
-        cpath = os.path.join("bench_artifacts", "cluster_scaling.json")
+        _adir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_artifacts")
+        cpath = os.path.join(_adir, "cluster_scaling.json")
         if os.path.exists(cpath):
             try:
                 with open(cpath) as fh:
@@ -765,6 +767,19 @@ def main():
                         "source": "cluster_scale_probe artifact",
                         "recorded_unix": int(os.path.getmtime(cpath))}
             except (json.JSONDecodeError, OSError):
+                pass
+        # the rule's mechanism verbatim (real spark-submit binary,
+        # --py-files zip): scripts/submit_scale_probe.py artifact
+        spath = os.path.join(_adir, "spark_submit_scaling.json")
+        if os.path.exists(spath):
+            try:
+                with open(spath) as fh:
+                    ss = json.load(fh)
+                scal_c["spark_submit_1_to_4"] = {
+                    "efficiency": ss["efficiency_execs_1_to_4"],
+                    "source": "submit_scale_probe artifact",
+                    "recorded_unix": int(os.path.getmtime(spath))}
+            except (json.JSONDecodeError, OSError, KeyError):
                 pass
     out = {
         "metric": "spatial_join_tile_assignment",
