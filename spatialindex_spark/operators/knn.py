@@ -371,13 +371,28 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     dist = F.degrees(F.acos(F.least(F.greatest(dot, F.lit(-1.0)),
                                     F.lit(1.0))))
 
-    def rank_topk(cand: DataFrame) -> DataFrame:
+    def rank_topk(cand: DataFrame, max_dist: float | None = None) -> DataFrame:
+        """Rank candidates per left row; ``max_dist`` (the pass's verified
+        radius) prunes candidates BEFORE the rank window. Safe by the same
+        argument as the satisfaction criterion: a pass's output is kept
+        only for rows whose k-th candidate lies within vr, and for those
+        rows every true top-k member is within vr, so dropping farther
+        candidates cannot change the kept top-k; unsatisfied rows discard
+        this pass's output and re-probe coarser. Measured at sf1 (1M-row
+        self-kNN): the level-6 background pass shuffles ~184 candidates
+        per row into the window without the filter and ~16 with it — the
+        window sort was the pass's dominant (and most host-noise-exposed)
+        cost. Only the cascade's optimal-jump hint is lost (a starved
+        row's k-th distance beyond vr is no longer observed, so it steps
+        2 levels instead of jumping) — starved rows are the sparse tail."""
         if exclude_self:
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
+        cand = cand.withColumn("_dist", dist)
+        if max_dist is not None:
+            cand = cand.filter(F.col("_dist") <= F.lit(max_dist))
         w = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
                                                F.col("_rid").asc())
-        return (cand.withColumn("_dist", dist)
-                .withColumn("_rk", F.row_number().over(w))
+        return (cand.withColumn("_rk", F.row_number().over(w))
                 .filter(F.col("_rk") <= k))
 
     from ..functions.udfs import hpx_udf
@@ -628,6 +643,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # counts, and struct ordering (_dist, _rid) matches the
             # window tiebreak.
             per = (cand.withColumn("_dist", dist)
+                   .filter(F.col("_dist") <= F.lit(vr_deg))
                    .groupBy("_mc", "_lid")
                    .agg(F.slice(F.array_sort(F.collect_list(
                        F.struct("_dist", "_rid"))), 1, k).alias("_top")))
@@ -639,7 +655,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             ranked = (red.withColumn("_rk", F.row_number().over(w_rk))
                       .filter(F.col("_rk") <= k))
         else:
-            ranked = rank_topk(cand.drop("_mc"))
+            ranked = rank_topk(cand.drop("_mc"), max_dist=vr_deg)
         # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
         # cols): sat, the output branch, and todo's eager checkpoint all
         # re-derive from it — without this the candidate join + rank
