@@ -447,7 +447,11 @@ def _q_cutout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _synth_image_payload(spark: SparkSession, sf_dir: str,
                          max_id: int = 3000) -> DataFrame:
     """Deterministic image+pointing payload table shared by the mosaic
-    and pyramid queries (bytes synthesized per-row from the id)."""
+    and pyramid queries.  Pixels are synth_image_photometric — EVERY
+    pixel an integer formula of (id, x, y, c) — behind lossless codecs
+    (raw/z alternating), so the coadd's sampled sums are replayable
+    exactly by the DuckDB value oracle (the lossy dct path is exercised
+    by the rng-payload pytest twins in tests/test_cutouts.py instead)."""
     from spatialindex_spark.sources import imaging
 
     meta = _img_meta(spark, sf_dir).filter(F.col("image_id") <= max_id)
@@ -457,9 +461,9 @@ def _synth_image_payload(spark: SparkSession, sf_dir: str,
             out = {"image_id": [], "bytes": [], "w": [], "h": [],
                    "fmt": [], "ra": [], "dec": [], "hpx7": []}
             for r in b.itertuples(index=False):
-                fmt = ("raw", "z", "dct")[int(r.image_id) % 3]
-                img = imaging.synth_image(int(r.image_id), int(r.w),
-                                          int(r.h))
+                fmt = ("raw", "z")[int(r.image_id) % 2]
+                img = imaging.synth_image_photometric(
+                    int(r.image_id), int(r.w), int(r.h))
                 out["image_id"].append(int(r.image_id))
                 out["bytes"].append(imaging.encode(img, fmt))
                 out["w"].append(int(r.w))
@@ -475,35 +479,320 @@ def _synth_image_payload(spark: SparkSession, sf_dir: str,
              "ra double, dec double, hpx7 long")
 
 
+def _wsum_col(col: str):
+    """Position-weighted integer checksum of a binary column:
+    sum over bytes of value[p] * (p + 1) — order-sensitive (detects
+    permutations, unlike a plain sum), integer-exact, and replayable in
+    SQL from the per-position byte values the oracle reconstructs."""
+    @F.pandas_udf("long")
+    def _wsum(data: pd.Series) -> pd.Series:
+        import numpy as np
+
+        def one(b):
+            a = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+            return int((a * (np.arange(a.size, dtype=np.int64) + 1)).sum())
+        return data.map(one)
+    return _wsum(F.col(col))
+
+
+MOSAIC_LEVEL = 2
+MOSAIC_TILE_PX = 16
+MOSAIC_SCALE = 0.05
+
+
 def _q_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mosaic coaddition: every synthetic image overlapping each L2
     HEALPix cell resampled onto the cell's 16x16 gnomonic grid and
-    mean-coadded. Pixel decode is not SQL-expressible, so the driver
-    records the rows-only check; the pixel math itself is bit-exact
-    against a straight numpy reference in tests/test_cutouts.py."""
+    mean-coadded.  Fully value-oracled: the payload pixels are an
+    integer formula of (id, x, y, c) behind lossless codecs, the grid
+    is scalar-libm (bit-identical to DuckDB trig), and the gated
+    data_wsum is a position-weighted integer checksum of the output
+    mean bytes — so the oracle replays grid -> TAN sampling -> integer
+    sums -> mean -> round-half-even byte, end to end in SQL."""
     from spatialindex_spark.operators.cutouts import coadd_mosaic
 
     imgs = _synth_image_payload(spark, sf_dir)
-    out = coadd_mosaic(imgs, level=2, tile_px=16, scale_deg_px=0.05,
-                       cell_col="hpx7", cell_level=7)
-    return out.select("tile", "n_images", "covered_px", "checksum")
+    out = coadd_mosaic(imgs, level=MOSAIC_LEVEL, tile_px=MOSAIC_TILE_PX,
+                       scale_deg_px=MOSAIC_SCALE,
+                       cell_col="hpx7", cell_level=7, max_dim_px=64)
+    return out.select("tile", "n_images", "covered_px",
+                      _wsum_col("data").alias("data_wsum"))
 
 
 def _q_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HiPS-style tile pyramid: the L2 mosaic rolled up through L0 (4
     children -> 1 parent per step, SURVEY A5's rollup re-expressed over
-    image tiles). Pixel resampling is not SQL-expressible, so the
-    driver records the rows-only check; every rollup step is bit-exact
-    against a numpy twin in tests/test_cutouts.py."""
+    image tiles).  Fully value-oracled like mosaic: the oracle replays
+    the base coadd AND both rollup steps (parent-grid resample of child
+    mean bytes under the child coverage mask) as a SQL CTE ladder,
+    gating weighted integer checksums of data and mask per tile."""
     from spatialindex_spark.operators.cutouts import (coadd_mosaic,
                                                       mosaic_pyramid)
 
     imgs = _synth_image_payload(spark, sf_dir)
-    tiles = coadd_mosaic(imgs, level=2, tile_px=16, scale_deg_px=0.05,
-                         cell_col="hpx7", cell_level=7, with_mask=True)
-    out = mosaic_pyramid(tiles, level=2, tile_px=16, min_level=0)
+    tiles = coadd_mosaic(imgs, level=MOSAIC_LEVEL, tile_px=MOSAIC_TILE_PX,
+                         scale_deg_px=MOSAIC_SCALE,
+                         cell_col="hpx7", cell_level=7, with_mask=True,
+                         max_dim_px=64)
+    out = mosaic_pyramid(tiles, level=MOSAIC_LEVEL, tile_px=MOSAIC_TILE_PX,
+                         min_level=0)
     return out.select("level", "tile", "n_images", "covered_px",
-                      "checksum")
+                      _wsum_col("data").alias("data_wsum"),
+                      _wsum_col("mask").alias("mask_wsum"))
+
+
+def _dlit(x: float) -> str:
+    """Exact DOUBLE literal for DuckDB: bare decimal literals parse as
+    DECIMAL (whose arithmetic differs), while exponent-form literals
+    parse directly as DOUBLE; repr() round-trips every bit."""
+    s = repr(float(x))
+    return s if ("e" in s or "E" in s) else s + "e0"
+
+
+def _mosaic_consts():
+    """Exact double constants of the mosaic/pyramid configuration,
+    computed the same way the operator computes them (embedding them in
+    the oracle SQL via repr preserves every bit)."""
+    import numpy as np
+    from spatialindex_spark.functions.healpix import max_pix_rad
+
+    tp = MOSAIC_TILE_PX
+    tscale = {lvl: 2.0 * max_pix_rad(lvl) / tp for lvl in (0, 1, 2)}
+    # tan_pix_np's s = np.radians(scale_deg): the base sampling scale and
+    # the per-step child sampling scale (degrees() round trip included,
+    # exactly as mosaic_pyramid computes c_scale_deg)
+    s_img = float(np.radians(MOSAIC_SCALE))
+    s_child = {cl: float(np.radians(math.degrees(tscale[cl])))
+               for cl in (1, 2)}
+    reach = {lvl: max_pix_rad(lvl) * math.sqrt(2.0) + 0.02
+             for lvl in (0, 1, 2)}
+    return tscale, s_img, s_child, reach
+
+
+def _tile_center_values(lvl: int) -> str:
+    """(tile, tra, tdec) VALUES rows at HEALPix level ``lvl`` — the
+    exact doubles _tile_center_map broadcasts (pure config constants:
+    12*4^lvl rows, data-independent)."""
+    import numpy as np
+    from spatialindex_spark.functions.healpix import pix2vec
+
+    npix = 12 << (2 * lvl)
+    pix = np.arange(npix, dtype=np.int64)
+    x, y, z = pix2vec(lvl, pix)
+    tra = np.degrees(np.arctan2(y, x)) % 360.0
+    tdec = np.degrees(np.arcsin(np.clip(z, -1.0, 1.0)))
+    return ", ".join(f"({int(p)}, {_dlit(a)}, {_dlit(d)})"
+                     for p, a, d in zip(pix, tra, tdec))
+
+
+def _grid_ctes(lvl: int, tag: str) -> str:
+    """CTE text computing the scalar-libm tile grid of every level-
+    ``lvl`` tile in SQL: tile tangent basis from the embedded centers,
+    then the inverse gnomonic per (j, i) — op-for-op the float sequence
+    of operators/cutouts.py:tile_grid_radec (DuckDB trig == libm, which
+    is why the grid helper is deliberately scalar)."""
+    tp = MOSAIC_TILE_PX
+    ts = _dlit(_mosaic_consts()[0][lvl])
+    half = _dlit(tp / 2.0)
+    return f"""tiles{tag}(tile, tra, tdec) AS (VALUES {_tile_center_values(lvl)}),
+tilec{tag} AS (
+  SELECT tile, tra, tdec,
+         cos(radians(tdec)) * cos(radians(tra)) AS cx,
+         cos(radians(tdec)) * sin(radians(tra)) AS cy,
+         sin(radians(tdec)) AS cz,
+         -sin(radians(tra)) AS ex, cos(radians(tra)) AS ey,
+         -sin(radians(tdec)) * cos(radians(tra)) AS nx,
+         -sin(radians(tdec)) * sin(radians(tra)) AS ny,
+         cos(radians(tdec)) AS nz
+  FROM tiles{tag}),
+gvec{tag} AS (
+  SELECT tile, j, i, xi, eta, sqrt(1.0 + xi * xi + eta * eta) AS den,
+         cx, cy, cz, ex, ey, nx, ny, nz
+  FROM (SELECT tile, j, i,
+               ({half} - (i + 0.5)) * {ts} AS xi,
+               ((j + 0.5) - {half}) * {ts} AS eta,
+               cx, cy, cz, ex, ey, nx, ny, nz
+        FROM tilec{tag}, unnest(range(0, {tp})) t1(j),
+             unnest(range(0, {tp})) t2(i))),
+gsky{tag} AS (
+  SELECT tile, j, i,
+         CASE WHEN fmod(graw, 360.0) < 0 THEN fmod(graw, 360.0) + 360.0
+              ELSE fmod(graw, 360.0) END AS gra,
+         degrees(asin(LEAST(1.0, GREATEST(-1.0,
+                                          (cz + eta * nz) / den)))) AS gdec
+  FROM (SELECT tile, j, i,
+               degrees(atan2((cy + xi * ey + eta * ny) / den,
+                             (cx + xi * ex + eta * nx) / den)) AS graw,
+               eta, nz, cz, den
+        FROM gvec{tag}))"""
+
+
+def _mosaic_base_ctes() -> str:
+    """CTE ladder reproducing the level-2 coadd: candidate pairs by a
+    sound center-distance bound (the operator's disc prune + slack, so
+    FP drift can never drop a contributing pair — pairs kept that the
+    operator's ring-1 candidate set pruned contribute zero samples and
+    cancel out), TAN sampling per grid pixel (tan_pix_np replayed
+    op-for-op), the integer-formula pixel values, integer sums, and the
+    round-half-even mean byte (np.rint replayed as an explicit CASE)."""
+    tp = MOSAIC_TILE_PX
+    tscale, s_img, _, reach = _mosaic_consts()
+    half_scale = _dlit(math.radians(MOSAIC_SCALE) / 2.0)
+    return f"""imgs AS (
+  SELECT o_orderkey AS image_id,
+         (o_orderkey * 0.618034) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
+           END AS h
+  FROM orders WHERE o_orderkey <= 3000),
+{_grid_ctes(2, '2')},
+pairs AS (
+  SELECT t.tile, i.image_id, i.ra, i.dec, i.w, i.h
+  FROM tiles2 t, imgs i
+  WHERE sin(radians(t.tdec)) * sin(radians(i.dec))
+        + cos(radians(t.tdec)) * cos(radians(i.dec))
+          * cos(radians(i.ra) - radians(t.tra))
+        >= cos(LEAST(pi(), sqrt(i.w * i.w + i.h * i.h) * {half_scale}
+                           + {_dlit(reach[2])}))),
+sampr AS (
+  SELECT p.tile, g.j, g.i, p.image_id, p.w, p.h,
+    sin(radians(p.dec)) * sin(radians(g.gdec))
+      + cos(radians(p.dec)) * cos(radians(g.gdec))
+        * cos(radians(g.gra) - radians(p.ra)) AS den,
+    p.w / 2.0 - ((cos(radians(g.gdec)) * sin(radians(g.gra) - radians(p.ra))
+      / (sin(radians(p.dec)) * sin(radians(g.gdec))
+         + cos(radians(p.dec)) * cos(radians(g.gdec))
+           * cos(radians(g.gra) - radians(p.ra)))) / {_dlit(s_img)}) AS px,
+    p.h / 2.0 + (((cos(radians(p.dec)) * sin(radians(g.gdec))
+      - sin(radians(p.dec)) * cos(radians(g.gdec))
+        * cos(radians(g.gra) - radians(p.ra)))
+      / (sin(radians(p.dec)) * sin(radians(g.gdec))
+         + cos(radians(p.dec)) * cos(radians(g.gdec))
+           * cos(radians(g.gra) - radians(p.ra)))) / {_dlit(s_img)}) AS py
+  FROM pairs p JOIN gsky2 g USING (tile)),
+sampf AS (
+  SELECT tile, j, i, image_id,
+         CAST(FLOOR(px) AS BIGINT) AS ix, CAST(FLOOR(py) AS BIGINT) AS iy
+  FROM sampr
+  WHERE den > 0 AND FLOOR(px) >= 0 AND FLOOR(px) < w
+    AND FLOOR(py) >= 0 AND FLOOR(py) < h),
+l2px AS (
+  SELECT tile, j, i, c.c, SUM((image_id * 31 + ix * 7 + iy * 13
+                               + c.c * 29) % 251) AS acc,
+         COUNT(*) AS cnt
+  FROM sampf, (VALUES (0), (1), (2)) c(c)
+  GROUP BY tile, j, i, c.c),
+l2b AS (
+  SELECT tile, j, i, c,
+         CAST(CASE WHEN fr > 0.5 THEN fl + 1
+                   WHEN fr < 0.5 THEN fl
+                   ELSE fl + CAST(CAST(fl AS BIGINT) % 2 AS DOUBLE)
+              END AS BIGINT) AS byte
+  FROM (SELECT tile, j, i, c, FLOOR(mean) AS fl,
+               mean - FLOOR(mean) AS fr
+        FROM (SELECT tile, j, i, c, acc::DOUBLE / cnt::DOUBLE AS mean
+              FROM l2px))),
+l2n AS (
+  SELECT tile, COUNT(DISTINCT image_id) AS n_images FROM sampf
+  GROUP BY tile),
+l2agg AS (
+  SELECT n.tile, n.n_images, cov.covered_px, b.data_wsum, cov.mask_wsum
+  FROM l2n n
+  JOIN (SELECT tile, COUNT(*) AS covered_px,
+               SUM(j * {tp} + i + 1) AS mask_wsum
+        FROM (SELECT DISTINCT tile, j, i FROM sampf) GROUP BY tile) cov
+    ON cov.tile = n.tile
+  JOIN (SELECT tile, SUM(byte * ((j * {tp} + i) * 3 + c + 1)) AS data_wsum
+        FROM l2b GROUP BY tile) b ON b.tile = n.tile)"""
+
+
+def _mosaic_sql() -> str:
+    return f"""WITH {_mosaic_base_ctes()}
+SELECT tile::BIGINT AS tile, n_images::INT AS n_images,
+       covered_px::INT AS covered_px, data_wsum::BIGINT AS data_wsum
+FROM l2agg"""
+
+
+def _pyramid_roll_ctes(pl: int, ptag: str, ctag: str) -> str:
+    """One rollup step: parent grid pixels at level ``pl`` sample every
+    child tile's mean bytes (under the child coverage mask) through the
+    same TAN projection the operator uses, then mean + round-half-even
+    again.  Children come from the previous rung's l{ctag}b/l{ctag}agg."""
+    tp = MOSAIC_TILE_PX
+    _, _, s_child, _ = _mosaic_consts()
+    s = _dlit(s_child[pl + 1])
+    return f"""{_grid_ctes(pl, ptag)},
+roll{ptag}r AS (
+  SELECT g.tile AS ptile, g.j, g.i, c.tile AS ctile, c.tra, c.tdec,
+    sin(radians(c.tdec)) * sin(radians(g.gdec))
+      + cos(radians(c.tdec)) * cos(radians(g.gdec))
+        * cos(radians(g.gra) - radians(c.tra)) AS den,
+    {tp} / 2.0 - ((cos(radians(g.gdec))
+      * sin(radians(g.gra) - radians(c.tra))
+      / (sin(radians(c.tdec)) * sin(radians(g.gdec))
+         + cos(radians(c.tdec)) * cos(radians(g.gdec))
+           * cos(radians(g.gra) - radians(c.tra)))) / {s}) AS px,
+    {tp} / 2.0 + (((cos(radians(c.tdec)) * sin(radians(g.gdec))
+      - sin(radians(c.tdec)) * cos(radians(g.gdec))
+        * cos(radians(g.gra) - radians(c.tra)))
+      / (sin(radians(c.tdec)) * sin(radians(g.gdec))
+         + cos(radians(c.tdec)) * cos(radians(g.gdec))
+           * cos(radians(g.gra) - radians(c.tra)))) / {s}) AS py
+  FROM gsky{ptag} g
+  JOIN tiles{ctag} c ON (c.tile // 4) = g.tile
+  WHERE c.tile IN (SELECT tile FROM l{ctag}agg)),
+roll{ptag}f AS (
+  SELECT r.ptile, r.j, r.i, r.ctile,
+         CAST(FLOOR(r.px) AS BIGINT) AS ix, CAST(FLOOR(r.py) AS BIGINT) AS iy
+  FROM roll{ptag}r r
+  JOIN (SELECT DISTINCT tile, j, i FROM l{ctag}px) cov
+    ON cov.tile = r.ctile AND cov.j = CAST(FLOOR(r.py) AS BIGINT)
+       AND cov.i = CAST(FLOOR(r.px) AS BIGINT)
+  WHERE r.den > 0 AND FLOOR(r.px) >= 0 AND FLOOR(r.px) < {tp}
+    AND FLOOR(r.py) >= 0 AND FLOOR(r.py) < {tp}),
+l{ptag}px AS (
+  SELECT f.ptile AS tile, f.j, f.i, b.c, SUM(b.byte) AS acc,
+         COUNT(*) AS cnt
+  FROM roll{ptag}f f
+  JOIN l{ctag}b b ON b.tile = f.ctile AND b.j = f.iy AND b.i = f.ix
+  GROUP BY f.ptile, f.j, f.i, b.c),
+l{ptag}b AS (
+  SELECT tile, j, i, c,
+         CAST(CASE WHEN fr > 0.5 THEN fl + 1
+                   WHEN fr < 0.5 THEN fl
+                   ELSE fl + CAST(CAST(fl AS BIGINT) % 2 AS DOUBLE)
+              END AS BIGINT) AS byte
+  FROM (SELECT tile, j, i, c, FLOOR(mean) AS fl,
+               mean - FLOOR(mean) AS fr
+        FROM (SELECT tile, j, i, c, acc::DOUBLE / cnt::DOUBLE AS mean
+              FROM l{ptag}px))),
+l{ptag}n AS (
+  SELECT u.ptile AS tile, SUM(a.n_images) AS n_images
+  FROM (SELECT DISTINCT ptile, ctile FROM roll{ptag}f) u
+  JOIN l{ctag}agg a ON a.tile = u.ctile GROUP BY u.ptile),
+l{ptag}agg AS (
+  SELECT n.tile, n.n_images, cov.covered_px, b.data_wsum, cov.mask_wsum
+  FROM l{ptag}n n
+  JOIN (SELECT tile, COUNT(*) AS covered_px,
+               SUM(j * {tp} + i + 1) AS mask_wsum
+        FROM (SELECT DISTINCT tile, j, i FROM l{ptag}px) GROUP BY tile) cov
+    ON cov.tile = n.tile
+  JOIN (SELECT tile, SUM(byte * ((j * {tp} + i) * 3 + c + 1)) AS data_wsum
+        FROM l{ptag}b GROUP BY tile) b ON b.tile = n.tile)"""
+
+
+def _pyramid_sql() -> str:
+    lvl_row = ("SELECT {lv}::INT AS level, tile::BIGINT AS tile, "
+               "n_images::INT AS n_images, covered_px::INT AS covered_px, "
+               "data_wsum::BIGINT AS data_wsum, mask_wsum::BIGINT AS "
+               "mask_wsum FROM l{tag}agg")
+    return (f"WITH {_mosaic_base_ctes()},\n"
+            f"{_pyramid_roll_ctes(1, '1', '2')},\n"
+            f"{_pyramid_roll_ctes(0, '0', '1')}\n"
+            + lvl_row.format(lv=2, tag='2')
+            + "\nUNION ALL " + lvl_row.format(lv=1, tag='1')
+            + "\nUNION ALL " + lvl_row.format(lv=0, tag='0'))
 
 
 def _q_source_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2755,12 +3044,15 @@ def _wcs_fit_sql() -> str:
     ra_abc = cramer("sux", "svx", "sx")
     de_def = cramer("suy", "svy", "sy")
     outs = []
+    # "+ 0.0" canonicalizes -0.0 -> +0.0 to match the engine (the driver
+    # hashes raw bytes, and DuckDB's round() preserves the sign of zero
+    # where Spark's does not — 13 cells differed at sf0.1 on sign alone)
     for name, dterm in zip("abc", ra_abc):
         outs.append(f"CASE WHEN n >= 3 AND det != 0 THEN "
-                    f"round(({dterm} / det) / 1000000.0, 9) END AS {name}")
+                    f"round(({dterm} / det) / 1000000.0, 9) + 0.0 END AS {name}")
     for name, dterm in zip("def", de_def):
         outs.append(f"CASE WHEN n >= 3 AND det != 0 THEN "
-                    f"round(({dterm} / det) / 1000000.0, 9) END AS {name}")
+                    f"round(({dterm} / det) / 1000000.0, 9) + 0.0 END AS {name}")
     return (syn + " SELECT image_id, n AS n_stars, " + ", ".join(outs)
             + " FROM gk")
 
@@ -3924,6 +4216,8 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
     return {
         "cutout": cutout_sql,
         "photometry": photometry_sql,
+        "mosaic": _mosaic_sql(),
+        "pyramid": _pyramid_sql(),
         "source_detect": source_detect_sql,
         "detect_xmatch": detect_xmatch_sql,
         "cone_htm": f"{_SKY_CTE} SELECT o_orderkey FROM sky WHERE {cone1}",

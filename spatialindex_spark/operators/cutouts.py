@@ -245,23 +245,117 @@ def tile_grid_radec(tra: float, tdec: float, tile_px: int,
     ``tile_px`` gnomonic grid centered at (tra, tdec) with
     ``tile_scale`` rad/px — the INVERSE of tan_pix_np's projection.
     Shared by the coadd accumulator and the pyramid rollup (identical
-    float ops, so grids agree bit-for-bit)."""
-    jj, ii = np.mgrid[0:tile_px, 0:tile_px]
-    xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
-    eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
+    float ops, so grids agree bit-for-bit).
+
+    Deliberately scalar libm math, not numpy: numpy ships its own SIMD
+    arctan2/arcsin that differ from libm by 1 ulp on ~30% of inputs,
+    while DuckDB == libm — scalar math keeps the whole mosaic/pyramid
+    chain bit-replayable by the SQL value oracle.  The grid is computed
+    once per tile group (tile_px^2 scalar iterations), so this is never
+    on a per-pixel-of-data hot path."""
+    gra = np.empty((tile_px, tile_px), dtype=np.float64)
+    gdec = np.empty((tile_px, tile_px), dtype=np.float64)
     a0, d0 = math.radians(tra), math.radians(tdec)
-    den = np.sqrt(1.0 + xi * xi + eta * eta)
     cx, cy, cz = (math.cos(d0) * math.cos(a0),
                   math.cos(d0) * math.sin(a0), math.sin(d0))
-    ex, ey, ez = -math.sin(a0), math.cos(a0), 0.0   # east
+    ex, ey = -math.sin(a0), math.cos(a0)   # east
     nx, ny, nz = (-math.sin(d0) * math.cos(a0),
                   -math.sin(d0) * math.sin(a0), math.cos(d0))  # north
-    gx = (cx + xi * ex + eta * nx) / den
-    gy = (cy + xi * ey + eta * ny) / den
-    gz = (cz + xi * ez + eta * nz) / den
-    gra = np.degrees(np.arctan2(gy, gx)) % 360.0
-    gdec = np.degrees(np.arcsin(np.clip(gz, -1.0, 1.0)))
+    for jj in range(tile_px):
+        eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
+        for ii in range(tile_px):
+            xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
+            den = math.sqrt(1.0 + xi * xi + eta * eta)
+            gx = (cx + xi * ex + eta * nx) / den
+            gy = (cy + xi * ey + eta * ny) / den
+            gz = (cz + eta * nz) / den
+            gra[jj, ii] = math.degrees(math.atan2(gy, gx)) % 360.0
+            gdec[jj, ii] = math.degrees(
+                math.asin(min(1.0, max(-1.0, gz))))
     return gra, gdec
+
+
+_RING_REACH_CACHE: dict = {}
+
+
+def _disc_table(lvl: int, k: int) -> np.ndarray:
+    """(npix, w) sorted ring-``k`` disc-closure table: row p holds every
+    cell within graph distance k of p (padded by duplicating members —
+    harmless for the membership/frontier set math below).  Fully
+    vectorized (iterated neighbor expansion + per-row sort/dedup), so it
+    stays driver-cheap even at level 8 (786k rows)."""
+    from ..functions.healpix import neighbors
+
+    npix = 12 << (2 * lvl)
+    pix = np.arange(npix, dtype=np.int64)
+    disc = pix[:, None]
+    for _ in range(k):
+        nb = neighbors(lvl, disc.ravel()).reshape(npix, -1)
+        disc = np.sort(np.concatenate([disc, nb], axis=1), axis=1)
+        keep = np.ones(disc.shape, dtype=bool)
+        keep[:, 1:] = disc[:, 1:] != disc[:, :-1]
+        w = int(keep.sum(axis=1).max())
+        rows, cols = np.nonzero(keep)
+        pos = keep.cumsum(axis=1) - 1
+        out = np.repeat(pix[:, None], w, axis=1)   # pad with self (member)
+        out[rows, pos[rows, cols]] = disc[rows, cols]
+        disc = np.sort(out, axis=1)
+    return disc
+
+
+def _ring_reach_lb(lvl: int, k: int) -> float:
+    """Certified lower bound (radians) on the center-to-center distance
+    from any level-``lvl`` cell to any cell OUTSIDE its ring-``k`` disc.
+    EXACT (chunked all-pairs dots with disc members masked) for npix <=
+    50k, i.e. every level <= 6; a frontier certificate above that:
+
+    Certificate: a cell at graph distance >= k+2 is separated from the
+    center cell by the distance-(k+1) frontier — any geodesic to it
+    crosses a frontier cell, whose every point lies within
+    max_pix_rad(lvl) of that cell's center.  So
+        min(outside-disc distance) >= min(frontier center distance)
+                                      - max_pix_rad(lvl),
+    and frontier cells themselves are at >= min(frontier center
+    distance).  Exact set math over the vectorized disc tables; cached
+    per (lvl, k)."""
+    key = (lvl, k)
+    v = _RING_REACH_CACHE.get(key)
+    if v is not None:
+        return v
+    npix = 12 << (2 * lvl)
+    pix = np.arange(npix, dtype=np.int64)
+    x, y, z = pix2vec(lvl, pix)
+    cen = np.stack([x, y, z], axis=1)
+    d1 = _disc_table(lvl, k)
+    if npix <= 50_000:
+        # EXACT: chunked all-pairs center dots, disc members masked out —
+        # covers every practical mosaic level (<= 6); one ring tighter
+        # than the frontier bound below
+        best = -2.0
+        chunk = max(1, 8_000_000 // npix)
+        for lo in range(0, npix, chunk):
+            hi = min(npix, lo + chunk)
+            dots = cen[lo:hi] @ cen.T
+            dots[np.arange(hi - lo)[:, None], d1[lo:hi]] = -2.0
+            best = max(best, float(dots.max()))
+        v = math.pi if best <= -1.5 else math.acos(min(1.0, max(-1.0, best)))
+        _RING_REACH_CACHE[key] = v
+        return v
+    d2 = _disc_table(lvl, k + 1)
+    base = (pix * np.int64(npix))[:, None]
+    keys1 = (d1 + base).ravel()          # sorted globally by construction
+    keys2 = (d2 + base).ravel()
+    idx = np.clip(np.searchsorted(keys1, keys2), 0, keys1.size - 1)
+    is_frontier = keys1[idx] != keys2    # in disc_{k+1} but not disc_k
+    if not is_frontier.any():
+        _RING_REACH_CACHE[key] = math.pi
+        return math.pi
+    rows = np.repeat(pix, d2.shape[1])[is_frontier]
+    cells = d2.ravel()[is_frontier]
+    maxdot = float(np.einsum("ij,ij->i", cen[rows], cen[cells]).max())
+    v = math.acos(min(1.0, max(-1.0, maxdot))) - max_pix_rad(lvl)
+    _RING_REACH_CACHE[key] = v
+    return v
 
 
 def _tile_center_map(spark, level: int) -> DataFrame:
@@ -286,7 +380,8 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
                  cell_level: int | None = None,
                  skew_threshold: int = 4096,
                  n_salts: int = 16,
-                 with_mask: bool = False) -> DataFrame:
+                 with_mask: bool = False,
+                 max_dim_px: int | None = None) -> DataFrame:
     """Weighted-mean coadd of every image overlapping each HEALPix
     cell at ``level`` onto that cell's common ``tile_px`` ×
     ``tile_px`` gnomonic grid.
@@ -295,10 +390,15 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     ``2 * max_pix_rad(level) / tile_px`` (the grid spans the cell's
     bounding disc, so neighboring tiles overlap slightly — standard
     mosaic practice so there are no seams).  Candidate (image, tile)
-    pairs are the image's own cell plus its ring-1 neighbors, pruned
-    before the shuffle by the exact center-separation bound
-    ``max_pix_rad + half_diagonal`` — images too far from a neighbor
-    tile's center to touch its grid never shuffle there.
+    pairs are the image's own cell plus its ring-k neighbors, where k
+    is the smallest ring count whose certified reach (_ring_reach_lb)
+    covers the grid's sqrt(2)*tile_rad corner span plus the worst-case
+    image half-diagonal (``max_dim_px``; one scalar aggregate when not
+    declared) — ring-1 alone can drop a corner-touching contributor.
+    Candidates are then pruned before the shuffle by the exact
+    center-separation bound ``max_pix_rad + half_diagonal`` — images
+    too far from a neighbor tile's center to touch its grid never
+    shuffle there.
 
     ``images`` needs (image_id, bytes, w, h, fmt, ra, dec).  Per-tile
     accumulation decodes each contributing image once and
@@ -335,7 +435,40 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
         from ..functions.udfs import hpx_udf
         own = hpx_udf(level)("ra", "dec")
 
-    ring = _ring1_map_df(spark, level)
+    # Candidate ring width: the grid spans the cell's BOUNDING DISC, so
+    # its corners reach sqrt(2)*tile_rad past the tile center — beyond
+    # what a ring-1 map guarantees (a contributing image whose own cell
+    # only corner-touches the tile's neighborhood would be dropped; the
+    # value oracle caught exactly this at level 2).  Pick the smallest
+    # ring count whose certified reach (_ring_reach_lb) exceeds the
+    # worst-case image-cell-center to tile-center separation.
+    if max_dim_px is None:
+        max_dim_px = images.agg(
+            F.max(F.greatest(F.col("w"), F.col("h")))).first()[0]
+    max_half_diag = (math.hypot(max_dim_px, max_dim_px) / 2.0
+                     * math.radians(scale_deg_px))
+    r_cell = (math.sqrt(2.0) * tile_rad + max_half_diag
+              + max_pix_rad(level))
+    n_rings = 1
+    while _ring_reach_lb(level, n_rings) <= r_cell:
+        n_rings += 1
+        if n_rings > 6:
+            raise ValueError(
+                "mosaic candidate ring would exceed 6 rings (images are "
+                "huge relative to the tile cells) — coarsen the tile "
+                "level or split the images")
+
+    # in-plan guard (hpx_cell_key's idiom): a declared max_dim_px that
+    # an actual image exceeds would silently truncate its candidate
+    # ring — raise on every violating row instead, at codegen cost zero
+    dim_ok = ((F.col("w") <= F.lit(int(max_dim_px)))
+              & (F.col("h") <= F.lit(int(max_dim_px))))
+    dguard = F.assert_true(
+        dim_ok, f"image exceeds declared max_dim_px={int(max_dim_px)} — "
+                "the mosaic candidate ring was sized for smaller images")
+    own = F.when(dguard.isNull(), own)
+
+    ring = _ring1_map_df(spark, level, rings=n_rings)
     centers = _tile_center_map(spark, level)
 
     cand = (images.withColumn("_pix", own)
@@ -388,22 +521,7 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
         tra = float(pdf["_tra"].iloc[0])
         tdec = float(pdf["_tdec"].iloc[0])
         # tile pixel-center sky grid via INVERSE gnomonic at tile center
-        jj, ii = np.mgrid[0:tile_px, 0:tile_px]
-        xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
-        eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
-        a0, d0 = math.radians(tra), math.radians(tdec)
-        den = np.sqrt(1.0 + xi * xi + eta * eta)
-        # unit vector of each grid pixel (tangent-plane basis at center)
-        cx, cy, cz = (math.cos(d0) * math.cos(a0),
-                      math.cos(d0) * math.sin(a0), math.sin(d0))
-        ex, ey, ez = -math.sin(a0), math.cos(a0), 0.0   # east
-        nx, ny, nz = (-math.sin(d0) * math.cos(a0),
-                      -math.sin(d0) * math.sin(a0), math.cos(d0))  # north
-        gx = (cx + xi * ex + eta * nx) / den
-        gy = (cy + xi * ey + eta * ny) / den
-        gz = (cz + xi * ez + eta * nz) / den
-        gra = np.degrees(np.arctan2(gy, gx)) % 360.0
-        gdec = np.degrees(np.arcsin(np.clip(gz, -1.0, 1.0)))
+        gra, gdec = tile_grid_radec(tra, tdec, tile_px, tile_scale)
 
         acc = np.zeros((tile_px, tile_px, 3), dtype=np.float64)
         cnt = np.zeros((tile_px, tile_px), dtype=np.int64)

@@ -316,9 +316,11 @@ def affine_wcs_fit(matches: DataFrame, image_col: str = "image_id",
                           F.col("_sy").cast("double")),
     }.items():
         da, db, dc = solve(s1, s2, s0)
-        cols[nm[0]] = F.when(ok, F.round((da / det) / F.lit(q), 9))
-        cols[nm[1]] = F.when(ok, F.round((db / det) / F.lit(q), 9))
-        cols[nm[2]] = F.when(ok, F.round((dc / det) / F.lit(q), 9))
+        # + 0.0 canonicalizes IEEE -0.0 to +0.0 (round() may return either
+        # sign of zero depending on the engine; byte-level oracles care)
+        cols[nm[0]] = F.when(ok, F.round((da / det) / F.lit(q), 9) + F.lit(0.0))
+        cols[nm[1]] = F.when(ok, F.round((db / det) / F.lit(q), 9) + F.lit(0.0))
+        cols[nm[2]] = F.when(ok, F.round((dc / det) / F.lit(q), 9) + F.lit(0.0))
     return g.select("image_id", F.col("n").alias("n_stars"),
                     *[cols[k].alias(k) for k in "abcdef"])
 

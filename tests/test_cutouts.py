@@ -155,23 +155,14 @@ def _np_coadd(imgs: pd.DataFrame, blobs: dict, level: int, tile_px: int,
     x, y, z = pix2vec(level, pix)
     tra = np.degrees(np.arctan2(y, x)) % 360.0
     tdec = np.degrees(np.arcsin(np.clip(z, -1.0, 1.0)))
+    from spatialindex_spark.operators.cutouts import tile_grid_radec
+
     out = {}
     for tile in range(npix):
-        a0, d0 = math.radians(tra[tile]), math.radians(tdec[tile])
-        jj, ii = np.mgrid[0:tile_px, 0:tile_px]
-        xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
-        eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
-        den = np.sqrt(1.0 + xi * xi + eta * eta)
-        cx, cy, cz = (math.cos(d0) * math.cos(a0),
-                      math.cos(d0) * math.sin(a0), math.sin(d0))
-        ex, ey = -math.sin(a0), math.cos(a0)
-        nx, ny, nz = (-math.sin(d0) * math.cos(a0),
-                      -math.sin(d0) * math.sin(a0), math.cos(d0))
-        gx = (cx + xi * ex + eta * nx) / den
-        gy = (cy + xi * ey + eta * ny) / den
-        gz = (cz + eta * nz) / den
-        gra = np.degrees(np.arctan2(gy, gx)) % 360.0
-        gdec = np.degrees(np.arcsin(np.clip(gz, -1.0, 1.0)))
+        # shared scalar-libm grid helper (the grid's independent gate is
+        # the DuckDB oracle, which replays it from scratch in SQL)
+        gra, gdec = tile_grid_radec(float(tra[tile]), float(tdec[tile]),
+                                    tile_px, tile_scale)
         acc = np.zeros((tile_px, tile_px, 3))
         cnt = np.zeros((tile_px, tile_px), dtype=np.int64)
         used = 0
@@ -413,3 +404,54 @@ def test_mosaic_pyramid_matches_numpy(spark):
     # mask is mandatory
     with pytest.raises(ValueError, match="mask"):
         mosaic_pyramid(tiles.drop("mask"), level, tile_px)
+
+
+def test_ring_reach_certificate():
+    """The mosaic candidate-ring certificate: ring-1 is provably NOT
+    sufficient for the grid's sqrt(2)*tile_rad bounding-disc span (the
+    corner-truncation bug the DuckDB oracle caught at level 2), ring
+    reach grows with k, and the adaptive pick covers the requirement."""
+    from spatialindex_spark.operators.cutouts import _ring_reach_lb
+
+    for lvl in (1, 2, 3):
+        need = (1.0 + math.sqrt(2.0)) * max_pix_rad(lvl)
+        r1 = _ring_reach_lb(lvl, 1)
+        r2 = _ring_reach_lb(lvl, 2)
+        r3 = _ring_reach_lb(lvl, 3)
+        assert 0.0 < r1 < r2 < r3
+        assert r1 <= need          # ring-1 can truncate a contributor
+        assert r3 > need           # a bounded k always suffices
+
+
+def test_mosaic_includes_corner_ring_contributor(spark):
+    """Regression for the ring-1 truncation: an image in a cell that is
+    NOT ring-1-adjacent to a tile but whose footprint still samples the
+    tile's bounding-disc grid must contribute (tile 26 / image cell 28
+    at level 2 in the sf0.001 fixture reproduced this exactly)."""
+    from spatialindex_spark.operators.cutouts import (
+        _ring_reach_lb, coadd_mosaic, tile_grid_radec)
+    from spatialindex_spark.operators.joins import _hpx_neighbors
+
+    level, tile_px, scale = 2, 16, 0.05
+    # a sky position inside cell 28 whose 16x64 footprint reaches one
+    # grid pixel of tile 26 (from the oracle-caught case)
+    imgs = pd.DataFrame({"image_id": [1365], "ra": [123.616054],
+                         "dec": [54.057928], "w": [16], "h": [64]})
+    nb = set(_hpx_neighbors(level, np.array([28], dtype=np.int64))[0])
+    assert 26 not in nb
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            b["fmt"] = "raw"
+            b["bytes"] = [imaging.encode(
+                imaging.synth_image_photometric(int(i), int(w), int(h)),
+                "raw") for i, w, h in zip(b["image_id"], b["w"], b["h"])]
+            yield b
+
+    payload = spark.createDataFrame(imgs).mapInPandas(
+        gen, "image_id long, ra double, dec double, w int, h int, "
+             "fmt string, bytes binary")
+    out = {r.tile for r in coadd_mosaic(payload, level, tile_px, scale,
+                                        max_dim_px=64).collect()}
+    assert 26 in out
