@@ -174,6 +174,48 @@ def cutout_windows(targets: DataFrame, images: DataFrame,
                     .alias("complete")))
 
 
+#: matched-id count above which the pixel read-back switches from a
+#: literal IN-set (reaches parquet row-group stats) to a broadcast
+#: left-semi join — a 100k+-literal IN-list bloats the Catalyst plan
+#: and every task binary long before any memory limit
+IN_SET_MAX = 20_000
+
+
+def matched_image_filter(images_sel: DataFrame, ids_src: DataFrame,
+                         image_id: str, max_images: int,
+                         what: str) -> DataFrame:
+    """Restrict ``images_sel`` to the distinct ``image_id`` values in
+    ``ids_src`` — the shared read-back pruning step of every pixel
+    operator (cutouts, forced photometry, moments, annulus photometry).
+
+    Two physical strategies, picked by one bounded driver read:
+
+    - <= IN_SET_MAX matched ids: collect them into a literal IN-set.
+      It is pushed into the parquet scan, so row-group statistics prune
+      unmatched stripes — at 100 TB the image table is READ only where
+      it matched.
+    - above: broadcast LEFT-SEMI join on the distinct-id projection
+      (bounded by ``max_images``, loud raise beyond).  The plan stays
+      constant-size however many ids matched; with runtime Bloom
+      filters enabled Spark still pushes a scan-side filter.
+    """
+    wid = ids_src.select(image_id).distinct()
+    head = wid.limit(IN_SET_MAX + 1).collect()
+    if len(head) <= IN_SET_MAX:
+        if len(head) > max_images:
+            raise ValueError(
+                f"{what} matched > {max_images} distinct images; "
+                "raise max_images or partition the target list")
+        return images_sel.filter(
+            F.col(image_id).isin([r[0] for r in head]))
+    n = wid.limit(max_images + 1).count()
+    if n > max_images:
+        raise ValueError(
+            f"{what} matched > {max_images} distinct images; "
+            "raise max_images or partition the target list")
+    return images_sel.join(F.broadcast(wid), image_id, "left_semi")
+
+
 def cutout_pixels(images: DataFrame, windows: DataFrame,
                   image_id: str = "image_id",
                   bytes_col: str = "bytes",
@@ -181,24 +223,17 @@ def cutout_pixels(images: DataFrame, windows: DataFrame,
     """Extract the pixel windows computed by :func:`cutout_windows`.
 
     ``images`` must carry (image_id, bytes, w, h, fmt).  The distinct
-    matched image ids are collected into an IN-set filter (pushed into
-    the parquet scan so row-group stats prune unmatched stripes — the
-    100-TB table is READ only where it matched); ``max_images`` guards
-    the collect.  Decoding runs in Arrow batches (mapInPandas); output
-    pixels are re-encoded as raw uint8.
+    matched image ids restrict the read-back via matched_image_filter
+    (IN-set pushed to row-group stats below IN_SET_MAX, broadcast
+    left-semi above — the 100-TB table is READ only where it matched);
+    ``max_images`` guards the driver reads.  Decoding runs in Arrow
+    batches (mapInPandas); output pixels are re-encoded as raw uint8.
 
     Output: window columns + cut_w, cut_h, data (raw bytes), mean_val.
     """
-    ids = [r[0] for r in
-           windows.select(image_id).distinct().limit(max_images + 1)
-           .collect()]
-    if len(ids) > max_images:
-        raise ValueError(
-            f"cutout_pixels matched > {max_images} distinct images; "
-            "raise max_images or partition the target list")
-
-    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
-               .filter(F.col(image_id).isin(ids))
+    matched = (matched_image_filter(
+                   images.select(image_id, bytes_col, "w", "h", "fmt"),
+                   windows, image_id, max_images, "cutout_pixels")
                .join(F.broadcast(windows), image_id))
 
     schema = (f"{image_id} string, target_id long, x0 int, x1 int, "

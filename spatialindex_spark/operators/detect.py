@@ -135,15 +135,10 @@ def forced_photometry(targets: DataFrame, images: DataFrame,
                          image_id=image_id, **window_kwargs)
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
                       "complete")
-    ids = [r[0] for r in
-           wsel.select(image_id).distinct().limit(max_images + 1)
-           .collect()]
-    if len(ids) > max_images:
-        raise ValueError(
-            f"forced_photometry matched > {max_images} distinct images; "
-            "raise max_images or partition the target list")
-    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
-               .filter(F.col(image_id).isin(ids))
+    from .cutouts import matched_image_filter
+    matched = (matched_image_filter(
+                   images.select(image_id, bytes_col, "w", "h", "fmt"),
+                   wsel, image_id, max_images, "forced_photometry")
                .join(F.broadcast(wsel), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]
@@ -359,15 +354,10 @@ def source_moments(targets: DataFrame, images: DataFrame,
                          image_id=image_id, **window_kwargs)
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
                       "complete")
-    ids = [r[0] for r in
-           wsel.select(image_id).distinct().limit(max_images + 1)
-           .collect()]
-    if len(ids) > max_images:
-        raise ValueError(
-            f"source_moments matched > {max_images} distinct images; "
-            "raise max_images or partition the target list")
-    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
-               .filter(F.col(image_id).isin(ids))
+    from .cutouts import matched_image_filter
+    matched = (matched_image_filter(
+                   images.select(image_id, bytes_col, "w", "h", "fmt"),
+                   wsel, image_id, max_images, "source_moments")
                .join(F.broadcast(wsel), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]
@@ -453,15 +443,10 @@ def annulus_photometry(targets: DataFrame, images: DataFrame,
                          2 * annulus_out_px + 1, target_id=target_id,
                          image_id=image_id, **window_kwargs)
     wsel = win.select(target_id, image_id, "px", "py")
-    ids = [r[0] for r in
-           wsel.select(image_id).distinct().limit(max_images + 1)
-           .collect()]
-    if len(ids) > max_images:
-        raise ValueError(
-            f"annulus_photometry matched > {max_images} distinct images; "
-            "raise max_images or partition the target list")
-    matched = (images.select(image_id, bytes_col, "w", "h", "fmt")
-               .filter(F.col(image_id).isin(ids))
+    from .cutouts import matched_image_filter
+    matched = (matched_image_filter(
+                   images.select(image_id, bytes_col, "w", "h", "fmt"),
+                   wsel, image_id, max_images, "annulus_photometry")
                .join(F.broadcast(wsel), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]

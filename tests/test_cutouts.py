@@ -455,3 +455,44 @@ def test_mosaic_includes_corner_ring_contributor(spark):
     out = {r.tile for r in coadd_mosaic(payload, level, tile_px, scale,
                                         max_dim_px=64).collect()}
     assert 26 in out
+
+
+def test_pixel_readback_semijoin_above_inset_cap(spark, monkeypatch):
+    """Above IN_SET_MAX matched ids the read-back must switch to a
+    broadcast left-semi join (constant-size plan — no 100k-literal
+    IN-list) and return byte-identical results; the max_images guard
+    still raises loudly on both paths."""
+    import spatialindex_spark.operators.cutouts as C
+
+    imgs_df, tgts_df, imgs, _ = _mk_tables(spark, n_img=40, n_tgt=60,
+                                           seed=3)
+
+    def gen(batches):
+        for b in batches:
+            b = b.copy()
+            b["fmt"] = "raw"
+            b["bytes"] = [imaging.encode(
+                imaging.synth_image(int(i), int(w), int(h)), "raw")
+                for i, w, h in zip(b["image_id"], b["w"], b["h"])]
+            yield b
+
+    payload = imgs_df.mapInPandas(
+        gen, "image_id long, ra double, dec double, w int, h int, "
+             "fmt string, bytes binary").localCheckpoint(eager=True)
+    wins = cutout_windows(tgts_df, imgs_df, SCALE, SIZE) \
+        .localCheckpoint(eager=True)
+    assert wins.select("image_id").distinct().count() > 3
+
+    def snap(df):
+        return sorted((r.target_id, r.image_id, r.x0, r.x1, r.y0, r.y1,
+                       bytes(r.data)) for r in df.collect())
+
+    base = snap(cutout_pixels(payload, wins))
+    monkeypatch.setattr(C, "IN_SET_MAX", 2)
+    out = cutout_pixels(payload, wins)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert snap(out) == base and len(base) > 0
+
+    with pytest.raises(ValueError, match="matched >"):
+        cutout_pixels(payload, wins, max_images=3)
