@@ -205,26 +205,72 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df.repartition(target)
 
 
+#: bucket size above which pair enumeration switches to the blocked
+#: (chunk x chunk) path — a collect_list bucket of N rows expands to
+#: N^2/2 pairs inside ONE task, so a degenerate hot bucket (classic at
+#: web scale: millions of near-identical templated pages that are not
+#: byte-exact, so exact_dedup never pre-collapsed them) would OOM a
+#: single executor long before the cluster is busy
+HOT_BUCKET_CAP = 4096
+HOT_BUCKET_CHUNKS = 16
+
+
 def _bucket_pairs(stacked: DataFrame, keys: list[str], id_col: str,
-                  payload: list[str] | None = None) -> DataFrame:
+                  payload: list[str] | None = None,
+                  hot_cap: int | None = None,
+                  n_chunks: int | None = None) -> DataFrame:
     """Ordered candidate pairs (``_a``, ``_b`` structs with ``_id`` +
     payload) of rows sharing a bucket key — in ONE pass over ``stacked``.
 
     A self-join on the bucket key would recompute the whole upstream plan
     (the signature UDFs) once per side; collect_list + double explode keys
-    the shuffle identically but computes signatures exactly once. The
-    in-bucket quadratic expansion is the same either way (LSH buckets are
-    small by construction; hot buckets are a banding-parameter problem)."""
+    the shuffle identically but computes signatures exactly once.
+
+    Skew (the J6 problem at the dedup layer): buckets above ``hot_cap``
+    rows take a blocked pair enumeration instead — items hash into
+    ``n_chunks`` deterministic chunks and every (c <= d) chunk-block is
+    its own join task, so the quadratic pair count (inherent to a
+    degenerate bucket) is spread over ~n_chunks^2/2 tasks of
+    (N/n_chunks)^2 pairs each instead of one N^2 task.  The hot side
+    re-reads the bucket exchange twice (left/right of the block join);
+    the exchange is reused, so signatures are still computed once."""
     payload = payload or []
+    hot_cap = HOT_BUCKET_CAP if hot_cap is None else hot_cap
+    n_chunks = HOT_BUCKET_CHUNKS if n_chunks is None else n_chunks
     item = F.struct(F.col(id_col).alias("_id"),
                     *[F.col(c) for c in payload])
     buckets = (stacked.groupBy(*keys)
                .agg(F.collect_list(item).alias("_items"))
                .filter(F.size("_items") >= 2))
-    return (buckets
+    cold = (buckets.filter(F.size("_items") <= hot_cap)
             .select(F.explode("_items").alias("_a"), F.col("_items"))
             .select("_a", F.explode("_items").alias("_b"))
             .filter(F.col("_a._id") < F.col("_b._id")))
+
+    hot = (buckets.filter(F.size("_items") > hot_cap)
+           .select(*keys, F.explode("_items").alias("_it"))
+           .withColumn("_chunk", F.pmod(F.xxhash64(F.col("_it._id")),
+                                        F.lit(n_chunks)).cast("int")))
+    left = (hot.select(*keys, F.col("_chunk").alias("_c"),
+                       F.col("_it").alias("_a"))
+            .withColumn("_d", F.explode(
+                F.sequence(F.col("_c"), F.lit(n_chunks - 1)))))
+    right = (hot.select(*keys, F.col("_chunk").alias("_d"),
+                        F.col("_it").alias("_b"))
+             .withColumn("_c", F.explode(
+                 F.sequence(F.lit(0), F.col("_d")))))
+    # block (c, d) with c < d holds each cross-chunk pair exactly once
+    # (keep it whatever the id order, then orient); the diagonal c == d
+    # holds both orientations + self pairs (the id< filter dedupes)
+    hot_pairs = (left.join(right, [*keys, "_c", "_d"])
+                 .filter((F.col("_c") < F.col("_d"))
+                         | (F.col("_a._id") < F.col("_b._id")))
+                 .select(
+                     F.when(F.col("_a._id") < F.col("_b._id"),
+                            F.col("_a")).otherwise(F.col("_b")).alias("_a"),
+                     F.when(F.col("_a._id") < F.col("_b._id"),
+                            F.col("_b")).otherwise(F.col("_a")).alias("_b")))
+    return cold.select("_a", "_b").unionByName(hot_pairs)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",

@@ -2026,3 +2026,56 @@ def test_span_dup_fraction_alignment(spark):
     ga = {r["doc_id"]: r for r in
           span_dup_fraction(al, window=32, stride=16).collect()}
     assert ga[10]["n_dup_spans"] > 0 and ga[11]["n_dup_spans"] > 0
+
+
+def test_bucket_pairs_hot_path_parity(spark, monkeypatch):
+    """Buckets above HOT_BUCKET_CAP take the blocked (chunk x chunk)
+    pair enumeration; the pair SET must be identical to the plain
+    collect_list path — the cap only redistributes the quadratic work
+    across tasks (a planted degenerate bucket used to expand N^2/2
+    pairs inside one task)."""
+    import pandas as pd
+
+    import spatialindex_spark.operators.dedup as D
+
+    rows = ([("hot", i) for i in range(60)]
+            + [("warm", i) for i in range(100, 103)]
+            + [("solo", 200)])
+    df = (spark.createDataFrame(
+            pd.DataFrame({"bh": [r[0] for r in rows],
+                          "doc_id": [r[1] for r in rows]}))
+          .withColumn("band", F.lit(0)))
+
+    def pairs(pdf):
+        return sorted((r._a._id, r._b._id) for r in pdf.collect())
+
+    plain = pairs(D._bucket_pairs(df, ["band", "bh"], "doc_id"))
+    assert len(plain) == 60 * 59 // 2 + 3
+    monkeypatch.setattr(D, "HOT_BUCKET_CAP", 8)
+    monkeypatch.setattr(D, "HOT_BUCKET_CHUNKS", 4)
+    blocked = pairs(D._bucket_pairs(df, ["band", "bh"], "doc_id"))
+    assert blocked == plain
+
+
+def test_minhash_dedup_hot_bucket_path_identical(spark, monkeypatch):
+    """End-to-end: a boilerplate-heavy corpus (many near-identical
+    templated docs landing in one LSH bucket) returns the same kept set
+    through the blocked hot-bucket path as through the plain path."""
+    import pandas as pd
+
+    import spatialindex_spark.operators.dedup as D
+    from spatialindex_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = [f"the same boilerplate template page number {i % 3} end"
+            for i in range(120)] + [
+        "a genuinely unique document about healpix rings",
+        "another unique document about triangular meshes"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(docs)), "text": docs}))
+    base = sorted(r.doc_id for r in
+                  minhash_lsh_dedup(df, threshold=0.7).collect())
+    monkeypatch.setattr(D, "HOT_BUCKET_CAP", 16)
+    monkeypatch.setattr(D, "HOT_BUCKET_CHUNKS", 4)
+    hot = sorted(r.doc_id for r in
+                 minhash_lsh_dedup(df, threshold=0.7).collect())
+    assert hot == base and len(base) < len(docs)
