@@ -246,9 +246,11 @@ def landy_szalay_jackknife(data: DataFrame, random: DataFrame, edges_deg,
                                random_id, region_expr, exclude_self=True,
                                **kwargs)
 
-    # bounded frames: bring the sufficient tables to the driver and do
-    # the K leave-one-out recomputations exactly (plain Python floats,
-    # deterministic iteration order — mirrored 1:1 in the SQL oracle)
+    # BOUNDED driver read: the pair-count tables have at most
+    # nbins * K^2 rows (bins x region x region) whatever the catalog
+    # size — the K leave-one-out recomputations then run exactly in
+    # plain Python floats (deterministic iteration order — mirrored
+    # 1:1 in the SQL oracle)
     def tab(df):
         t = {}
         for r in df.collect():

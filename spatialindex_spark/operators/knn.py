@@ -315,11 +315,11 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     rows onto rungs quadratically more expensive than they need.
     Correctness never depends on the level choice (the
     satisfaction criterion re-checks), only the pair explosion does.
-    Starved rows cascade adaptively: a row whose pass FOUND a k-th
-    candidate at distance D (> vr, else it would have satisfied) jumps
-    straight to the coarsest-needed level with vr >= D — D upper-bounds
-    the true k-th distance, so that pass is guaranteed to satisfy it;
-    rows with fewer than k candidates drop two levels per pass.
+    Starved rows drop two levels (one even rung) per pass.  (An
+    observed-k-th-distance jump is impossible by construction: the
+    vr_deg prefilter — the round-4 rank-input win — removes every
+    candidate beyond the pass's verified radius before ranking, so a
+    starved row never carries a k-th distance to jump on.)
 
     When both tables carry an ingest-time nested-HPX cell column
     (``cell_col`` at ``cell_level``), pass keys are shiftrights of it and
@@ -675,23 +675,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # pathology — see knn()/graph.py) before the next pass reuses it
         todo = todo.join(sat, "_lid", "left_anti")
         if auto_levels:
-            # adaptive cascade: a starved row whose pass found a k-th
-            # candidate at _kd (> vr, else satisfied) jumps straight to
-            # the finest level whose vr covers _kd — that pass is
-            # guaranteed to satisfy it (_kd bounds the true k-th
-            # distance). No k-th candidate at all -> drop two levels.
-            kth = (topk.filter(F.col("_rk") == k)
-                   .select("_lid", F.col("_dist").alias("_kd")))
-            newlbl = F.when(F.col("_kd").isNull(), F.lit(max(lvl - 2, 0)))
-            cas_top = lvl - 1 - ((lvl - 1) % 2)  # even rungs, see albl
-            for L in range(cas_top, 0, -2):
-                newlbl = newlbl.when(F.col("_kd") <= vr_table[L], L)
-            newlbl = newlbl.otherwise(0)
-            todo = (todo.join(kth, "_lid", "left")
-                    .withColumn("_albl",
-                                F.when(F.col("_albl") >= lvl, newlbl)
-                                .otherwise(F.col("_albl")))
-                    .drop("_kd"))
+            # starved rows drop two levels (one even rung). The former
+            # observed-k-th-distance jump is dead by construction since
+            # the vr_deg prefilter: every ranked row has _dist <= vr, so
+            # any row with a k-th candidate is already satisfied — a
+            # starved row never carries a distance hint to jump on.
+            todo = todo.withColumn(
+                "_albl", F.when(F.col("_albl") >= lvl,
+                                F.lit(max(lvl - 2, 0)))
+                .otherwise(F.col("_albl")))
         todo = todo.localCheckpoint(eager=True)
         if _dbg:
             print(f"[knn_join] lvl={lvl} pass done in "

@@ -30,7 +30,8 @@ def interval_point_join(intervals: DataFrame, points: DataFrame,
     correct either way)."""
     by = [] if by is None else ([by] if isinstance(by, str) else list(by))
     # bucket width in microseconds (INTERVAL doesn't cast to LONG portably;
-    # derive it from a timestamp difference)
+    # derive it from a timestamp difference). BOUNDED driver read: one
+    # constant row, independent of any table size.
     row = intervals.sparkSession.sql(
         f"SELECT unix_micros(TIMESTAMP '2000-01-01' + INTERVAL {bucket}) - "
         f"unix_micros(TIMESTAMP '2000-01-01') AS w").collect()[0]

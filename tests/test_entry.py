@@ -47,12 +47,10 @@ def test_queries_have_oracles_or_are_documented():
     assert set(oracles) <= set(qs)
     # round 2: EVERY query has a value oracle (the ANN family got full SQL
     # pipeline replicas via the integer-quantized ternary LSH).
-    # round 4: 'mosaic' and 'pyramid' are the documented rows-only
-    # exceptions — their outputs are decoded pixel data (not
-    # SQL-expressible); the pixel math is gated bit-exactly against
-    # numpy references in tests/test_cutouts.py.
-    rows_only = {"mosaic", "pyramid"}
-    assert set(qs) - rows_only == set(oracles)
+    # round 5: the last two rows-only exceptions (mosaic/pyramid) gained
+    # full DuckDB value oracles — formula-pixel payload + scalar-libm
+    # grid makes the whole coadd/rollup chain bit-replayable in SQL.
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize("name", SUBSET)
