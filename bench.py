@@ -634,13 +634,28 @@ def main():
                 spinners=EQ_TOTAL - 8)
             ctrl2e = isolated_median(geom_scan_job, n_scan, 2, reps=1,
                                      spinners=EQ_TOTAL - 2)
+            drift_eq = abs(ctrl2e / thr2e - 1.0)
+            eff_eq = (thr8e / thr2e) / 4
+            # same accept/reject discipline as the headline pairs: an
+            # auxiliary reading with drift or spread past the guards, or
+            # a super-linear efficiency (physically impossible for this
+            # job — window noise by definition), carries an explicit
+            # status instead of masquerading as a clean reading
+            if drift_eq > 0.10:
+                eq_status = "drift_exceeded"
+            elif spread8e > 0.20:
+                eq_status = "spread_exceeded"
+            elif eff_eq > 1.0:
+                eq_status = "super_linear_window_noise"
+            else:
+                eq_status = "clean"
             eq_pair = {
                 "thr_2_eq": round(thr2e, 1), "thr_8_eq": round(thr8e, 1),
                 "thr_8_eq_spread": round(spread8e, 3),
-                "control_drift_eq": round(abs(ctrl2e / thr2e - 1.0), 3),
-                "efficiency_2_to_8_equal_load":
-                    round((thr8e / thr2e) / 4, 3),
+                "control_drift_eq": round(drift_eq, 3),
+                "efficiency_2_to_8_equal_load": round(eff_eq, 3),
                 "busy_cores_both_legs": EQ_TOTAL,
+                "status": eq_status,
                 "caveat": ("window-unstable on this hypervisor: SCHED_IDLE "
                            "is guest-only (the hypervisor sees EQ_TOTAL "
                            "busy vCPUs and steals accordingly) — the same "
@@ -671,11 +686,13 @@ def main():
                             f"{CLEAN_8CORE:.2g} rows/s); headline = raw "
                             "clean-window median (its one bias, the idle-"
                             "package clock boost on the 2c denominator, "
-                            "UNDER-reports efficiency); equal-package-load "
-                            "pair reported alongside as auxiliary — "
-                            "SCHED_IDLE spinners are hypervisor-visible "
-                            "and tax the measured leg (see equalized_pair."
-                            "caveat)"),
+                            "UNDER-reports efficiency); "
+                            + ("equal-package-load pair reported alongside "
+                               "as auxiliary — SCHED_IDLE spinners are "
+                               "hypervisor-visible and tax the measured "
+                               "leg (see equalized_pair.caveat)" if eq_on
+                               else "equalization unavailable on this host "
+                                    "— raw pair only")),
             "thr_rows_per_sec": {"2": accepted["thr_2"],
                                  "8": accepted["thr_8"],
                                  "32": round(thr32, 1)},
@@ -689,6 +706,12 @@ def main():
             "ingest_rows": n_ing,
             "ingest_efficiency_2_to_8": round((ing[8] / ing[2]) / 4, 3),
             "ingest_efficiency_8_to_32": round((ing[32] / ing[8]) / 4, 3),
+            # nothing in this job is super-linear: a >1.0 reading means
+            # the 2c leg ran in a degraded window (flag it rather than
+            # letting it pass as a clean efficiency)
+            "ingest_pair_status": (
+                "super_linear_window_noise"
+                if (ing[8] / ing[2]) / 4 > 1.0 else "clean"),
         }
 
     # isolated dedup scale probe (scripts/dedup_scale_probe.py): embedded
