@@ -2877,13 +2877,20 @@ def _q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once foreachBatch sink commits >= 2 separate micro-batches,
     and the table is read back whole. The oracle is the plain source
     relation — any lost / duplicated / torn micro-batch shows up as a
-    row diff."""
+    row diff. The value payload is the PRE-asin sky derivation (ra and
+    the sine-of-dec), pure double arithmetic DuckDB replays
+    bit-identically — JVM Math.asin and libm asin differ by 1 ulp on
+    ~5% of rows, so dec itself is not a byte-stable roundtrip
+    payload."""
     import tempfile
 
     from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
 
     df = _orders_sky(spark, sf_dir).select(
-        "o_orderkey", "ra", "dec", F.col("htm7").alias("spt_ind"))
+        "o_orderkey", "ra",
+        (2 * ((F.col("o_custkey") * F.lit(0.381966)) % 1) - 1)
+        .alias("zsin"),
+        F.col("htm7").alias("spt_ind"))
     base = tempfile.mkdtemp(prefix="spx_strt_")
     src = f"{base}/src"
     for part in (0, 1):
@@ -2898,11 +2905,15 @@ def _q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nb = len(t.committed_batches())
     if nb < 2:
         raise RuntimeError(f"expected >= 2 micro-batches, got {nb}")
-    return t.read(spark).select("o_orderkey", "ra", "dec")
+    return t.read(spark).select("o_orderkey", "ra", "zsin")
 
 
 def _stream_roundtrip_sql() -> str:
-    return f"SELECT o_orderkey, {_SKY_SQL_O} FROM orders"
+    # ::DOUBLE keeps DuckDB in IEEE double arithmetic (a bare 0.618034
+    # literal is DECIMAL there) — then both columns replay bit-exactly
+    return ("SELECT o_orderkey, (o_orderkey * 0.618034::DOUBLE) % 360 "
+            "AS ra, 2 * ((o_custkey * 0.381966::DOUBLE) % 1) - 1 AS zsin "
+            "FROM orders")
 
 
 def _q_xmatch3(spark: SparkSession, sf_dir: str) -> DataFrame:
