@@ -44,6 +44,9 @@ from ..functions.geometry import RAD_PER_DEG
 from ..functions.healpix import hpx_id, safe_ring1_rad
 from .joins import _hpx_neighbors, hpx_cell_key
 
+# last knn_join auto decisions, for probe/test introspection only
+_DECISIONS: dict = {}
+
 
 def _disc_cells(lvl: int, pix: int, r: int) -> np.ndarray:
     """Closure of ring-r adjacency around one pixel (sorted unique ids).
@@ -272,6 +275,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
              prune_max_active: int = 200_000,
              exclude_self: bool = False,
              partial_topk: bool = False,
+             salt_residual: bool | None = None,
              on_starved: str = "raise") -> DataFrame:
     """k nearest ``right`` rows for EVERY ``left`` row — both sides big
     (the self-kNN / k-nearest-source-per-object statistic; A6+J4 at table
@@ -320,6 +324,33 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     vr_deg prefilter — the round-4 rank-input win — removes every
     candidate beyond the pass's verified radius before ranking, so a
     starved row never carries a k-th distance to jump on.)
+
+    RESIDUAL EXTREME KEYS — a clump inside ONE cell at the finest
+    refinable rung (``max_fine_level`` caps probing, so the drill-down
+    cannot split it) — are handled by AUTO-SALTING the candidate join
+    (``salt_residual=None`` resolves to on under ``auto_levels``; pass
+    False to force off). A hot cell (>= ``SPT_KNN_RESIDUAL_HOT`` rows,
+    env, default 4000) hashes its right rows into
+    ceil(count / ``SPT_KNN_SALT_TARGET``) salt groups (env, default
+    2000) and replicates the cell's left rows across them, so the
+    count^2 pair enumeration that would otherwise run inside ONE join
+    task parallelizes S ways — and every (l, r) pair still occurs
+    exactly once, because the right row carries ONE salt. The per-task
+    pair count drops from count^2 to count * SALT_TARGET: LINEAR in the
+    clump size instead of quadratic, which is what makes a 100k-row hot
+    cell (10^10 pairs — hours in one task) survivable. Measured
+    (bench_artifacts/knn_skew_probe.json, same-window A/B pairs,
+    checksums identical): 12k clump over a 500k field 94 s salted vs
+    98 s unsalted (1.04x — the field dominates), 24k clump over a 64k
+    field 243 s vs 301 s (1.24x) — the gap widens with clump size as
+    the quadratic single-task enumeration takes over. The rank side
+    needs no salt-aware change: Spark 4's partial WindowGroupLimit
+    already keeps the rank exchange at O(k * rows) regardless
+    (plan-asserted) — only the enumeration task itself needs splitting.
+    ``partial_topk`` (per-cell partial top-k before the global rank)
+    remains an explicit opt-in and is measured SLOWER in this regime
+    (150 s vs 98 s on the 12k fixture): its zero-Exchange groupBy
+    serializes inside the one hot join task.
 
     When both tables carry an ingest-time nested-HPX cell column
     (``cell_col`` at ``cell_level``), pass keys are shiftrights of it and
@@ -554,6 +585,58 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
 
     import os as _os
     import time as _time
+    # RESIDUAL EXTREME-KEY DETECTION (see docstring): `cur` is the
+    # finest drill-down counts frame (<= TOP_REFINE * 16 rows, already
+    # checkpointed — this is a driver-cheap read of a tiny frame).
+    # Whatever ended the drill loop, a cell >= RESIDUAL_HOT can only
+    # still be there if no finer rung could take it: RESIDUAL_HOT >=
+    # 4 * REFINE_CNT keeps every splittable ancestor above both refine
+    # filters on the way down, so an early `break` (no hot / no fine
+    # cells) proves no residual hot cell exists either.
+    if salt_residual is None:
+        salt_residual = auto_levels
+    _hot_fine: dict = {}   # finest-rung pix -> row count
+    if salt_residual and auto_levels:
+        _resid_hot = int(_os.environ.get("SPT_KNN_RESIDUAL_HOT", "4000"))
+        # BOUNDED driver read: top-1024 hottest residual cells — far
+        # beyond any physical sky's extreme tail, and the salt map must
+        # stay a small plan literal
+        _hot_fine = {int(r["_dc"]): int(r["_dn"]) for r in
+                     cur.filter(F.col("_dn") >= _resid_hot)
+                     .orderBy(F.col("_dn").desc()).limit(1024).collect()}
+    _salt_target = max(1, int(_os.environ.get(
+        "SPT_KNN_SALT_TARGET", "2000")))
+    _DECISIONS["partial_topk"] = partial_topk
+    _DECISIONS["salted_cells"] = len(_hot_fine)
+
+    def _salt_map_at(lvl: int) -> dict:
+        """Per-pass (cell-at-lvl -> salt count) for the residual hot
+        cells, derived driver-side from the finest-rung counts.
+        Coarser passes aggregate counts up to the ancestor; finer
+        passes (at most one rung past lvlp — the drill loop's exit
+        bound) spread the parent's count over its children
+        (over-salting a child is harmless extra parallelism;
+        under-salting would be the real risk)."""
+        if not _hot_fine:
+            return {}
+        if lvl <= lvlp:
+            agg: dict = {}
+            for p, dn in _hot_fine.items():
+                a = p >> (2 * (lvlp - lvl))
+                agg[a] = agg.get(a, 0) + dn
+            m = {a: -(-dn // _salt_target) for a, dn in agg.items()}
+        else:
+            fan = 1 << (2 * (lvl - lvlp))
+            if fan > 16 or len(_hot_fine) * fan > 4096:
+                # unreachable via the drill loop's exit bound; guards
+                # future cap changes from exploding the map literal
+                return {}
+            m = {}
+            for p, dn in _hot_fine.items():
+                s = -(-dn // _salt_target)
+                for i in range(fan):
+                    m[(p << (2 * (lvl - lvlp))) + i] = s
+        return {a: int(s) for a, s in m.items() if s > 1}
     _dbg = bool(_os.environ.get("SPT_KNN_DEBUG"))
     _fixed_iter = iter(levels)
     while True:
@@ -618,7 +701,40 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                   .join(F.broadcast(cells), "_mc", "semi"))
         else:
             rk = rk.withColumn("_mc", rkey)
-        cand = lk.join(rk, "_mc")
+        smap = _salt_map_at(lvl) if auto_levels else {}
+        if smap:
+            # residual hot-cell salting (see docstring + detection
+            # block): right rows of a hot cell split over S salt
+            # groups, the cell's left rows replicate across them; the
+            # composite (_mc, _salt) key turns the single hot join task
+            # into S tasks. Non-hot cells resolve to S=1 (salt 0 both
+            # sides) and join exactly as before.
+            _pairs = []
+            for _c, _s in sorted(smap.items()):
+                _pairs.append(F.lit(int(_c)).cast("bigint"))
+                _pairs.append(F.lit(int(_s)).cast("int"))
+            _sm = F.create_map(*_pairs)
+            _ns = F.coalesce(F.element_at(_sm, F.col("_mc")), F.lit(1))
+            rk = (rk.withColumn("_salt", F.pmod(
+                F.xxhash64("_rid"), _ns.cast("bigint")).cast("int")))
+            lk = (lk.withColumn("_salt", F.explode(
+                F.sequence(F.lit(0), _ns - 1))))
+            if _dbg:
+                print(f"[knn_join] lvl={lvl} salted {len(smap)} hot "
+                      f"cells, max S={max(smap.values())}")
+            # The rank window downstream needs NO salt-aware change:
+            # Spark 4 plans rank-filter windows as WindowGroupLimit
+            # with a PARTIAL pass map-side (plan-asserted in tests), so
+            # each salt task already forwards <= k rows per left row to
+            # the rank exchange — the shuffle is O(k * rows), never
+            # O(pairs), salted or not. (A manual co-partitioned
+            # pre-reduction window was measured SLOWER — 162 s vs
+            # 135 s for the clump pass — because it forces a full sort
+            # of every pair inside the salt tasks, re-doing work the
+            # partial group-limit does in one streaming pass.)
+            cand = lk.join(rk, ["_mc", "_salt"]).drop("_salt")
+        else:
+            cand = lk.join(rk, "_mc")
         if exclude_self:
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
         if partial_topk:

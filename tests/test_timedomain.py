@@ -6,7 +6,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from spatialindex_spark.operators.joins import anti_crossmatch, crossmatch
 from spatialindex_spark.operators.timedomain import lightcurves, tracklets
@@ -220,6 +220,35 @@ def test_partial_topk_groupby_reuses_join_partitioning(spark):
     assert final.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_rank_window_partial_group_limit(spark):
+    """The mechanism that keeps knn_join's rank exchange at O(k * rows)
+    whatever the candidate count (salted or not): Spark plans a
+    row_number rank filter as WindowGroupLimit with a PARTIAL pass
+    map-side, so each join/salt task forwards <= k rows per left row to
+    the rank exchange instead of every enumerated candidate."""
+    a = (spark.range(1000)
+         .select((F.col("id") % 97).alias("_mc"),
+                 (F.col("id") % 7).alias("_lid")))
+    b = (spark.range(5000)
+         .select((F.col("id") % 97).alias("_mc"),
+                 F.col("id").alias("_rid")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        w = Window.partitionBy("_lid").orderBy(F.col("_rid").asc())
+        out = (a.join(b, "_mc")
+               .withColumn("_rk", F.row_number().over(w))
+               .filter(F.col("_rk") <= 2))
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    final = plan.split("== Initial Plan ==")[0]
+    # the Partial group limit must sit BELOW the rank exchange
+    assert "Partial" in final and "Final" in final, plan
+    tail = final[final.find("Exchange hashpartitioning(_lid"):]
+    assert "WindowGroupLimit" in tail and "Partial" in tail, plan
+
+
 def test_knn_join_partial_topk_correct(spark):
     """End-to-end knn_join after the partial top-k restructuring: exactly
     k rows per left row and rank-1 matches brute force."""
@@ -247,6 +276,62 @@ def test_knn_join_partial_topk_correct(spark):
     assert len(got) == 50
     for i in range(50):
         assert got[i] == want_first[i]
+
+
+def test_knn_join_residual_salting(spark, monkeypatch):
+    """salt_residual=None (auto) salts ONLY for a residual extreme key:
+    a clump inside ONE max_fine_level cell that the density drill-down
+    cannot split further. A uniform sky stays unsalted, and the salted
+    result equals salt_residual=False bit-for-bit."""
+    from spatialindex_spark.functions.udfs import hpx_udf
+    from spatialindex_spark.operators import knn as knn_mod
+    from spatialindex_spark.operators.knn import knn_join
+
+    # the test threshold must stay >= the drill-down's REFINE_CNT (192):
+    # a real residual key (default threshold 4000) always drills to the
+    # finest rung because its ancestor counts dominate every refine
+    # filter on the way down — the detection inspects the finest grid
+    monkeypatch.setenv("SPT_KNN_RESIDUAL_HOT", "300")
+    monkeypatch.setenv("SPT_KNN_SALT_TARGET", "100")  # -> S = 5
+    rng = np.random.default_rng(7)
+    ra, dec = _sky(rng, 3000)
+    # 500 rows inside ~0.07 arcsec: ONE level-16 cell (no straddle)
+    n_r = 500
+    ra_r = 40.0 + (rng.random(n_r) * 2 - 1) * 1e-5
+    dec_r = 10.0 + (rng.random(n_r) * 2 - 1) * 1e-5
+    df = spark.createDataFrame(pd.DataFrame({
+        "pid": np.arange(3000 + n_r),
+        "ra": np.concatenate([ra, ra_r]),
+        "dec": np.concatenate([dec, dec_r])}))
+    df = df.withColumn("hpx7", hpx_udf(7)(F.col("ra"), F.col("dec"))) \
+           .localCheckpoint(eager=True)
+
+    def run(sr):
+        out = knn_join(df, df, k=2, level=8, auto_levels=True,
+                       left_id="pid", right_id="pid",
+                       cell_col="hpx7", cell_level=7,
+                       exclude_self=True, salt_residual=sr,
+                       on_starved="exact")
+        rows = sorted((r.pid_l, r.pid_r, r.knn_rank) for r in out.collect())
+        return rows, knn_mod._DECISIONS["salted_cells"]
+
+    auto_rows, auto_cells = run(None)
+    assert auto_cells >= 1           # residual key detected -> salted
+    off_rows, off_cells = run(False)
+    assert off_cells == 0            # explicit False is never overridden
+    assert auto_rows == off_rows     # identical result either way
+    assert len(auto_rows) == 2 * (3000 + n_r)
+
+    # uniform sky (no residual key): auto detects nothing to salt
+    df_u = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(3000), "ra": ra, "dec": dec}))
+    df_u = df_u.withColumn("hpx7", hpx_udf(7)(F.col("ra"), F.col("dec"))) \
+               .localCheckpoint(eager=True)
+    knn_join(df_u, df_u, k=2, level=8, auto_levels=True,
+             left_id="pid", right_id="pid",
+             cell_col="hpx7", cell_level=7,
+             exclude_self=True, on_starved="exact").count()
+    assert knn_mod._DECISIONS["salted_cells"] == 0
 
 
 def test_pm_crossmatch_matches_brute_force(spark):
