@@ -748,12 +748,14 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # on narrow rows beats the per-group collect_list +
             # array_sort at every candidate density the auto_levels
             # drill-down produces (isolated sf1 A/B: 59-65 s off vs
-            # 76-84 s on), and the true hot-cell quadratic lives in the
-            # JOIN task (cells x cells pair enumeration), which only
-            # probing finer — not post-join reduction — removes. The
-            # knob remains for fixed-ladder skies with residual extreme
-            # keys past the drill-down caps (TOP_REFINE/max_fine_level),
-            # where k rows per (lid, cell) into the rank beats 10k. A
+            # 76-84 s on), and in the residual-extreme-key regime too
+            # (150 s vs 98 s on the 12k-clump probe): Spark 4's partial
+            # WindowGroupLimit already caps the rank exchange at k rows
+            # per left row map-side (plan-asserted), so this groupBy
+            # only re-does that reduction with a heavier operator — and
+            # the true hot-cell quadratic lives in the JOIN task, which
+            # probing finer or salting (salt_residual), not post-join
+            # reduction, removes. Kept as an explicit knob only. A
             # (l, r) pair occurs under exactly one _mc (right side has
             # one key; left ring cells are deduped), so no pair double-
             # counts, and struct ordering (_dist, _rid) matches the
