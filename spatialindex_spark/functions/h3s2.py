@@ -113,7 +113,7 @@ def _xyz_to_face_uv_s2(x, y, z):
     axis = np.where((ax >= ay) & (ax >= az), 0, np.where(ay >= az, 1, 2))
     major = np.where(axis == 0, x, np.where(axis == 1, y, z))
     face = np.where(major >= 0, axis, axis + 3)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
         u = np.select(
             [face == 0, face == 1, face == 2, face == 3, face == 4],
             [y / x, -x / y, -x / z, z / x, z / y], default=-y / z)
