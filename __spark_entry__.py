@@ -101,8 +101,8 @@ def _supplier_sky(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SKY_SQL_O = (
-    "(o_orderkey * 0.618034) % 360 AS ra, "
-    "degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec"
+    "(o_orderkey * 0.618034e0) % 360 AS ra, "
+    "degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec"
 )
 
 
@@ -640,8 +640,8 @@ def _mosaic_base_ctes() -> str:
     half_scale = _dlit(math.radians(MOSAIC_SCALE) / 2.0)
     return f"""imgs AS (
   SELECT o_orderkey AS image_id,
-         (o_orderkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         (o_orderkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec,
          CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
          CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
            END AS h
@@ -931,16 +931,16 @@ def _source_shape_sql() -> str:
     return f"""
 WITH imgs AS (
   SELECT o_orderkey AS image_id,
-         (o_orderkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         (o_orderkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec,
          CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
          CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
            END AS h
   FROM orders WHERE o_orderkey <= {SHAPE_MAX_ID}),
 tgts AS (
   SELECT c_custkey AS target_id,
-         (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+         (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer WHERE c_custkey <= {SHAPE_MAX_TGT}),
 pix AS (
   SELECT t.target_id, i.image_id, i.w, i.h,
@@ -1063,16 +1063,16 @@ def _annulus_phot_sql() -> str:
     return f"""
 WITH imgs AS (
   SELECT o_orderkey AS image_id,
-         (o_orderkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         (o_orderkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec,
          CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
          CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
            END AS h
   FROM orders WHERE o_orderkey <= {SHAPE_MAX_ID}),
 tgts AS (
   SELECT c_custkey AS target_id,
-         (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+         (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer WHERE c_custkey <= {SHAPE_MAX_TGT}),
 pix AS (
   SELECT t.target_id, i.image_id, i.w, i.h,
@@ -1334,19 +1334,19 @@ def _pm_fit_sql() -> str:
     return f"""
 WITH det AS (
   SELECT o_orderkey AS det_id,
-    ((((o_custkey * 0.618034) % 360)
+    ((((o_custkey * 0.618034e0) % 360)
       + (((o_custkey % 21) - 10) * (o_orderkey % 12)
          + ((o_orderkey * 7) % 3 - 1)) * 0.000001) % 360 + 360) % 360
       AS ra,
     LEAST(89.9999, GREATEST(-89.9999,
-      degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1))
+      degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1))
       + ((((o_custkey // 3) % 21) - 10) * (o_orderkey % 12)
          + ((o_orderkey * 11) % 3 - 1)) * 0.000001)) AS dec,
     (o_orderkey % 12) * 3600000000 AS t_us
   FROM orders),
 csky AS (
-  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  SELECT c_custkey, (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer),
 bm AS (
   SELECT c_custkey, ra, dec, t_us FROM (
@@ -2268,8 +2268,8 @@ def _pm_xmatch_sql() -> str:
     return (
         f"{_CUST_CTE}, "
         "smov AS (SELECT s_suppkey, ra, dec, "
-        "  ((s_suppkey % 17) - 8) * 0.01 AS pm_ra, "
-        "  ((s_suppkey % 13) - 6) * 0.01 AS pm_dec "
+        "  ((s_suppkey % 17) - 8) * 0.01e0 AS pm_ra, "
+        "  ((s_suppkey % 13) - 6) * 0.01e0 AS pm_dec "
         "  FROM ssky WHERE abs(dec) <= 85.0), "
         "sprop AS (SELECT s_suppkey, "
         "  ((ra + pm_ra * 10.0 / cos(radians(dec))) % 360.0 + 360.0) "
@@ -2609,12 +2609,12 @@ def _correlation_sql() -> str:
     rrd = "((SELECT count(*) FROM r) * ((SELECT count(*) FROM r) - 1))"
     return (
         "WITH d AS (SELECT c_custkey AS id, "
-        "(c_custkey * 0.618034) % 360 AS ra, "
-        "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec "
+        "(c_custkey * 0.618034e0) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec "
         "FROM customer WHERE c_custkey % 2 = 0), "
         "r AS (SELECT c_custkey AS id, "
-        "(c_custkey * 0.354813) % 360 AS ra, "
-        "degrees(asin(2 * ((c_custkey * 0.708204) % 1) - 1)) AS dec "
+        "(c_custkey * 0.354813e0) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.708204e0) % 1) - 1)) AS dec "
         "FROM customer WHERE c_custkey % 3 = 0), "
         f"dd AS ({pairs('d', 'd', True)}), "
         f"dr AS ({pairs('d', 'r', False)}), "
@@ -2901,7 +2901,10 @@ def _q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("maxFilesPerTrigger", 1).parquet(src))
     q = t.stream_write(stream, checkpoint=f"{base}/ckpt",
                        trigger={"availableNow": True})
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):  # fail loudly, never read mid-flight
+        q.stop()
+        raise RuntimeError("stream_roundtrip: availableNow ingest did not "
+                           "finish within 300 s")
     nb = len(t.committed_batches())
     if nb < 2:
         raise RuntimeError(f"expected >= 2 micro-batches, got {nb}")
@@ -3307,20 +3310,20 @@ def _cross_corr_sql() -> str:
 
     return (
         "WITH d1 AS (SELECT c_custkey AS id, "
-        "(c_custkey * 0.618034) % 360 AS ra, "
-        "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec "
+        "(c_custkey * 0.618034e0) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec "
         "FROM customer WHERE c_custkey % 2 = 0), "
         "r1 AS (SELECT c_custkey AS id, "
-        "(c_custkey * 0.354813) % 360 AS ra, "
-        "degrees(asin(2 * ((c_custkey * 0.708204) % 1) - 1)) AS dec "
+        "(c_custkey * 0.354813e0) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.708204e0) % 1) - 1)) AS dec "
         "FROM customer WHERE c_custkey % 3 = 0), "
         "d2 AS (SELECT s_suppkey AS id, "
-        "(s_suppkey * 0.618034) % 360 AS ra, "
-        "degrees(asin(2 * ((s_suppkey * 0.381966) % 1) - 1)) AS dec "
+        "(s_suppkey * 0.618034e0) % 360 AS ra, "
+        "degrees(asin(2 * ((s_suppkey * 0.381966e0) % 1) - 1)) AS dec "
         "FROM supplier), "
         "r2 AS (SELECT s_suppkey AS id, "
-        "(s_suppkey * 0.354813) % 360 AS ra, "
-        "degrees(asin(2 * ((s_suppkey * 0.708204) % 1) - 1)) AS dec "
+        "(s_suppkey * 0.354813e0) % 360 AS ra, "
+        "degrees(asin(2 * ((s_suppkey * 0.708204e0) % 1) - 1)) AS dec "
         "FROM supplier), "
         f"ab AS ({pairs('d1', 'd2')}), "
         f"ar AS ({pairs('d1', 'r2')}), "
@@ -3391,12 +3394,12 @@ def _corr_jackknife_sql() -> str:
 
     return (
         "WITH d AS (SELECT c_custkey AS id, "
-        "(c_custkey * 0.618034) % 360 AS ra, "
-        "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec "
+        "(c_custkey * 0.618034e0) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec "
         "FROM customer WHERE c_custkey % 2 = 0), "
         "r AS (SELECT c_custkey AS id, "
-        "(c_custkey * 0.354813) % 360 AS ra, "
-        "degrees(asin(2 * ((c_custkey * 0.708204) % 1) - 1)) AS dec "
+        "(c_custkey * 0.354813e0) % 360 AS ra, "
+        "degrees(asin(2 * ((c_custkey * 0.708204e0) % 1) - 1)) AS dec "
         "FROM customer WHERE c_custkey % 3 = 0), "
         f"{pairs('ddp', 'd', 'd', True)}, "
         f"{pairs('drp', 'd', 'r', False)}, "
@@ -3678,10 +3681,10 @@ _SKY_CTE = (
 )
 
 _CUST_CTE = (
-    "WITH csky AS (SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra, "
-    "degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec FROM customer), "
-    "ssky AS (SELECT s_suppkey, (s_suppkey * 0.618034) % 360 AS ra, "
-    "degrees(asin(2 * ((s_suppkey * 0.381966) % 1) - 1)) AS dec FROM supplier)"
+    "WITH csky AS (SELECT c_custkey, (c_custkey * 0.618034e0) % 360 AS ra, "
+    "degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec FROM customer), "
+    "ssky AS (SELECT s_suppkey, (s_suppkey * 0.618034e0) % 360 AS ra, "
+    "degrees(asin(2 * ((s_suppkey * 0.381966e0) % 1) - 1)) AS dec FROM supplier)"
 )
 
 
@@ -4003,11 +4006,11 @@ def _tracklets_sql() -> str:
     return f"""
 WITH det AS (
   SELECT s_suppkey * 10 + e AS det_id,
-         ((((s_suppkey * 0.618034) % 360)
+         ((((s_suppkey * 0.618034e0) % 360)
            + (((s_suppkey * 37) % 21 - 10) * 0.02) * e) % 360 + 360) % 360
            AS ra,
          LEAST(89.9999, GREATEST(-89.9999,
-           degrees(asin(2 * ((s_suppkey * 0.381966) % 1) - 1))
+           degrees(asin(2 * ((s_suppkey * 0.381966e0) % 1) - 1))
            + (((s_suppkey * 53) % 21 - 10) * 0.02) * e)) AS dec,
          CAST(e AS DOUBLE) AS t
   FROM supplier CROSS JOIN (SELECT unnest(range(0, {TRACKLET_EPOCHS})) AS e))
@@ -4030,17 +4033,17 @@ def _lightcurve_sql() -> str:
     return f"""
 WITH det AS (
   SELECT o_orderkey AS det_id,
-         ((((o_custkey * 0.618034) % 360)
+         ((((o_custkey * 0.618034e0) % 360)
            + ((o_orderkey % 1000) - 500) * 0.000001) % 360 + 360) % 360
            AS ra,
          LEAST(89.9999, GREATEST(-89.9999,
-           degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1))
+           degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1))
            + (((o_orderkey // 7) % 1000) - 500) * 0.000001)) AS dec,
          o_totalprice AS flux, o_orderdate AS t
   FROM orders),
 csky AS (
-  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  SELECT c_custkey, (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer),
 bm AS (
   SELECT det_id, c_custkey, flux, t FROM (
@@ -4091,8 +4094,8 @@ def _fof_objects_sql(radius_deg: float = 2.0) -> str:
            "*cos(radians(a.ra)-radians(b.ra))"
            " + sin(radians(a.dec))*sin(radians(b.dec))")
     return f"""WITH RECURSIVE csky AS (
-  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  SELECT c_custkey, (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer WHERE c_custkey <= 1500),
 pairs AS (
   SELECT a.c_custkey AS u, b.c_custkey AS v FROM csky a, csky b
@@ -4152,16 +4155,16 @@ def oracle_sql() -> dict[str, str]:
     cutout_sql = f"""
 WITH imgs AS (
   SELECT o_orderkey AS image_id,
-         (o_orderkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         (o_orderkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec,
          CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
          CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
            END AS h
   FROM orders),
 tgts AS (
   SELECT c_custkey AS target_id,
-         (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+         (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer WHERE c_custkey <= 1500),
 pix AS (
   SELECT t.target_id, i.image_id, i.w, i.h,
@@ -4196,16 +4199,16 @@ FROM win"""
     photometry_sql = f"""
 WITH imgs AS (
   SELECT o_orderkey AS image_id,
-         (o_orderkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         (o_orderkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec,
          CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
          CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
            END AS h
   FROM orders WHERE o_orderkey <= {PHOT_MAX_ID}),
 tgts AS (
   SELECT c_custkey AS target_id,
-         (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+         (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer WHERE c_custkey <= 1500),
 pix AS (
   SELECT t.target_id, i.image_id, i.w, i.h,
@@ -4242,8 +4245,8 @@ GROUP BY target_id, image_id, npix"""
 
     detect_ctes = f"""imgs AS (
   SELECT o_orderkey AS image_id,
-         (o_orderkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((o_custkey * 0.381966) % 1) - 1)) AS dec,
+         (o_orderkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((o_custkey * 0.381966e0) % 1) - 1)) AS dec,
          CASE o_orderkey % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
          CASE (o_orderkey // 3) % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64
            END AS h
@@ -4286,8 +4289,8 @@ srcs AS (
          ROUND(degrees(asin(LEAST(GREATEST(gz, -1.0), 1.0))), 6) AS dec
   FROM vec),
 cskyx AS (
-  SELECT c_custkey, (c_custkey * 0.618034) % 360 AS ra,
-         degrees(asin(2 * ((c_custkey * 0.381966) % 1) - 1)) AS dec
+  SELECT c_custkey, (c_custkey * 0.618034e0) % 360 AS ra,
+         degrees(asin(2 * ((c_custkey * 0.381966e0) % 1) - 1)) AS dec
   FROM customer)
 SELECT s.image_id, s.src_x, s.src_y, c.c_custkey
 FROM srcs s CROSS JOIN cskyx c

@@ -59,8 +59,13 @@ def _esc(s: str | None) -> str:
             else:
                 continue
         if n + len(rep) > _ESC_MAX:
-            # source semantics: input remained when the buffer filled
-            return "".join(out)[:_ESC_MAX - 4] + ' ..."'
+            # source semantics: input remained when the buffer filled.
+            # Back off in WHOLE escape units (out holds one unit per
+            # element) so the ellipsis can never land mid-escape and
+            # leave a dangling backslash that breaks the JSON envelope.
+            while n > _ESC_MAX - 4:
+                n -= len(out.pop())
+            return "".join(out) + ' ..."'
         out.append(rep)
         n += len(rep)
     out.append('"')
@@ -225,6 +230,8 @@ def tree_count_main(argv: list[str] | None = None, spark=None,
                 spark.stop()
         return 0
     except Exception as e:  # the reference err()s every failure path
+        # honor --json even when parsing died before the flag was read
+        json_fmt = json_fmt or "--json!" in flags or "--json" in argv
         print(format_error(str(e), json_fmt), file=out)
         return 1
 
@@ -256,7 +263,7 @@ def id_list_main(argv: list[str] | None = None, out=None) -> int:
             ranges = htm_circle_ranges(region["ra"], region["dec"],
                                        region["radius"], level, maxranges)
         elif region["kind"] == "poly":
-            from .functions.cover import htm_polygon_ranges, polygon_normals
+            from .functions.cover import htm_polygon_ranges
             from .functions.geometry import sc_to_v3
             from .functions.regions import SphericalPolygon
             poly = SphericalPolygon(

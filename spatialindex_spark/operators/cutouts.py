@@ -130,6 +130,8 @@ def cutout_windows(targets: DataFrame, images: DataFrame,
     if max_dim_px is None:
         max_dim_px = images.agg(
             F.max(F.greatest(F.col("w"), F.col("h")))).first()[0]
+        if max_dim_px is None:  # empty input: zero rows out, not a crash
+            max_dim_px = 1
     # center-to-corner bound; +1 px margin absorbs the rounding of the
     # continuous coords (never admits a false negative, the exact
     # in-bounds filter below is authoritative)
@@ -431,9 +433,11 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     image half-diagonal (``max_dim_px``; one scalar aggregate when not
     declared) — ring-1 alone can drop a corner-touching contributor.
     Candidates are then pruned before the shuffle by the exact
-    center-separation bound ``max_pix_rad + half_diagonal`` — images
-    too far from a neighbor tile's center to touch its grid never
-    shuffle there.
+    center-separation bound ``sqrt(2)*tile_rad + half_diagonal`` (the
+    grid's corner span plus the image half-diagonal — NOT the tighter
+    ``max_pix_rad + half_diagonal``, which drops corner-touching
+    contributors) — images too far from a neighbor tile's center to
+    touch its grid never shuffle there.
 
     ``images`` needs (image_id, bytes, w, h, fmt, ra, dec).  Per-tile
     accumulation decodes each contributing image once and
@@ -480,6 +484,8 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     if max_dim_px is None:
         max_dim_px = images.agg(
             F.max(F.greatest(F.col("w"), F.col("h")))).first()[0]
+        if max_dim_px is None:  # empty input: zero rows out, not a crash
+            max_dim_px = 1
     max_half_diag = (math.hypot(max_dim_px, max_dim_px) / 2.0
                      * math.radians(scale_deg_px))
     r_cell = (math.sqrt(2.0) * tile_rad + max_half_diag

@@ -231,26 +231,41 @@ def _bucket_pairs(stacked: DataFrame, keys: list[str], id_col: str,
     ``n_chunks`` deterministic chunks and every (c <= d) chunk-block is
     its own join task, so the quadratic pair count (inherent to a
     degenerate bucket) is spread over ~n_chunks^2/2 tasks of
-    (N/n_chunks)^2 pairs each instead of one N^2 task.  The hot side
-    re-reads the bucket exchange twice (left/right of the block join);
-    the exchange is reused, so signatures are still computed once."""
+    (N/n_chunks)^2 pairs each instead of one N^2 task.
+
+    The aggregation itself is chunk-keyed too: collecting a degenerate
+    bucket into ONE array would put the whole O(N) item list (ids +
+    signature payloads) inside a single aggregation task — the memory
+    cliff the blocked join exists to avoid, just one operator earlier.
+    Grouping on (keys, chunk) caps every collected array at
+    ~bucket/n_chunks items at ANY bucket size while still running the
+    signature UDFs exactly once; bucket totals come from a window sum
+    over the chunk sizes, and cold buckets (the overwhelmingly common
+    case) are re-assembled with a flatten + second groupBy that reuses
+    the window's keys-partitioning (no extra exchange)."""
     payload = payload or []
     hot_cap = HOT_BUCKET_CAP if hot_cap is None else hot_cap
     n_chunks = HOT_BUCKET_CHUNKS if n_chunks is None else n_chunks
     item = F.struct(F.col(id_col).alias("_id"),
                     *[F.col(c) for c in payload])
-    buckets = (stacked.groupBy(*keys)
+    chunked = (stacked
+               .withColumn("_c", F.pmod(F.xxhash64(F.col(id_col)),
+                                        F.lit(n_chunks)).cast("int"))
+               .groupBy(*keys, "_c")
                .agg(F.collect_list(item).alias("_items"))
-               .filter(F.size("_items") >= 2))
-    cold = (buckets.filter(F.size("_items") <= hot_cap)
+               .withColumn("_tot", F.sum(F.size("_items")).over(
+                   Window.partitionBy(*keys)))
+               .filter(F.col("_tot") >= 2))
+    cold = (chunked.filter(F.col("_tot") <= hot_cap)
+            .groupBy(*keys)
+            .agg(F.flatten(F.collect_list("_items")).alias("_items"))
             .select(F.explode("_items").alias("_a"), F.col("_items"))
             .select("_a", F.explode("_items").alias("_b"))
             .filter(F.col("_a._id") < F.col("_b._id")))
 
-    hot = (buckets.filter(F.size("_items") > hot_cap)
-           .select(*keys, F.explode("_items").alias("_it"))
-           .withColumn("_chunk", F.pmod(F.xxhash64(F.col("_it._id")),
-                                        F.lit(n_chunks)).cast("int")))
+    hot = (chunked.filter(F.col("_tot") > hot_cap)
+           .select(*keys, F.col("_c").alias("_chunk"),
+                   F.explode("_items").alias("_it")))
     left = (hot.select(*keys, F.col("_chunk").alias("_c"),
                        F.col("_it").alias("_a"))
             .withColumn("_d", F.explode(

@@ -58,6 +58,32 @@ def test_escaper_truncation():
     assert format_error(fit, json_fmt=True).count("y") == 8000
 
 
+def test_escaper_truncation_never_splits_an_escape():
+    # a 2-char escape sequence straddling the truncation boundary must
+    # not be cut in half (a dangling backslash breaks the JSON envelope)
+    import json
+
+    for pad in range(8180, 8192):
+        out = format_error("x" * pad + "\n" * 20, json_fmt=True)
+        parsed = json.loads(out)  # raises on a dangling backslash
+        assert parsed["stat"] == "ERROR" and parsed["msg"].endswith(" ...")
+
+
+def test_tree_count_json_error_envelope_on_parse_failure():
+    # --json must be honored even when argument parsing itself fails
+    import json
+
+    buf = io.StringIO()
+    rc = tree_count_main(["--json", "--level"], out=buf)
+    assert rc == 1
+    parsed = json.loads(buf.getvalue())
+    assert parsed["stat"] == "ERROR" and "needs a value" in parsed["msg"]
+    # flag AFTER the failing option still selects JSON
+    buf = io.StringIO()
+    assert tree_count_main(["--level", "--json"], out=buf) == 1
+    assert json.loads(buf.getvalue())["stat"] == "ERROR"
+
+
 def test_id_list_lines_forms():
     from spatialindex_spark.functions.htm import htm_idtodec
 

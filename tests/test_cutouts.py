@@ -224,6 +224,17 @@ def test_mosaic_level_cap(spark):
         coadd_mosaic(imgs_df, 9, 8, SCALE)
 
 
+def test_empty_images_yield_empty_results_not_crash(spark):
+    """An images frame filtered down to zero rows (a region with no
+    coverage) must flow through to zero output rows — the undeclared
+    max_dim_px scalar aggregate returns NULL there, which used to crash
+    the ring sizing with a TypeError."""
+    imgs_df, tgts_df, *_ = _mk_tables(spark, n_img=5, n_tgt=2)
+    empty = imgs_df.filter(F.lit(False))
+    assert coadd_mosaic(empty, 1, 8, SCALE).count() == 0
+    assert cutout_windows(tgts_df, empty, SCALE, 8).count() == 0
+
+
 def test_stream_cutout_matches_batch(spark, tmp_path):
     """Streaming cutout across two micro-batches returns exactly the
     batch cutout_windows rows for the same images, and the in-plan
