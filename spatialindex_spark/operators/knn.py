@@ -325,6 +325,20 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     candidate beyond the pass's verified radius before ranking, so a
     starved row never carries a k-th distance to jump on.)
 
+    SPARSE-RUNG FOLDING: a rung holding only a handful of rows (a
+    clumped sky's spot-edge tail, or starved rows cascading out of a
+    finished pass) folds into the next outstanding rung instead of
+    paying a dedicated pass's full fixed cost, whenever its bounded
+    extra pair count (rows x provable per-row density bound x the
+    target rung's ring-1 disc area) stays under
+    ``SPT_KNN_MERGE_PAIR_BUDGET`` (env, default 8M pairs). Folding is
+    correctness-free by the same argument as the cascade (coarser
+    probe = superset of candidates; satisfaction re-verifies) —
+    measured A/B in bench_artifacts/knn_fold_probe.json (5 -> 3 passes
+    on the sf1 bench sky, identical output, wall time
+    neutral-to-positive within host noise). At cluster scale every
+    rung is populated enough that the budget disables all folding.
+
     RESIDUAL EXTREME KEYS — a clump inside ONE cell at the finest
     refinable rung (``max_fine_level`` caps probing, so the drill-down
     cannot split it) — are handled by AUTO-SALTING the candidate join
@@ -638,23 +652,72 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                     m[(p << (2 * (lvl - lvlp))) + i] = s
         return {a: int(s) for a, s in m.items() if s > 1}
     _dbg = bool(_os.environ.get("SPT_KNN_DEBUG"))
+    # SPARSE-RUNG COALESCING state (auto_levels; applied inside the pass
+    # loop). Every pass pays a real fixed cost — the ~|left|-row todo
+    # frame re-filters, anti-joins and re-checkpoints, the right side
+    # re-keys — so a rung holding a small row tail (a clumped sky's
+    # spot-edge rows, or a few starved rows cascading out of a finished
+    # pass two levels at a time) costs far more in per-pass overhead
+    # than its rows would add as candidate pairs at the next rung that
+    # runs anyway. Pushing a row coarser is ALWAYS correctness-safe (a
+    # coarser probe only widens the verified radius and the candidate
+    # set; the satisfaction criterion re-verifies) — only the join's
+    # pair count grows, and it is boundable without per-row state:
+    # every row sitting at rung t has local density < _bound_of(t)
+    # (original rows: albl picked the FINEST rung whose threshold their
+    # measured density met, so d < thresh(t+2); starved rows arriving
+    # by cascade: fewer than k neighbors inside the verified radius of
+    # the rung they failed, so d < thresh(failed rung) — propagated via
+    # _bounds). Rung t folds into the next outstanding rung nxt iff
+    # n_t * bound_t * disc(nxt) <= SPT_KNN_MERGE_PAIR_BUDGET (env;
+    # default 8M pairs ~ well under one pass's fixed cost distributed).
+    # At cluster scale every rung holds enough rows that the budget
+    # stops all folding and the schedule is untouched — this exists for
+    # the sparse tails (measured at 1M-row self-kNN: rungs serving
+    # 475/8/7 rows cost 3.4-12 s each, ~pure fixed cost).
+    _mbudget = float(_os.environ.get("SPT_KNN_MERGE_PAIR_BUDGET",
+                                     "8000000"))
+    _bounds: dict = {}  # rung -> density upper bound of rows parked there
+
+    if auto_levels:
+        def _bound_of(t: int) -> float:
+            if t in _bounds:
+                return _bounds[t]
+            return (need / (math.pi * vr_table[t + 2] ** 2)
+                    if t + 2 <= even_top else float("inf"))
     _fixed_iter = iter(levels)
     while True:
         _t0 = _time.perf_counter()
         if auto_levels:
-            # each pass serves the FINEST outstanding per-row level: one
-            # tiny agg(max) job on the shrinking checkpointed frame,
-            # instead of probing every rung of a global ladder (cascade
-            # reassignment makes intermediate rungs empty in practice)
+            # each pass serves the FINEST outstanding per-row level.
+            # ONE histogram job on the shrinking checkpointed frame
+            # serves three needs: the pass level (max rung), its active
+            # count (prune decisions), and the sparse-rung folding.
             if todo is None:
                 break
-            _m = todo.agg(F.max("_albl").alias("_m")).collect()[0]["_m"]
-            if _m is None:  # left side exhausted (or empty from the start)
+            _hist = {int(r["_albl"]): int(r["_n"]) for r in
+                     todo.groupBy("_albl")
+                     .agg(F.count(F.lit(1)).alias("_n")).collect()}
+            if not _hist:  # left side exhausted (or empty from the start)
                 todo = None
                 break
-            lvl = int(_m)
+            while len(_hist) > 1:  # fold tail rungs (see _bounds above)
+                _t = max(_hist)
+                _nx = max(r for r in _hist if r < _t)
+                _b = _bound_of(_t)
+                if _hist[_t] * _b * 9.0 * area(_nx) > _mbudget:
+                    break
+                todo = todo.withColumn(
+                    "_albl", F.when(F.col("_albl") == _t, F.lit(_nx))
+                    .otherwise(F.col("_albl")))
+                _bounds[_nx] = max(_bound_of(_nx), _b)
+                if _dbg:
+                    print(f"[knn_join] folded sparse rung {_t} "
+                          f"({_hist[_t]} rows) into pass {_nx}")
+                _hist[_nx] = _hist.get(_nx, 0) + _hist.pop(_t)
+            lvl = max(_hist)
+            n_active = _hist[lvl]
             active = todo.filter(F.col("_albl") >= lvl)
-            n_active = active.count()
         else:
             lvl = next(_fixed_iter, None)
             if lvl is None:
@@ -802,11 +865,18 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                 "_albl", F.when(F.col("_albl") >= lvl,
                                 F.lit(max(lvl - 2, 0)))
                 .otherwise(F.col("_albl")))
+            # rows starved at lvl found < k neighbors inside vr(lvl):
+            # their local density is provably < need/(pi*vr(lvl)^2) —
+            # record it so the next iteration's folding can bound them
+            _m2 = max(lvl - 2, 0)
+            _cb = min(_bound_of(lvl),
+                      need / (math.pi * vr_table[lvl] ** 2))
+            _bounds[_m2] = max(_bound_of(_m2), _cb)
         todo = todo.localCheckpoint(eager=True)
         if _dbg:
             print(f"[knn_join] lvl={lvl} pass done in "
-                  f"{_time.perf_counter() - _t0:.1f}s, todo left: "
-                  f"{todo.count()}")
+                  f"{_time.perf_counter() - _t0:.1f}s (active: "
+                  f"{n_active}), todo left: {todo.count()}")
         if todo.limit(1).count() == 0:
             todo = None
             break
