@@ -61,6 +61,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.geometry import RAD_PER_DEG
 from ..functions.healpix import max_pix_rad, pix2vec
 from .joins import _ring1_map_df, crossmatch, hpx_cell_key
 
@@ -182,6 +183,81 @@ def cutout_windows(targets: DataFrame, images: DataFrame,
 #: and every task binary long before any memory limit
 IN_SET_MAX = 20_000
 
+#: merged-range count above which target_cell_ranges gives up: a
+#: multi-thousand-term Or(And(GtEq, Lt)) tree fails whole-stage codegen
+#: (measured: the interpreted fallback evaluates the tree per ROW and
+#: costs far more than the unpruned scan it saves), and scattered
+#: targets that produce this many disjoint ranges cover so much of the
+#: id space that row-group pruning would keep ~everything anyway. The
+#: pushdown pays off exactly for COMPACT target sets (a survey field, a
+#: cluster region), where a handful of ranges excise most of the table.
+CELL_RANGE_MAX = 64
+
+
+def target_cell_ranges(targets: DataFrame, radius_deg: float,
+                       cell_col: str, cell_level: int):
+    """Scan-pushdown predicate for the pixel READ-BACK of a
+    target-driven pixel operator: every image that can pair with a
+    target within ``radius_deg`` lies, at the crossmatch's match level
+    L = min(pick_match_level(radius), cell_level), inside the ring-1
+    disc of some target's cell (the same coverage theorem the pairing
+    join rests on) — so the union of those discs, expanded to
+    descendant-id RANGES at ``cell_level``, is a sound superset filter
+    on the ingest-time cell column.
+
+    Why this exists: above IN_SET_MAX matched ids the read-back's
+    exact-id filter becomes a semi-join, which alone cannot prune the
+    scan — a 2 % match would still READ 100 % of a 100-TB bytes
+    column. This predicate is bounded by the TARGET count (x <= 9
+    cells each, merged into contiguous ranges on the clustered sort
+    key), never by the matched-image count. Returns ``None`` (caller
+    keeps the unpruned scan) when the merged ranges exceed
+    CELL_RANGE_MAX — scattered targets both break whole-stage codegen
+    with a giant Or tree AND cover too much of the id space to prune —
+    or when the radius needs more than ring-1 coverage.
+    """
+    from .joins import _hpx_neighbors, pick_match_level
+    from ..functions.healpix import safe_ring1_rad
+    from ..functions.udfs import hpx_udf
+
+    lvl = min(pick_match_level(radius_deg), cell_level)
+    if radius_deg * RAD_PER_DEG > safe_ring1_rad(lvl):
+        return None  # would need ring-2+: not worth a driver loop here
+    rows = (targets.select(hpx_udf(lvl)("ra", "dec").alias("_tc"))
+            .distinct().limit(20_001).collect())
+    if len(rows) > 20_000:  # same driver-read budget as IN_SET_MAX
+        return None
+    pix = np.array([r["_tc"] for r in rows], dtype=np.int64)
+    if pix.size == 0:
+        return F.lit(False)
+    cells = np.unique(np.concatenate(
+        [pix, _hpx_neighbors(lvl, pix).ravel()]))
+    shift = 2 * (cell_level - lvl)
+    los = cells << shift
+    his = (cells + 1) << shift
+    # merge contiguous/overlapping descendant ranges (neighbors cluster,
+    # so this typically collapses ~9x)
+    merged = []
+    cur_lo, cur_hi = int(los[0]), int(his[0])
+    for lo, hi in zip(los[1:], his[1:]):
+        if int(lo) <= cur_hi:
+            cur_hi = max(cur_hi, int(hi))
+        else:
+            merged.append((cur_lo, cur_hi))
+            cur_lo, cur_hi = int(lo), int(hi)
+    merged.append((cur_lo, cur_hi))
+    if len(merged) > CELL_RANGE_MAX:
+        return None
+    c = F.col(cell_col)
+    preds = [(c >= F.lit(lo)) & (c < F.lit(hi)) for lo, hi in merged]
+    # balanced OR tree: a left-chained OR of thousands of ranges
+    # overflows Catalyst's recursive transforms; log-depth keeps the
+    # same parquet-pushable Or(And(GtEq, Lt)) shape
+    while len(preds) > 1:
+        preds = [preds[i] | preds[i + 1] if i + 1 < len(preds)
+                 else preds[i] for i in range(0, len(preds), 2)]
+    return preds[0]
+
 
 def matched_image_filter(images_sel: DataFrame, ids_src: DataFrame,
                          image_id: str, max_images: int,
@@ -216,6 +292,35 @@ def matched_image_filter(images_sel: DataFrame, ids_src: DataFrame,
             f"{what} matched > {max_images} distinct images; "
             "raise max_images or partition the target list")
     return images_sel.join(F.broadcast(wid), image_id, "left_semi")
+
+
+def readback_images(images: DataFrame, targets: DataFrame,
+                    scale_deg_px: float, window_kwargs: dict,
+                    image_id: str, bytes_col: str, wsel: DataFrame,
+                    max_images: int, what: str) -> DataFrame:
+    """Shared pixel-read-back selection of the target-driven pixel
+    operators (forced photometry / moments / annulus photometry): the
+    target-cell range pushdown of :func:`target_cell_ranges` (when the
+    ingest cell column and max_dim_px are declared — the same inputs
+    the pairing join used) stacked under :func:`matched_image_filter`'s
+    exact-id filter. Above IN_SET_MAX matched ids the id filter is a
+    semi-join that cannot prune the scan by itself; the range pushdown
+    keeps the bytes column READ only in matched neighborhoods at any
+    match count (measured at 1M images / 22k matched: the unpruned
+    semi-join scan read every bytes row)."""
+    cell_col = window_kwargs.get("cell_col")
+    cell_level = window_kwargs.get("cell_level")
+    mdp = window_kwargs.get("max_dim_px")
+    sel = images
+    if (cell_col and cell_level is not None and mdp is not None
+            and cell_col in images.columns):
+        radius = scale_deg_px * (math.hypot(mdp, mdp) / 2.0 + 1.0)
+        pred = target_cell_ranges(targets, radius, cell_col, cell_level)
+        if pred is not None:
+            sel = sel.filter(pred)
+    return matched_image_filter(
+        sel.select(image_id, bytes_col, "w", "h", "fmt"),
+        wsel, image_id, max_images, what)
 
 
 def cutout_pixels(images: DataFrame, windows: DataFrame,

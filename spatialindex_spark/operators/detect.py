@@ -133,12 +133,16 @@ def forced_photometry(targets: DataFrame, images: DataFrame,
     win = cutout_windows(targets, images, scale_deg_px,
                          2 * aperture_px + 1, target_id=target_id,
                          image_id=image_id, **window_kwargs)
+    # materialize the pairing ONCE: wsel feeds the matched-id driver
+    # reads, the semi-join/IN-set build AND the broadcast join below —
+    # without this the crossmatch recomputes ~5x per call (measured
+    # ~3 s each at 1M images). Bounded by the max_images guard.
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
-                      "complete")
-    from .cutouts import matched_image_filter
-    matched = (matched_image_filter(
-                   images.select(image_id, bytes_col, "w", "h", "fmt"),
-                   wsel, image_id, max_images, "forced_photometry")
+                      "complete").localCheckpoint(eager=True)
+    from .cutouts import readback_images
+    matched = (readback_images(images, targets, scale_deg_px,
+                               window_kwargs, image_id, bytes_col,
+                               wsel, max_images, "forced_photometry")
                .join(F.broadcast(wsel), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]
@@ -352,12 +356,16 @@ def source_moments(targets: DataFrame, images: DataFrame,
     win = cutout_windows(targets, images, scale_deg_px,
                          2 * aperture_px + 1, target_id=target_id,
                          image_id=image_id, **window_kwargs)
+    # materialize the pairing ONCE: wsel feeds the matched-id driver
+    # reads, the semi-join/IN-set build AND the broadcast join below —
+    # without this the crossmatch recomputes ~5x per call (measured
+    # ~3 s each at 1M images). Bounded by the max_images guard.
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
-                      "complete")
-    from .cutouts import matched_image_filter
-    matched = (matched_image_filter(
-                   images.select(image_id, bytes_col, "w", "h", "fmt"),
-                   wsel, image_id, max_images, "source_moments")
+                      "complete").localCheckpoint(eager=True)
+    from .cutouts import readback_images
+    matched = (readback_images(images, targets, scale_deg_px,
+                               window_kwargs, image_id, bytes_col,
+                               wsel, max_images, "source_moments")
                .join(F.broadcast(wsel), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]
@@ -442,11 +450,13 @@ def annulus_photometry(targets: DataFrame, images: DataFrame,
     win = cutout_windows(targets, images, scale_deg_px,
                          2 * annulus_out_px + 1, target_id=target_id,
                          image_id=image_id, **window_kwargs)
-    wsel = win.select(target_id, image_id, "px", "py")
-    from .cutouts import matched_image_filter
-    matched = (matched_image_filter(
-                   images.select(image_id, bytes_col, "w", "h", "fmt"),
-                   wsel, image_id, max_images, "annulus_photometry")
+    # one materialization for the same reason as forced_photometry
+    wsel = win.select(target_id, image_id, "px", "py") \
+              .localCheckpoint(eager=True)
+    from .cutouts import readback_images
+    matched = (readback_images(images, targets, scale_deg_px,
+                               window_kwargs, image_id, bytes_col,
+                               wsel, max_images, "annulus_photometry")
                .join(F.broadcast(wsel), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]

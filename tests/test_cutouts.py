@@ -235,6 +235,59 @@ def test_empty_images_yield_empty_results_not_crash(spark):
     assert cutout_windows(tgts_df, empty, SCALE, 8).count() == 0
 
 
+def test_target_cell_range_pushdown_compact_targets(spark, tmp_path):
+    """A COMPACT target set pushes its candidate-cell range superset
+    into the parquet scan of the pixel read-back (PushedFilters on the
+    ingest cell column) even when the matched-id count forces the
+    semi-join path; fluxes are identical to the unpruned plan. A
+    SCATTERED target set (ranges beyond CELL_RANGE_MAX) falls back to
+    no pushdown instead of emitting a codegen-breaking Or tree."""
+    import numpy as np
+    import pandas as pd
+
+    import spatialindex_spark.operators.cutouts as C
+    from spatialindex_spark.operators.detect import forced_photometry
+    from spatialindex_spark.plans import cluster_by_cell
+    from spatialindex_spark.sources.images import synth_images_indexed
+
+    p = str(tmp_path / "imgs")
+    cluster_by_cell(
+        synth_images_indexed(spark, 1500, level=7, systems=("htm", "hpx")),
+        "hpx7", num_partitions=4).write.parquet(p)
+    imgs = spark.read.parquet(p)
+    # compact field: targets jittered around a handful of neighbor images
+    base = imgs.orderBy("hpx7").limit(6).select("ra", "dec").collect()
+    tgts = spark.createDataFrame(pd.DataFrame({
+        "target_id": np.arange(len(base), dtype=np.int64),
+        "ra": [r["ra"] + 0.001 for r in base],
+        "dec": [r["dec"] + 0.001 for r in base]}))
+
+    pred = C.target_cell_ranges(tgts, 0.5, "hpx7", 7)
+    assert pred is not None
+
+    def snap(df):
+        return sorted((r.target_id, r.image_id, r.flux) for r in df.collect())
+
+    out = forced_photometry(tgts, imgs, SCALE, 2, max_dim_px=64,
+                            cell_col="hpx7", cell_level=7)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PushedFilters: [")
+    assert i >= 0 and "hpx7" in plan[i:i + 300], plan[i:i + 400]
+    base_rows = snap(forced_photometry(tgts, imgs, SCALE, 2,
+                                       max_dim_px=64))
+    assert snap(out) == base_rows and len(base_rows) > 0
+
+    # scattered targets: too many disjoint ranges -> give up, not a
+    # thousand-term Or tree
+    scat = spark.createDataFrame(pd.DataFrame({
+        "target_id": np.arange(500, dtype=np.int64),
+        "ra": (np.arange(500) * 137.511) % 360.0,
+        "dec": np.degrees(np.arcsin(
+            np.clip(((np.arange(500) * 0.381966) % 1) * 2 - 1,
+                    -0.99, 0.99)))}))
+    assert C.target_cell_ranges(scat, 0.5, "hpx7", 7) is None
+
+
 def test_stream_cutout_matches_batch(spark, tmp_path):
     """Streaming cutout across two micro-batches returns exactly the
     batch cutout_windows rows for the same images, and the in-plan
