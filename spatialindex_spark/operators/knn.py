@@ -37,7 +37,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.pandas.functions import pandas_udf
 
 from ..functions.geometry import RAD_PER_DEG
@@ -319,16 +319,31 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     rows onto rungs quadratically more expensive than they need.
     Correctness never depends on the level choice (the
     satisfaction criterion re-checks), only the pair explosion does.
-    Starved rows drop two levels (one even rung) per pass.  (An
+    Starved rows drop two levels (one even rung) per sweep.  (An
     observed-k-th-distance jump is impossible by construction: the
-    vr_deg prefilter — the round-4 rank-input win — removes every
-    candidate beyond the pass's verified radius before ranking, so a
+    vr prefilter — the round-4 rank-input win — removes every
+    candidate beyond the rung's verified radius before ranking, so a
     starved row never carries a k-th distance to jump on.)
+
+    MULTI-RUNG SWEEP: under ``auto_levels`` every outstanding rung is
+    served in ONE job per round — each rung becomes a branch of a
+    single union (keyed, semi-pruned and salted exactly as a dedicated
+    pass would be, tagged with its rung's verified-radius literal), and
+    the rank window, satisfaction check and anti-join run once over the
+    union with a PER-ROW radius prefilter. Correctness is untouched (a
+    left row sits on exactly one rung per sweep, so its candidate set
+    and radius are identical to the dedicated pass's); what changes is
+    the fixed cost — the old one-pass-per-rung schedule paid a full
+    histogram + right re-key + rank shuffle + checkpoint barrier for
+    rungs serving a few hundred rows (~8 s of a ~17 s sf0.1 run),
+    while the sweep's small rungs ride the big rung's job as
+    concurrently-scheduled branches.
 
     SPARSE-RUNG FOLDING: a rung holding only a handful of rows (a
     clumped sky's spot-edge tail, or starved rows cascading out of a
-    finished pass) folds into the next outstanding rung instead of
-    paying a dedicated pass's full fixed cost, whenever its bounded
+    finished sweep) folds into the next outstanding rung instead of
+    paying a dedicated union branch (its own right-side keying and
+    broadcast cell prune), whenever its bounded
     extra pair count (rows x provable per-row density bound x the
     target rung's ring-1 disc area) stays under
     ``SPT_KNN_MERGE_PAIR_BUDGET`` (env, default 8M pairs). Folding is
@@ -434,7 +449,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
         cand = cand.withColumn("_dist", dist)
         if max_dist is not None:
-            cand = cand.filter(F.col("_dist") <= F.lit(max_dist))
+            _md = (max_dist if isinstance(max_dist, Column)
+                   else F.lit(max_dist))
+            cand = cand.filter(F.col("_dist") <= _md)
         w = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
                                                F.col("_rid").asc())
         return (cand.withColumn("_rk", F.row_number().over(w))
@@ -685,46 +702,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                 return _bounds[t]
             return (need / (math.pi * vr_table[t + 2] ** 2)
                     if t + 2 <= even_top else float("inf"))
-    _fixed_iter = iter(levels)
-    while True:
-        _t0 = _time.perf_counter()
-        if auto_levels:
-            # each pass serves the FINEST outstanding per-row level.
-            # ONE histogram job on the shrinking checkpointed frame
-            # serves three needs: the pass level (max rung), its active
-            # count (prune decisions), and the sparse-rung folding.
-            if todo is None:
-                break
-            _hist = {int(r["_albl"]): int(r["_n"]) for r in
-                     todo.groupBy("_albl")
-                     .agg(F.count(F.lit(1)).alias("_n")).collect()}
-            if not _hist:  # left side exhausted (or empty from the start)
-                todo = None
-                break
-            while len(_hist) > 1:  # fold tail rungs (see _bounds above)
-                _t = max(_hist)
-                _nx = max(r for r in _hist if r < _t)
-                _b = _bound_of(_t)
-                if _hist[_t] * _b * 9.0 * area(_nx) > _mbudget:
-                    break
-                todo = todo.withColumn(
-                    "_albl", F.when(F.col("_albl") == _t, F.lit(_nx))
-                    .otherwise(F.col("_albl")))
-                _bounds[_nx] = max(_bound_of(_nx), _b)
-                if _dbg:
-                    print(f"[knn_join] folded sparse rung {_t} "
-                          f"({_hist[_t]} rows) into pass {_nx}")
-                _hist[_nx] = _hist.get(_nx, 0) + _hist.pop(_t)
-            lvl = max(_hist)
-            n_active = _hist[lvl]
-            active = todo.filter(F.col("_albl") >= lvl)
-        else:
-            lvl = next(_fixed_iter, None)
-            if lvl is None:
-                break
-            active = todo
-            n_active = None
-        vr_deg = safe_ring1_rad(lvl) / RAD_PER_DEG
+    def _build_cand(active: DataFrame, lvl: int, n_active) -> DataFrame:
+        """Candidate pairs for rows probing at ``lvl`` — the per-rung
+        keying block shared by the fixed-ladder passes and the
+        auto_levels sweep: ring-1 disc explode on the left, right side
+        keyed at ``lvl`` (semi-pruned against the rung's bounded cell
+        set when it is small), residual hot-cell salting. Returns the
+        joined frame with ``_mc`` still attached (the partial_topk
+        reduction groups on it); ``_salt`` is already dropped and
+        ``exclude_self`` already applied."""
         if use_cell and lvl <= cell_level:
             lpix = hpx_cell_key("_lcell", cell_level, lvl)
             rkey = hpx_cell_key("_rcell", cell_level, lvl)
@@ -738,24 +724,26 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                   .withColumn("_mc", F.explode("_ring"))
                   .drop("_ring", "_pix"))
         else:
-            disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"), F.col("_ldec"))
+            disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"),
+                                               F.col("_ldec"))
             lk = active.withColumn("_mc", F.explode(disc))
         rk = rk_base
         if n_active is not None and 0 < n_active <= prune_max_active:
-            # cascade passes serve a small left tail: semi-joining the
-            # right side against the tail's (bounded, broadcastable)
+            # small rungs (cascade tails, spot edges): semi-joining the
+            # right side against the rung's (bounded, broadcastable)
             # candidate-cell set keeps the full right table from
-            # re-shuffling on every pass — only matching rows reach the
-            # exchange. The big first passes skip this (the cell set
-            # covers most of the sky, so the prune would reject nothing).
+            # re-keying for a handful of rows — only matching rows reach
+            # the exchange. Big rungs skip this (their cell set covers
+            # most of the sky, so the prune would reject nothing).
             cells = lk.select("_mc").distinct()
             if use_cell and lvl > cell_level:
-                # fine pass: the per-pass cell UDF would otherwise key the
-                # FULL right table before the cell prune can apply (the
-                # fine cells only exist post-UDF). Prune first on the
-                # ingest-time cell column: the fine cells' ancestors at
-                # cell_level are a tiny broadcast set and the comparison
-                # is a JVM shiftright — the UDF then keys survivors only.
+                # fine rung: the per-rung cell UDF would otherwise key
+                # the FULL right table before the cell prune can apply
+                # (the fine cells only exist post-UDF). Prune first on
+                # the ingest-time cell column: the fine cells' ancestors
+                # at cell_level are a tiny broadcast set and the
+                # comparison is a JVM shiftright — the UDF then keys
+                # survivors only.
                 anc = (cells.select(
                     F.shiftright("_mc", 2 * (lvl - cell_level))
                     .alias("_rcell")).distinct())
@@ -800,95 +788,214 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             cand = lk.join(rk, "_mc")
         if exclude_self:
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
-        if partial_topk:
-            # OPT-IN per-cell partial top-k before the global rank: the
-            # candidate join's output is already hash-partitioned on
-            # _mc, which satisfies the (_mc, _lid) clustering, so this
-            # groupBy adds ZERO Exchange (plan-asserted in tests) — it
-            # reduces the global rank's input from every-candidate-in-
-            # every-ring-cell to <= k rows per (left row, ring cell).
-            # Measured OFF-by-default because the window's shuffle sort
-            # on narrow rows beats the per-group collect_list +
-            # array_sort at every candidate density the auto_levels
-            # drill-down produces (isolated sf1 A/B: 59-65 s off vs
-            # 76-84 s on), and in the residual-extreme-key regime too
-            # (150 s vs 98 s on the 12k-clump probe): Spark 4's partial
-            # WindowGroupLimit already caps the rank exchange at k rows
-            # per left row map-side (plan-asserted), so this groupBy
-            # only re-does that reduction with a heavier operator — and
-            # the true hot-cell quadratic lives in the JOIN task, which
-            # probing finer or salting (salt_residual), not post-join
-            # reduction, removes. Kept as an explicit knob only. A
-            # (l, r) pair occurs under exactly one _mc (right side has
-            # one key; left ring cells are deduped), so no pair double-
-            # counts, and struct ordering (_dist, _rid) matches the
-            # window tiebreak.
-            per = (cand.withColumn("_dist", dist)
-                   .filter(F.col("_dist") <= F.lit(vr_deg))
-                   .groupBy("_mc", "_lid")
-                   .agg(F.slice(F.array_sort(F.collect_list(
-                       F.struct("_dist", "_rid"))), 1, k).alias("_top")))
-            red = (per.select("_lid", F.explode("_top").alias("_s"))
-                   .select("_lid", F.col("_s._dist").alias("_dist"),
-                           F.col("_s._rid").alias("_rid")))
-            w_rk = Window.partitionBy("_lid").orderBy(
-                F.col("_dist").asc(), F.col("_rid").asc())
-            ranked = (red.withColumn("_rk", F.row_number().over(w_rk))
-                      .filter(F.col("_rk") <= k))
-        else:
-            ranked = rank_topk(cand.drop("_mc"), max_dist=vr_deg)
-        # materialize the pass's top-k ONCE (<= k rows/left row, 3 narrow
-        # cols): sat, the output branch, and todo's eager checkpoint all
-        # re-derive from it — without this the candidate join + rank
-        # (the heavy stage) runs twice per pass (anti-join materialization
-        # now, output evaluation later)
-        topk = (ranked.select("_lid", "_rid", "_rk", "_dist")
-                .localCheckpoint(eager=True))
-        # satisfied: the k-th candidate exists AND lies within the pass's
-        # verified radius — then ring-1 coverage proves the top-k exact
-        sat = (topk.filter((F.col("_rk") == k) & (F.col("_dist") <= vr_deg))
-               .select("_lid"))
-        outputs.append(
-            topk.join(sat, "_lid", "semi")
-            .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
-        # starved ids are a bounded projection of left; localCheckpoint
-        # truncates the per-pass lineage (Spark 4.1 iterative-loop
-        # pathology — see knn()/graph.py) before the next pass reuses it
-        todo = todo.join(sat, "_lid", "left_anti")
-        if auto_levels:
-            # starved rows drop two levels (one even rung). The former
-            # observed-k-th-distance jump is dead by construction since
-            # the vr_deg prefilter: every ranked row has _dist <= vr, so
-            # any row with a k-th candidate is already satisfied — a
-            # starved row never carries a distance hint to jump on.
-            todo = todo.withColumn(
-                "_albl", F.when(F.col("_albl") >= lvl,
-                                F.lit(max(lvl - 2, 0)))
-                .otherwise(F.col("_albl")))
+        return cand
+
+    def _reduce_partial(cand: DataFrame, vr_deg: float) -> DataFrame:
+        """OPT-IN per-cell partial top-k before the global rank: the
+        candidate join's output is already hash-partitioned on _mc,
+        which satisfies the (_mc, _lid) clustering, so this groupBy
+        adds ZERO Exchange (plan-asserted in tests) — it reduces the
+        global rank's input from every-candidate-in-every-ring-cell to
+        <= k rows per (left row, ring cell). Measured OFF-by-default
+        because the window's shuffle sort on narrow rows beats the
+        per-group collect_list + array_sort at every candidate density
+        the auto_levels drill-down produces (isolated sf1 A/B: 59-65 s
+        off vs 76-84 s on), and in the residual-extreme-key regime too
+        (150 s vs 98 s on the 12k-clump probe): Spark 4's partial
+        WindowGroupLimit already caps the rank exchange at k rows per
+        left row map-side (plan-asserted), so this groupBy only re-does
+        that reduction with a heavier operator — and the true hot-cell
+        quadratic lives in the JOIN task, which probing finer or
+        salting (salt_residual), not post-join reduction, removes.
+        Kept as an explicit knob only. A (l, r) pair occurs under
+        exactly one _mc (right side has one key; left ring cells are
+        deduped), so no pair double-counts, and struct ordering
+        (_dist, _rid) matches the window tiebreak."""
+        per = (cand.withColumn("_dist", dist)
+               .filter(F.col("_dist") <= F.lit(vr_deg))
+               .groupBy("_mc", "_lid")
+               .agg(F.slice(F.array_sort(F.collect_list(
+                   F.struct("_dist", "_rid"))), 1, k).alias("_top")))
+        return (per.select("_lid", F.explode("_top").alias("_s"))
+                .select("_lid", F.col("_s._dist").alias("_dist"),
+                        F.col("_s._rid").alias("_rid")))
+
+    w_rank = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
+                                                F.col("_rid").asc())
+    starved_acc: list = []  # auto mode: rows starved out of rung 0
+
+    if not auto_levels:
+        # FIXED LADDER: inherently sequential — each pass serves every
+        # still-unsatisfied row at the next coarser level, so pass N+1's
+        # input depends on pass N's satisfaction anti-join.
+        for lvl in levels:
+            _t0 = _time.perf_counter()
+            vr_deg = vr_table[lvl]
+            cand = _build_cand(todo, lvl, None)
+            if partial_topk:
+                red = _reduce_partial(cand, vr_deg)
+                ranked = (red.withColumn("_rk",
+                                         F.row_number().over(w_rank))
+                          .filter(F.col("_rk") <= k))
+            else:
+                ranked = rank_topk(cand.drop("_mc"), max_dist=vr_deg)
+            # materialize the pass's top-k ONCE (<= k rows/left row,
+            # narrow cols): sat, the output branch, and todo's eager
+            # checkpoint all re-derive from it — without this the
+            # candidate join + rank (the heavy stage) runs twice per
+            # pass (anti-join materialization now, output eval later)
+            topk = (ranked.select("_lid", "_rid", "_rk", "_dist")
+                    .localCheckpoint(eager=True))
+            # satisfied: the k-th candidate exists AND lies within the
+            # pass's verified radius — then ring-1 coverage proves the
+            # top-k exact
+            sat = (topk.filter((F.col("_rk") == k)
+                               & (F.col("_dist") <= vr_deg))
+                   .select("_lid"))
+            outputs.append(
+                topk.join(sat, "_lid", "semi")
+                .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
+            # localCheckpoint truncates the per-pass lineage (Spark 4.1
+            # iterative-loop pathology — see knn()/graph.py) before the
+            # next pass reuses it
+            todo = (todo.join(sat, "_lid", "left_anti")
+                    .localCheckpoint(eager=True))
+            if _dbg:
+                print(f"[knn_join] lvl={lvl} pass done in "
+                      f"{_time.perf_counter() - _t0:.1f}s, todo left: "
+                      f"{todo.count()}")
+            if todo.limit(1).count() == 0:
+                todo = None
+                break
+    else:
+        # MULTI-RUNG SWEEP: every outstanding rung becomes ONE branch of
+        # a single union — each branch keyed/pruned/salted exactly as a
+        # dedicated pass would be, tagged with its rung's verified
+        # radius — and the rank window, satisfaction check and anti-join
+        # run ONCE over the union. Correctness is per-row and unchanged:
+        # a left row sits on exactly one rung per sweep (single _albl
+        # value), so its candidate set and verified radius are identical
+        # to what the dedicated pass gave it; branches never mix rows.
+        # What changes is the fixed cost: the old schedule paid a full
+        # pass (histogram job, right-side re-key, rank shuffle,
+        # checkpoint barrier, anti-join) PER RUNG — measured at sf0.1,
+        # ~8 s of a ~17 s run went to rungs serving 229-1,840 rows —
+        # while the sweep pays it once per round, with the small rungs
+        # riding the big rung's job as concurrently-scheduled union
+        # branches. Starved rows still cascade two levels per SWEEP, so
+        # clumped skies converge in the same number of rank rounds.
+        _sweep = 0
+        while todo is not None:
+            _t0 = _time.perf_counter()
+            # ONE histogram job on the shrinking checkpointed frame
+            # serves the sweep's rung list, the per-rung active counts
+            # (prune decisions), and the sparse-rung folding.
+            _hist = {int(r["_albl"]): int(r["_n"]) for r in
+                     todo.groupBy("_albl")
+                     .agg(F.count(F.lit(1)).alias("_n")).collect()}
+            if not _hist:  # left side exhausted (or empty from start)
+                todo = None
+                break
+            while len(_hist) > 1:  # fold tail rungs (see _bounds above)
+                _t = max(_hist)
+                _nx = max(r for r in _hist if r < _t)
+                _b = _bound_of(_t)
+                if _hist[_t] * _b * 9.0 * area(_nx) > _mbudget:
+                    break
+                todo = todo.withColumn(
+                    "_albl", F.when(F.col("_albl") == _t, F.lit(_nx))
+                    .otherwise(F.col("_albl")))
+                _bounds[_nx] = max(_bound_of(_nx), _b)
+                if _dbg:
+                    print(f"[knn_join] folded sparse rung {_t} "
+                          f"({_hist[_t]} rows) into rung {_nx}")
+                _hist[_nx] = _hist.get(_nx, 0) + _hist.pop(_t)
+            rungs = sorted(_hist, reverse=True)
+            branches = []
+            for lvl in rungs:
+                act = (todo.filter(F.col("_albl") == lvl)
+                       if len(rungs) > 1 else todo)
+                cand = _build_cand(act, lvl, _hist[lvl])
+                if partial_topk:
+                    # the reduction already applies the rung's vr
+                    # prefilter; reduced branches union directly into
+                    # the global rank
+                    branches.append(
+                        _reduce_partial(cand, vr_table[lvl]))
+                else:
+                    branches.append(cand.drop("_mc").withColumn(
+                        "_vr", F.lit(vr_table[lvl])))
+            swept = branches[0]
+            for b in branches[1:]:
+                swept = swept.unionByName(b)
+            if partial_topk:
+                ranked = (swept.withColumn("_rk",
+                                           F.row_number().over(w_rank))
+                          .filter(F.col("_rk") <= k))
+            else:
+                # per-row vr prefilter (the Column form of rank_topk's
+                # max_dist): each candidate is kept only within ITS
+                # row's rung radius, exactly as the dedicated pass did
+                ranked = rank_topk(swept, max_dist=F.col("_vr"))
+            # materialize the sweep's top-k ONCE (see the fixed-ladder
+            # comment) — one checkpoint barrier per sweep, not per rung
+            topk = (ranked.select("_lid", "_rid", "_rk", "_dist")
+                    .localCheckpoint(eager=True))
+            # satisfied: the k-th candidate exists — the vr prefilter
+            # already guarantees it lies within the row's own verified
+            # radius, so ring-1 coverage proves the top-k exact
+            sat = topk.filter(F.col("_rk") == k).select("_lid")
+            outputs.append(
+                topk.join(sat, "_lid", "semi")
+                .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
+            todo = todo.join(sat, "_lid", "left_anti")
             # rows starved at lvl found < k neighbors inside vr(lvl):
             # their local density is provably < need/(pi*vr(lvl)^2) —
-            # record it so the next iteration's folding can bound them
-            _m2 = max(lvl - 2, 0)
-            _cb = min(_bound_of(lvl),
-                      need / (math.pi * vr_table[lvl] ** 2))
-            _bounds[_m2] = max(_bound_of(_m2), _cb)
-        todo = todo.localCheckpoint(eager=True)
-        if _dbg:
-            print(f"[knn_join] lvl={lvl} pass done in "
-                  f"{_time.perf_counter() - _t0:.1f}s (active: "
-                  f"{n_active}), todo left: {todo.count()}")
-        if todo.limit(1).count() == 0:
-            todo = None
-            break
-        if auto_levels and lvl == 0:
-            # the cascade cannot go below level 0: remaining rows are
-            # genuinely starved (k-th neighbor beyond the level-0 verified
-            # radius) and fall through to on_starved below
-            break
+            # record it so the next sweep's folding can bound them.
+            # (Bounds read the pre-sweep state; each rung's rows land on
+            # a distinct target rung, so update order cannot matter.)
+            _nb: dict = {}
+            for lvl in rungs:
+                if lvl == 0:
+                    continue
+                _cb = min(_bound_of(lvl),
+                          need / (math.pi * vr_table[lvl] ** 2))
+                _nb[lvl - 2] = max(
+                    _nb.get(lvl - 2, _bound_of(lvl - 2)), _cb)
+            if 0 in _hist:
+                # rung-0 rows just had their final (coarsest) chance:
+                # still-unsatisfied ones are genuinely starved (k-th
+                # neighbor beyond the level-0 verified radius) and fall
+                # through to on_starved below instead of re-sweeping
+                starved_acc.append(
+                    todo.filter(F.col("_albl") == 0)
+                    .localCheckpoint(eager=True))
+                todo = todo.filter(F.col("_albl") > 0)
+            _bounds.update(_nb)
+            # starved rows drop two levels (one even rung) per sweep.
+            # (An observed-k-th-distance jump is impossible by
+            # construction: the vr prefilter removes every candidate
+            # beyond the rung's radius before ranking, so a starved row
+            # never carries a k-th distance to jump on.) localCheckpoint
+            # truncates the per-sweep lineage (Spark 4.1 iterative-loop
+            # pathology — see knn()/graph.py) before the next sweep.
+            todo = (todo.withColumn("_albl",
+                                    F.col("_albl") - F.lit(2))
+                    .localCheckpoint(eager=True))
+            _sweep += 1
+            if _dbg:
+                print(f"[knn_join] sweep {_sweep} rungs={rungs} done "
+                      f"in {_time.perf_counter() - _t0:.1f}s, "
+                      f"todo left: {todo.count()}")
+            if todo.limit(1).count() == 0:
+                todo = None
 
-    if todo is not None and todo.limit(1).count() > 0:
+    starved = todo
+    for s in starved_acc:
+        starved = s if starved is None else starved.unionByName(s)
+    if starved is not None and starved.limit(1).count() > 0:
         if on_starved == "raise":
-            n = todo.count()
+            n = starved.count()
             last = 0 if auto_levels else levels[-1]
             raise RuntimeError(
                 f"knn_join: {n} left rows still starved after the "
@@ -897,7 +1004,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                 "verified radius); pass on_starved='exact' or add coarser "
                 "levels — results would otherwise be silently partial")
         # LABELED exact fallback: all-pairs for the starved tail only
-        topk = rank_topk(todo.crossJoin(rk_base))
+        topk = rank_topk(starved.crossJoin(rk_base))
         outputs.append(topk.select("_lid", "_rid",
                                    F.col("_rk").alias("knn_rank")))
 
