@@ -32,7 +32,7 @@ import sys
 
 __all__ = [
     "format_count", "format_range", "format_error", "id_list_lines",
-    "tree_count_main", "id_list_main",
+    "tree_count_main", "id_list_main", "poly_test_main",
 ]
 
 # esc() truncates its 8192-byte buffer leaving room for the closing
@@ -286,11 +286,162 @@ def id_list_main(argv: list[str] | None = None, out=None) -> int:
         return 1
 
 
+# ---------------------------------------------------------------------------
+# poly_test — interactive stdin polygon checker (SURVEY §2 S5)
+# ---------------------------------------------------------------------------
+
+#: poly_test.c:62 ``NP`` — vertex capacity; the input loop stops reading
+#: after this many points without consuming the terminating blank line.
+_PT_NP = 16
+
+# C sscanf("%lf") token: optional sign, then inf/infinity, nan(chars)?,
+# hex float, or decimal with optional exponent (an incomplete exponent
+# backtracks to the mantissa, as strtod does).
+import re as _re
+
+_C_DOUBLE_RE = _re.compile(
+    r"[+-]?(?:"
+    r"inf(?:inity)?|"
+    r"nan(?:\([0-9A-Za-z_]*\))?|"
+    r"0[xX](?:[0-9A-Fa-f]+(?:\.[0-9A-Fa-f]*)?|\.[0-9A-Fa-f]+)"
+    r"(?:[pP][+-]?\d+)?|"
+    r"(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?"
+    r")", _re.IGNORECASE)
+
+_C_SPACE = " \t\n\v\f\r"
+
+
+def _sscanf_2lf(line: str):
+    """``sscanf(line, "%lf %lf")`` — returns (ra, dec) when BOTH convert,
+    else None (poly_test.c:157-159 breaks the input loop on ``nr != 2``,
+    which covers EOF, blank lines and partial parses alike)."""
+    vals, i = [], 0
+    for _ in range(2):
+        while i < len(line) and line[i] in _C_SPACE:
+            i += 1
+        m = _C_DOUBLE_RE.match(line, i)
+        if m is None:
+            return None
+        tok = m.group(0)
+        low = tok.lower().lstrip("+-")
+        if low.startswith("0x"):
+            v = float.fromhex(tok)
+        elif low.startswith("nan"):
+            v = float("nan")  # the (char-sequence) payload is dropped
+        else:
+            v = float(tok)  # decimals and inf/infinity parse directly
+        vals.append(v)
+        i = m.end()
+    return vals[0], vals[1]
+
+
+def poly_test_main(stdin=None, out=None) -> int:
+    """``poly_test`` — the reference's interactive stdin test tool
+    (poly_test.c:84-248): reads RA/Dec pairs until EOF / a non-pair line /
+    NP points, echoes the points (``%15.9lf``), their unit vectors
+    (htm_sc_tov3, geometry.c:136-149 — NO normalization), the convex
+    hull's vertex array, and two convexity verdicts (htm_v3_convex on the
+    hull array and on the raw input).  Byte format mirrors the C printf
+    sequence exactly, including the report_verts(poly->ve, nn) over-print:
+    ``ve[]`` holds the hull's ncv vertices followed by its ncv NORMALIZED
+    edge planes (htm_s2cpoly_hull, geometry.c:1573-1586), so when the hull
+    drops input vertices the reference deterministically prints edge
+    planes in the tail slots — reproduced here.  Sole divergence: past
+    ``2*ncv`` entries the reference reads beyond its own malloc (heap
+    garbage); we stop at the allocation's end.  Exit codes follow the C
+    ``exit(-1)``/``exit(-3)`` → 255/253."""
+    import math
+
+    from .functions.geometry import RAD_PER_DEG, V3
+    from .functions.regions import convex, convex_hull, hemispherical
+
+    stdin = stdin or sys.stdin
+    out = out or sys.stdout
+    w = out.write
+
+    pts: list[tuple[float, float]] = []
+    verts: list[V3] = []
+    while True:
+        line = stdin.readline()
+        if line == "":
+            break
+        vals = _sscanf_2lf(line)
+        if vals is None:
+            break
+        ra, dec = vals
+        # htm_sc_init (geometry.h:71-85): NaN/Inf first, then the lat range
+        if math.isnan(ra) or math.isinf(ra) or math.isnan(dec) \
+                or math.isinf(dec):
+            msg = "Value is NaN or +/-Inf"
+        elif dec < -90.0 or dec > 90.0:
+            msg = "Latitude angle not in range [-90, 90] degrees"
+        else:
+            msg = None
+        if msg is not None:
+            w("Did not find acceptable spherical coordinates (%f,%f) -- "
+              "%s\n\n" % (ra, dec, msg))
+            return 255  # exit(-1)
+        pts.append((ra, dec))
+        lon, lat = ra * RAD_PER_DEG, dec * RAD_PER_DEG
+        cos_lat = math.cos(lat)
+        verts.append(V3(math.cos(lon) * cos_lat, math.sin(lon) * cos_lat,
+                        math.sin(lat)))
+        if len(verts) >= _PT_NP:
+            break
+
+    nn = len(verts)
+    w("\n")
+    w("\n # = %02d" % nn)
+    w("\n")
+    for ii, (lo, la) in enumerate(pts):        # report_pts
+        w("\n  %02d  %15.9f  %15.9f" % (ii, lo, la))
+        w("\n")
+    w("\n")
+    for ii, v in enumerate(verts):             # report_verts(verts, nn)
+        w("\n  %02d  %15.9f  %15.9f  %15.9f" % (ii, v.x, v.y, v.z))
+    w("\n")
+
+    # htm_s2cpoly_hull with the reference's error-code precedence
+    # (geometry.c:1401-1417): ELEN, then EHEMIS, then EDEGEN from the scan
+    err = hull = None
+    if nn < 3:
+        err = "Too many/too few array elements (vertices/points)"
+    elif not hemispherical(verts):
+        err = "Vectors (vertices/points) are not hemispherical"
+    else:
+        try:
+            hull = convex_hull(verts, mode="reference")
+        except ValueError:
+            err = "Vectors (vertices/points) are degenerate"
+    if err is not None:
+        w("\nCould not compute convex hull: %s" % err)
+        return 253  # exit(-3)
+
+    ve = list(hull.verts) + list(hull.edges)   # ve[]: vertices then edges
+    shown = min(nn, len(ve))
+    for ii in range(shown):                    # report_verts(poly->ve, nn)
+        v = ve[ii]
+        w("\n  %02d  %15.9f  %15.9f  %15.9f" % (ii, v.x, v.y, v.z))
+    w("\n")
+
+    w("\n Polygon.verts (%d) is " % nn)
+    if convex(ve[:shown]) == 0:
+        w("NOT ")
+    w("Convex\n")
+    w("\n Polygon ")
+    w("IS  " if convex(verts) != 0 else "is NOT ")
+    w("Convex\n\n")
+    return 0
+
+
 if __name__ == "__main__":  # pragma: no cover
     tool = sys.argv[1] if len(sys.argv) > 1 else ""
     if tool == "tree_count":
         sys.exit(tree_count_main(sys.argv[2:]))
     if tool == "id_list":
         sys.exit(id_list_main(sys.argv[2:]))
-    print(format_error(f"unknown tool `{tool}' (tree_count | id_list)"))
+    if tool == "poly_test":
+        sys.exit(poly_test_main())
+    print(format_error(
+        f"unknown tool `{tool}' (tree_count | id_list | poly_test)"))
     sys.exit(1)

@@ -217,3 +217,108 @@ def test_tree_count_main_hull_and_error(spark, point_table):
                           "circle", "0", "0", "1"], spark=spark, out=buf_err)
     assert rc == 1
     assert buf_err.getvalue().startswith('[struct stat="ERROR", msg="')
+
+
+# ---------------------------------------------------------------------------
+# poly_test (SURVEY §2 S5 — poly_test.c:84-248)
+# ---------------------------------------------------------------------------
+
+def _poly_test(text):
+    from spatialindex_spark.cli import poly_test_main
+    out = io.StringIO()
+    rc = poly_test_main(io.StringIO(text), out)
+    return rc, out.getvalue()
+
+
+def test_poly_test_header_example_bytes():
+    # The documented session at poly_test.c:16-35: point + vector blocks
+    # are pinned byte-for-byte against the comment's own printf output
+    # (9-decimal values verbatim); the hull block follows the scan's
+    # anchor-first vertex order and the verdict lines the exact printf
+    # sequence (incl. the double space in "IS  Convex").
+    rc, got = _poly_test("10 10\n20 10\n20 20\n10 20\n\n")
+    assert rc == 0
+    assert got == (
+        "\n"
+        "\n # = 04\n"
+        "\n  00     10.000000000     10.000000000\n"
+        "\n  01     20.000000000     10.000000000\n"
+        "\n  02     20.000000000     20.000000000\n"
+        "\n  03     10.000000000     20.000000000\n"
+        "\n"
+        "\n  00      0.969846310      0.171010072      0.173648178"
+        "\n  01      0.925416578      0.336824089      0.173648178"
+        "\n  02      0.883022222      0.321393805      0.342020143"
+        "\n  03      0.925416578      0.163175911      0.342020143\n"
+        "\n  00      0.925416578      0.336824089      0.173648178"
+        "\n  01      0.883022222      0.321393805      0.342020143"
+        "\n  02      0.925416578      0.163175911      0.342020143"
+        "\n  03      0.969846310      0.171010072      0.173648178\n"
+        "\n Polygon.verts (4) is Convex\n"
+        "\n Polygon IS  Convex\n\n")
+
+
+def test_poly_test_interior_vertex_overprint():
+    # (5,4) is interior: the hull keeps 4 of 5 vertices, and
+    # report_verts(poly->ve, nn) deterministically prints an EDGE plane
+    # in the 5th slot (ve[] = ncv vertices then ncv normalized edges,
+    # geometry.c:1573-1586); the raw input ring is non-convex.
+    rc, got = _poly_test("0 0\n10 0\n10 10\n5 4\n0 10\n\n")
+    assert rc == 0
+    lines = got.split("\n")
+    assert " # = 05" in lines
+    # third block: rows 00-03 are hull vertices (each also appears in the
+    # input-vector block), row 04 is an edge plane (z < 0 here — no input
+    # vertex has negative z)
+    assert "  04      0.173628142      0.015190494     -0.984694124" in lines
+    assert " Polygon.verts (5) is NOT Convex" in lines
+    assert " Polygon is NOT Convex" in lines
+
+
+def test_poly_test_error_paths():
+    # htm_sc_init failure -> the %lf (6-decimal) message + exit(-1) = 255
+    rc, got = _poly_test("10 95\n")
+    assert rc == 255
+    assert got == ("Did not find acceptable spherical coordinates "
+                   "(10.000000,95.000000) -- Latitude angle not in range "
+                   "[-90, 90] degrees\n\n")
+    # NaN/Inf precedence over the lat-range check (geometry.h:75-78)
+    rc, got = _poly_test("nan 95\n")
+    assert rc == 255
+    assert "Value is NaN or +/-Inf" in got
+    # < 3 vertices -> hull ELEN + exit(-3) = 253, no trailing newline
+    rc, got = _poly_test("10 10\n20 10\n\n")
+    assert rc == 253
+    assert got.endswith("Could not compute convex hull: Too many/too few "
+                        "array elements (vertices/points)")
+    # antipodal spread -> EHEMIS
+    rc, got = _poly_test("0 0\n180 0\n90 0\n0 90\n270 0\n0 -90\n\n")
+    assert rc == 253
+    assert got.endswith("Could not compute convex hull: Vectors "
+                        "(vertices/points) are not hemispherical")
+
+
+def test_poly_test_input_loop_semantics():
+    # sscanf("%lf %lf") != 2 ends input: a lone token, a word, a blank
+    # line, or EOF.  Extra tokens after two doubles are ignored.
+    rc, got = _poly_test("10 10 junk\n20 10\n20 20\nonly-one\n")
+    assert rc == 0
+    assert " # = 03" in got
+    # NP=16 cap: the 17th pair is never read
+    body = "".join(f"{ra} {10 + (i % 3)}\n" for i, ra in
+                   enumerate(range(0, 85, 5)))  # 17 pairs
+    rc, got = _poly_test(body)
+    assert rc == 0
+    assert " # = 16" in got
+
+
+def test_poly_test_c_double_parsing():
+    from spatialindex_spark.cli import _sscanf_2lf
+    assert _sscanf_2lf("  -1.5e1\t+2") == (-15.0, 2.0)
+    assert _sscanf_2lf("0x10 .5") == (16.0, 0.5)
+    assert _sscanf_2lf("1e400 0") == (float("inf"), 0.0)  # strtod overflow
+    # incomplete exponent: strtod backtracks to "12.5", the second %lf
+    # then fails on the dangling 'e' -> nr=1, ends the input loop
+    assert _sscanf_2lf("12.5e 1") is None
+    assert _sscanf_2lf("1,2") is None
+    assert _sscanf_2lf("") is None
