@@ -325,7 +325,12 @@ def _sscanf_2lf(line: str):
         tok = m.group(0)
         low = tok.lower().lstrip("+-")
         if low.startswith("0x"):
-            v = float.fromhex(tok)
+            try:
+                v = float.fromhex(tok)
+            except OverflowError:
+                # strtod overflow returns +/-HUGE_VAL; decimal '1e400'
+                # already takes this path via float()
+                v = float("-inf" if tok[0] == "-" else "inf")
         elif low.startswith("nan"):
             v = float("nan")  # the (char-sequence) payload is dropped
         else:

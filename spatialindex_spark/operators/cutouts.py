@@ -104,6 +104,17 @@ def _tan_px_cols(tra, tdec, ira, idec, w, h, scale_deg):
     return w / F.lit(2.0) - xi / s, h / F.lit(2.0) + eta / s, den
 
 
+def pairing_radius_deg(scale_deg_px: float, max_dim_px: float) -> float:
+    """Center-to-corner pairing radius shared by :func:`cutout_windows`
+    (the pairing join) and :func:`readback_images` (the scan pushdown).
+    ONE definition on purpose: the pushdown is sound only while its
+    radius >= the pairing's — diverging copies would silently drop
+    matched rows from the bytes scan.  The +1 px margin absorbs the
+    rounding of the continuous pixel coords (never admits a false
+    negative; the exact in-bounds filter stays authoritative)."""
+    return scale_deg_px * (math.hypot(max_dim_px, max_dim_px) / 2.0 + 1.0)
+
+
 def cutout_windows(targets: DataFrame, images: DataFrame,
                    scale_deg_px: float, size_px: int,
                    target_id: str = "target_id",
@@ -133,10 +144,7 @@ def cutout_windows(targets: DataFrame, images: DataFrame,
             F.max(F.greatest(F.col("w"), F.col("h")))).first()[0]
         if max_dim_px is None:  # empty input: zero rows out, not a crash
             max_dim_px = 1
-    # center-to-corner bound; +1 px margin absorbs the rounding of the
-    # continuous coords (never admits a false negative, the exact
-    # in-bounds filter below is authoritative)
-    radius = scale_deg_px * (math.hypot(max_dim_px, max_dim_px) / 2.0 + 1.0)
+    radius = pairing_radius_deg(scale_deg_px, max_dim_px)
 
     tsel = targets.select(target_id, "ra", "dec")
     isel = images.select(image_id, "ra", "dec", "w", "h",
@@ -223,7 +231,18 @@ def target_cell_ranges(targets: DataFrame, radius_deg: float,
     lvl = min(pick_match_level(radius_deg), cell_level)
     if radius_deg * RAD_PER_DEG > safe_ring1_rad(lvl):
         return None  # would need ring-2+: not worth a driver loop here
-    rows = (targets.select(hpx_udf(lvl)("ra", "dec").alias("_tc"))
+    if cell_col in targets.columns:
+        # targets already carry the ingest cell at cell_level (the same
+        # column cutout_windows keys the pairing on): the ancestor at
+        # lvl is a JVM shiftright through hpx_cell_key — incl. its
+        # misuse guard — instead of an Arrow python-worker roundtrip
+        from .joins import hpx_cell_key
+        tc = hpx_cell_key(cell_col, cell_level, lvl)
+    else:
+        tc = hpx_udf(lvl)("ra", "dec")
+    # NULL cells can't pair (the join drops them), so excluding them
+    # keeps the predicate a sound superset of pairable images
+    rows = (targets.select(tc.alias("_tc")).where(F.col("_tc").isNotNull())
             .distinct().limit(20_001).collect())
     if len(rows) > 20_000:  # same driver-read budget as IN_SET_MAX
         return None
@@ -314,7 +333,7 @@ def readback_images(images: DataFrame, targets: DataFrame,
     sel = images
     if (cell_col and cell_level is not None and mdp is not None
             and cell_col in images.columns):
-        radius = scale_deg_px * (math.hypot(mdp, mdp) / 2.0 + 1.0)
+        radius = pairing_radius_deg(scale_deg_px, mdp)
         pred = target_cell_ranges(targets, radius, cell_col, cell_level)
         if pred is not None:
             sel = sel.filter(pred)

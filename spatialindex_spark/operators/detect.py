@@ -136,7 +136,11 @@ def forced_photometry(targets: DataFrame, images: DataFrame,
     # materialize the pairing ONCE: wsel feeds the matched-id driver
     # reads, the semi-join/IN-set build AND the broadcast join below —
     # without this the crossmatch recomputes ~5x per call (measured
-    # ~3 s each at 1M images). Bounded by the max_images guard.
+    # ~3 s each at 1M images). Size = the pairing itself (targets x
+    # overlapping images — the operator's own working set, which every
+    # path must compute at least once to count matched ids; stored
+    # MEMORY_AND_DISK). The max_images guard bounds DISTINCT matched
+    # images downstream, not these pairing rows.
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
                       "complete").localCheckpoint(eager=True)
     from .cutouts import readback_images
@@ -359,7 +363,11 @@ def source_moments(targets: DataFrame, images: DataFrame,
     # materialize the pairing ONCE: wsel feeds the matched-id driver
     # reads, the semi-join/IN-set build AND the broadcast join below —
     # without this the crossmatch recomputes ~5x per call (measured
-    # ~3 s each at 1M images). Bounded by the max_images guard.
+    # ~3 s each at 1M images). Size = the pairing itself (targets x
+    # overlapping images — the operator's own working set, which every
+    # path must compute at least once to count matched ids; stored
+    # MEMORY_AND_DISK). The max_images guard bounds DISTINCT matched
+    # images downstream, not these pairing rows.
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
                       "complete").localCheckpoint(eager=True)
     from .cutouts import readback_images

@@ -344,8 +344,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     finished sweep) folds into the next outstanding rung instead of
     paying a dedicated union branch (its own right-side keying and
     broadcast cell prune), whenever its bounded
-    extra pair count (rows x provable per-row density bound x the
-    target rung's ring-1 disc area) stays under
+    extra pair count (rows x profile-measured per-row density bound x
+    the target rung's ring-1 disc area — exact where the drill-down
+    measured, heuristic where refinement was truncated) stays under
     ``SPT_KNN_MERGE_PAIR_BUDGET`` (env, default 8M pairs). Folding is
     correctness-free by the same argument as the cascade (coarser
     probe = superset of candidates; satisfaction re-verifies) —
@@ -680,12 +681,19 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     # coarser probe only widens the verified radius and the candidate
     # set; the satisfaction criterion re-verifies) — only the join's
     # pair count grows, and it is boundable without per-row state:
-    # every row sitting at rung t has local density < _bound_of(t)
-    # (original rows: albl picked the FINEST rung whose threshold their
-    # measured density met, so d < thresh(t+2); starved rows arriving
-    # by cascade: fewer than k neighbors inside the verified radius of
-    # the rung they failed, so d < thresh(failed rung) — propagated via
-    # _bounds). Rung t folds into the next outstanding rung nxt iff
+    # every row sitting at rung t has PROFILE-MEASURED local density
+    # < _bound_of(t) (original rows: albl picked the FINEST rung whose
+    # threshold their measured density met, so d < thresh(t+2); starved
+    # rows arriving by cascade: fewer than k neighbors inside the
+    # verified radius of the rung they failed, so d < thresh(failed
+    # rung) — propagated via _bounds). CAVEAT: the bound is exact only
+    # for the density the drill-down could SEE — where refinement was
+    # truncated (MIN_CNT noise floor, TOP_REFINE cap) a sub-cell clump
+    # reads diluted, so the budget is a heuristic cap there, not a
+    # proof; the blow-up is still damped because folds only ever move
+    # the few rows of a sparse rung, and a clump dense enough to
+    # matter is exactly what the residual auto-salting below splits at
+    # join time. Rung t folds into the next outstanding rung nxt iff
     # n_t * bound_t * disc(nxt) <= SPT_KNN_MERGE_PAIR_BUDGET (env;
     # default 8M pairs ~ well under one pass's fixed cost distributed).
     # At cluster scale every rung holds enough rows that the budget

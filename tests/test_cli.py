@@ -286,6 +286,10 @@ def test_poly_test_error_paths():
     rc, got = _poly_test("nan 95\n")
     assert rc == 255
     assert "Value is NaN or +/-Inf" in got
+    # hex-float overflow -> HUGE_VAL -> same ENANINF path ('inf' via %f)
+    rc, got = _poly_test("0x1p99999 0\n")
+    assert rc == 255
+    assert "(inf,0.000000)" in got and "Value is NaN or +/-Inf" in got
     # < 3 vertices -> hull ELEN + exit(-3) = 253, no trailing newline
     rc, got = _poly_test("10 10\n20 10\n\n")
     assert rc == 253
@@ -317,6 +321,9 @@ def test_poly_test_c_double_parsing():
     assert _sscanf_2lf("  -1.5e1\t+2") == (-15.0, 2.0)
     assert _sscanf_2lf("0x10 .5") == (16.0, 0.5)
     assert _sscanf_2lf("1e400 0") == (float("inf"), 0.0)  # strtod overflow
+    # hex overflow -> HUGE_VAL too (float.fromhex raises where float() clamps)
+    assert _sscanf_2lf("0x1p99999 0") == (float("inf"), 0.0)
+    assert _sscanf_2lf("-0x1p99999 0") == (float("-inf"), 0.0)
     # incomplete exponent: strtod backtracks to "12.5", the second %lf
     # then fails on the dangling 'e' -> nr=1, ends the input loop
     assert _sscanf_2lf("12.5e 1") is None

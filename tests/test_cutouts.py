@@ -265,6 +265,13 @@ def test_target_cell_range_pushdown_compact_targets(spark, tmp_path):
     pred = C.target_cell_ranges(tgts, 0.5, "hpx7", 7)
     assert pred is not None
 
+    # targets that already carry the ingest cell column take the JVM
+    # shiftright path (no Arrow roundtrip) — identical predicate
+    from spatialindex_spark.functions.udfs import hpx_udf
+    tgts_c = tgts.withColumn("hpx7", hpx_udf(7)("ra", "dec"))
+    pred_c = C.target_cell_ranges(tgts_c, 0.5, "hpx7", 7)
+    assert pred_c is not None and str(pred_c) == str(pred)
+
     def snap(df):
         return sorted((r.target_id, r.image_id, r.flux) for r in df.collect())
 
