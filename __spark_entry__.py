@@ -2818,6 +2818,29 @@ def _span_dedup_sql() -> str:
     )
 
 
+def _scratch_dir(tag: str) -> str:
+    """Per-process reusable scratch dir for the storage-roundtrip
+    queries. NOT mkdtemp: the driver gate and the bench re-invoke these
+    queries many times per run, and a fresh dir per call accumulates a
+    full table copy each time until /tmp fills. One fixed path per
+    (tag, pid), wiped at entry (so repeat calls in a process reuse the
+    slot) and removed at interpreter exit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), f"spx_{tag}_{os.getpid()}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    if tag not in _SCRATCH_CLEANED:
+        _SCRATCH_CLEANED.add(tag)
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+_SCRATCH_CLEANED: set = set()
+
+
 def _q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The storage layer under the driver gate: orders_sky lands in an
     Iceberg-lite table as a bulk write PLUS two exactly-once stream
@@ -2826,16 +2849,13 @@ def _q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate + the exact geometry filter. The oracle is pure-geometry
     SQL over the source rows — any torn append, lost bucket, wrong
     watermark, or unsound prune shows up as a row diff."""
-    import tempfile
-
     from spatialindex_spark.functions.constraints import SpatialIndex
     from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
 
     df = _orders_sky(spark, sf_dir).select(
         "o_orderkey", "ra", "dec", "x", "y", "z",
         F.col("htm7").alias("spt_ind"))
-    t = IcebergLiteTable(tempfile.mkdtemp(prefix="spx_tblrt_"),
-                         num_buckets=8)
+    t = IcebergLiteTable(_scratch_dir("tblrt"), num_buckets=8)
     k = F.col("o_orderkey") % 10
     t.write(df.filter(k <= 7))
     t.append_batch(df.filter(k == 8), 0)
@@ -2882,8 +2902,6 @@ def _q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically — JVM Math.asin and libm asin differ by 1 ulp on
     ~5% of rows, so dec itself is not a byte-stable roundtrip
     payload."""
-    import tempfile
-
     from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
 
     df = _orders_sky(spark, sf_dir).select(
@@ -2891,7 +2909,7 @@ def _q_stream_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * ((F.col("o_custkey") * F.lit(0.381966)) % 1) - 1)
         .alias("zsin"),
         F.col("htm7").alias("spt_ind"))
-    base = tempfile.mkdtemp(prefix="spx_strt_")
+    base = _scratch_dir("strt")
     src = f"{base}/src"
     for part in (0, 1):
         (df.filter(F.col("o_orderkey") % 2 == part).coalesce(1)

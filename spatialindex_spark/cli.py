@@ -116,9 +116,20 @@ def id_list_lines(ranges, as_ranges: bool = False,
                 yield f"{dec(lo)} {dec(hi)}"
             else:
                 yield f"{lo} {hi}"
+        elif decimal:
+            # one vectorized htm_idtodec per chunk, not per id — a
+            # coarse covering expanded at a fine level yields millions
+            # of ids, and per-id 1-element numpy dispatch is ~100x
+            # slower; chunked so an absurd range can't allocate
+            # unboundedly either
+            for clo in range(lo, hi + 1, 65536):
+                chi = min(hi, clo + 65535)
+                for v in htm_idtodec(
+                        np.arange(clo, chi + 1, dtype=np.int64)):
+                    yield f"{int(v)}"
         else:
             for j in range(lo, hi + 1):
-                yield f"{dec(j) if decimal else j}"
+                yield f"{j}"
 
 
 def _region_from_args(kind: str, args: list[str]) -> dict:

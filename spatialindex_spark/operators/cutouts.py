@@ -305,7 +305,13 @@ def matched_image_filter(images_sel: DataFrame, ids_src: DataFrame,
                 "raise max_images or partition the target list")
         return images_sel.filter(
             F.col(image_id).isin([r[0] for r in head]))
-    n = wid.limit(max_images + 1).count()
+    # materialize the distinct-id projection ONCE: without this the
+    # max_images count below and the broadcast build each re-execute
+    # ids_src's full plan (for a lazy windows frame that is the whole
+    # pairing crossmatch, twice over). The footprint is the id
+    # projection only — tiny next to the pairing it derives from.
+    wid = wid.localCheckpoint(eager=True)
+    n = wid.count()
     if n > max_images:
         raise ValueError(
             f"{what} matched > {max_images} distinct images; "
@@ -357,6 +363,10 @@ def cutout_pixels(images: DataFrame, windows: DataFrame,
 
     Output: window columns + cut_w, cut_h, data (raw bytes), mean_val.
     """
+    # one materialization of the pairing (forced_photometry's wsel
+    # pattern): the matched-id driver read and the broadcast join below
+    # would otherwise each re-run a lazy cutout_windows plan
+    windows = windows.localCheckpoint(eager=True)
     matched = (matched_image_filter(
                    images.select(image_id, bytes_col, "w", "h", "fmt"),
                    windows, image_id, max_images, "cutout_pixels")
@@ -408,32 +418,55 @@ def tile_grid_radec(tra: float, tdec: float, tile_px: int,
     Shared by the coadd accumulator and the pyramid rollup (identical
     float ops, so grids agree bit-for-bit).
 
-    Deliberately scalar libm math, not numpy: numpy ships its own SIMD
-    arctan2/arcsin that differ from libm by 1 ulp on ~30% of inputs,
-    while DuckDB == libm — scalar math keeps the whole mosaic/pyramid
-    chain bit-replayable by the SQL value oracle.  The grid is computed
-    once per tile group (tile_px^2 scalar iterations), so this is never
-    on a per-pixel-of-data hot path."""
-    gra = np.empty((tile_px, tile_px), dtype=np.float64)
-    gdec = np.empty((tile_px, tile_px), dtype=np.float64)
+    atan2/asin run through scalar libm, not numpy: numpy ships its own
+    SIMD arctan2/arcsin that differ from libm by 1 ulp on ~30% of
+    inputs, while DuckDB == libm — so those two calls keep the whole
+    mosaic/pyramid chain bit-replayable by the SQL value oracle.  The
+    surrounding arithmetic (+ * / sqrt, the degrees multiply, fmod,
+    clamp) is IEEE correctly-rounded and therefore bit-identical
+    vectorized — numpy runs it, cutting the old all-scalar double loop
+    (~20 interpreted ops/px) to two libm calls per pixel.  Grids are
+    memoized per (center, size, scale): salted hot tiles rebuild the
+    SAME grid once per salt group otherwise."""
+    key = (float(tra), float(tdec), int(tile_px), float(tile_scale))
+    hit = _TILE_GRID_CACHE.get(key)
+    if hit is not None:
+        return hit
     a0, d0 = math.radians(tra), math.radians(tdec)
     cx, cy, cz = (math.cos(d0) * math.cos(a0),
                   math.cos(d0) * math.sin(a0), math.sin(d0))
     ex, ey = -math.sin(a0), math.cos(a0)   # east
     nx, ny, nz = (-math.sin(d0) * math.cos(a0),
                   -math.sin(d0) * math.sin(a0), math.cos(d0))  # north
-    for jj in range(tile_px):
-        eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale
-        for ii in range(tile_px):
-            xi = (tile_px / 2.0 - (ii + 0.5)) * tile_scale
-            den = math.sqrt(1.0 + xi * xi + eta * eta)
-            gx = (cx + xi * ex + eta * nx) / den
-            gy = (cy + xi * ey + eta * ny) / den
-            gz = (cz + eta * nz) / den
-            gra[jj, ii] = math.degrees(math.atan2(gy, gx)) % 360.0
-            gdec[jj, ii] = math.degrees(
-                math.asin(min(1.0, max(-1.0, gz))))
+    jj = np.arange(tile_px, dtype=np.float64)
+    eta = ((jj + 0.5) - tile_px / 2.0) * tile_scale          # rows
+    xi = (tile_px / 2.0 - (jj + 0.5)) * tile_scale           # cols
+    xi2d = np.broadcast_to(xi, (tile_px, tile_px))
+    eta2d = eta[:, None]
+    den = np.sqrt(1.0 + xi2d * xi2d + eta2d * eta2d)
+    gx = (cx + xi2d * ex + eta2d * nx) / den
+    gy = (cy + xi2d * ey + eta2d * ny) / den
+    gz = np.clip((cz + eta2d * nz) / den, -1.0, 1.0)
+    gra = np.empty((tile_px, tile_px), dtype=np.float64)
+    gdec = np.empty((tile_px, tile_px), dtype=np.float64)
+    fra, fdec = gra.ravel(), gdec.ravel()
+    fx, fy, fz = gx.ravel(), gy.ravel(), gz.ravel()
+    atan2, asin = math.atan2, math.asin  # libm, bit == DuckDB
+    for i in range(fra.size):
+        fra[i] = atan2(fy[i], fx[i])
+        fdec[i] = asin(fz[i])
+    np.degrees(gra, out=gra)
+    np.mod(gra, 360.0, out=gra)
+    np.degrees(gdec, out=gdec)
+    gra.flags.writeable = False
+    gdec.flags.writeable = False
+    if len(_TILE_GRID_CACHE) >= 32:  # bound executor-worker memory
+        _TILE_GRID_CACHE.pop(next(iter(_TILE_GRID_CACHE)))
+    _TILE_GRID_CACHE[key] = (gra, gdec)
     return gra, gdec
+
+
+_TILE_GRID_CACHE: dict = {}
 
 
 _RING_REACH_CACHE: dict = {}
@@ -443,8 +476,10 @@ def _disc_table(lvl: int, k: int) -> np.ndarray:
     """(npix, w) sorted ring-``k`` disc-closure table: row p holds every
     cell within graph distance k of p (padded by duplicating members —
     harmless for the membership/frontier set math below).  Fully
-    vectorized (iterated neighbor expansion + per-row sort/dedup), so it
-    stays driver-cheap even at level 8 (786k rows)."""
+    vectorized (iterated neighbor expansion + per-row sort/dedup);
+    cheap at level 8 (786k rows) for k <= 2, but the (npix, ~(2k+3)^2)
+    footprint reaches GBs by k ~ 5-6 — the ring-sizing loop's cheap
+    upper bound keeps doomed ring counts from ever building those."""
     from ..functions.healpix import neighbors
 
     npix = 12 << (2 * lvl)
@@ -615,7 +650,21 @@ def coadd_mosaic(images: DataFrame, level: int, tile_px: int,
     r_cell = (math.sqrt(2.0) * tile_rad + max_half_diag
               + max_pix_rad(level))
     n_rings = 1
-    while _ring_reach_lb(level, n_rings) <= r_cell:
+    npix_lvl = 12 << (2 * level)
+    while True:
+        # cheap certified UPPER bound first: the nearest outside-disc
+        # cell sits at graph distance k+1 and each center-to-center
+        # step is <= 2*max_pix_rad, so reach(k) <= 2*(k+1)*max_pix_rad.
+        # When even that cannot exceed r_cell, skip _ring_reach_lb —
+        # its frontier path builds (npix x disc-width) tables that run
+        # to GBs at level 8, and a doomed-ring loop used to build SIX
+        # of them just to reach the raise below. Only for the big-npix
+        # regime: tiny levels can exhaust the sphere (reach = pi),
+        # which the upper bound does not see.
+        ub_reach = 2.0 * (n_rings + 1) * max_pix_rad(level)
+        if not (npix_lvl > 50_000 and ub_reach <= r_cell):
+            if _ring_reach_lb(level, n_rings) > r_cell:
+                break
         n_rings += 1
         if n_rings > 6:
             raise ValueError(

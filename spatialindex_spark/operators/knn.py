@@ -627,6 +627,14 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     # cells) proves no residual hot cell exists either.
     if salt_residual is None:
         salt_residual = auto_levels
+    elif salt_residual and not auto_levels:
+        # detection needs the auto drill-down's counts frame; silently
+        # skipping would hand the user who explicitly asked for salting
+        # the exact one-task quadratic they asked to avoid
+        raise ValueError(
+            "salt_residual=True requires auto_levels=True (residual "
+            "hot cells are detected from the density drill-down's "
+            "finest-rung counts; a fixed `levels` ladder has none)")
     _hot_fine: dict = {}   # finest-rung pix -> row count
     if salt_residual and auto_levels:
         _resid_hot = int(_os.environ.get("SPT_KNN_RESIDUAL_HOT", "4000"))

@@ -224,6 +224,21 @@ def test_mosaic_level_cap(spark):
         coadd_mosaic(imgs_df, 9, 8, SCALE)
 
 
+def test_mosaic_ring_overflow_raises_fast_at_fine_level(spark):
+    """Huge images vs fine tile cells must hit the friendly 6-ring
+    ValueError, and hit it FAST: the certified-reach upper bound must
+    short-circuit _ring_reach_lb for doomed ring counts — at level 8
+    the frontier path would otherwise materialize multi-GB disc tables
+    on the driver just to reach the raise."""
+    import time
+
+    imgs_df, *_ = _mk_tables(spark, n_img=5, n_tgt=2)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="exceed 6 rings"):
+        coadd_mosaic(imgs_df, 8, 8, SCALE, max_dim_px=50_000)
+    assert time.perf_counter() - t0 < 20.0  # no disc tables built
+
+
 def test_empty_images_yield_empty_results_not_crash(spark):
     """An images frame filtered down to zero rows (a region with no
     coverage) must flow through to zero output rows — the undeclared

@@ -306,6 +306,14 @@ def test_knn_join_residual_salting(spark, monkeypatch):
     df = df.withColumn("hpx7", hpx_udf(7)(F.col("ra"), F.col("dec"))) \
            .localCheckpoint(eager=True)
 
+    # explicit salting without the drill-down has no detection source:
+    # loud raise, never a silent unsalted hot join
+    import pytest
+    with pytest.raises(ValueError, match="salt_residual"):
+        knn_mod.knn_join(df, df, k=2, levels=(2, 0), left_id="pid",
+                         right_id="pid", cell_col="hpx7", cell_level=7,
+                         salt_residual=True)
+
     def run(sr):
         out = knn_join(df, df, k=2, level=8, auto_levels=True,
                        left_id="pid", right_id="pid",
