@@ -531,6 +531,29 @@ def pick_match_level(radius_deg: float, max_level: int = 20) -> int:
     return level
 
 
+def ring_cover_level(radius_deg: float, cell_level: int) -> tuple[int, int]:
+    """(match level, ring count) for the broadcast disc-map candidate
+    path — ONE definition shared by the streaming operators (three
+    diverging copies of coverage-critical level math invite silent
+    under-matching).  The coarsest of pick_match_level / cell_level /
+    JVM_RING_MAX_LEVEL; radii beyond even the order-0 ring-1 bound
+    (~29 deg) take a multi-ring disc at level 0 (12 pixels, trivially
+    broadcastable — the chain-coverage argument of crossmatch's
+    rings>1 path).  The lvl=0 reset is only reachable when
+    pick_match_level already chose 0 (the min() caps can only COARSEN,
+    which enlarges safe_ring1_rad) — kept as an explicit invariant
+    rather than an assumption."""
+    from ..functions.healpix import safe_ring1_rad
+
+    lvl = min(pick_match_level(radius_deg), cell_level, JVM_RING_MAX_LEVEL)
+    rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
+    if rings > 1:
+        lvl = 0
+        rings = max(1, math.ceil(radius_deg * RAD_PER_DEG
+                                 / safe_ring1_rad(0)))
+    return lvl, rings
+
+
 def crossmatch(left: DataFrame, right: DataFrame, radius_deg: float,
                level: int | None = None,
                left_cols=("ra", "dec"), right_cols=("ra", "dec"),

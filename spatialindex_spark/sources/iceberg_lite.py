@@ -64,6 +64,17 @@ class IcebergLiteTable:
         self.level = level
         self.num_buckets = num_buckets
         self.lo, self.hi = _cell_space(system, level)
+        # bucket_expr computes (cell - lo) * num_buckets in int64; past
+        # this bound it overflows for VALID in-space ids (ANSI Spark
+        # raises per-row mid-write; non-ANSI wraps to a negative bucket
+        # no write group selects = silent row loss). Fail at
+        # construction instead — deep-level tables must coarsen the
+        # bucket key or reduce num_buckets.
+        if (self.hi - self.lo - 1) * num_buckets >= 2 ** 63:
+            raise ValueError(
+                f"{system} level {level} with {num_buckets} buckets "
+                "overflows the int64 bucket expression — use a coarser "
+                "level (or fewer buckets)")
         self.meta_dir = os.path.join(path, "metadata")
         self.data_dir = os.path.join(path, "data")
         self.wal_path = os.path.join(self.meta_dir, "lineage.jsonl")
@@ -454,6 +465,18 @@ class IcebergLiteTable:
                 cur = self._snapshot_meta()
                 src_rel = cur.get("data_rel", "data") if cur else "data"
                 src = os.path.join(self.path, src_rel)
+                # empty commit log + a non-empty generation dir is crash
+                # debris from a write that renamed buckets but never
+                # marked them (markers persist across compactions, so a
+                # legitimately-written table always has them). Freezing
+                # that debris into a new generation would serve
+                # uncommitted rows — and a later resumed write() lands
+                # in data/ while the snapshot pins this generation.
+                if not done and os.path.isdir(src) and os.listdir(src):
+                    raise RuntimeError(
+                        "compact: data generation dir has content but the "
+                        "commit log is empty — an uncommitted (crashed) "
+                        "write; resume the write before compacting")
                 df = None
                 if os.path.isdir(src):      # absent for stream-only tables
                     df = spark.read.option("basePath", src).parquet(src)

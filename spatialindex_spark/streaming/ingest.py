@@ -15,6 +15,40 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.udfs import hpx_udf
 
 
+def _round_half_up(arr):
+    """Bit-match Spark ``F.round`` on doubles (BigDecimal.valueOf =
+    shortest-decimal string, HALF_UP).  Python ``repr`` produces the
+    same shortest decimal form and ``decimal`` applies the same
+    rounding — verified identical to the JVM over randomized + halfway
+    + adversarial batteries (pandas/numpy ``round`` is HALF_EVEN and
+    DIVERGES on exact .5 values, silently breaking the documented
+    bit-parity with the batch operators).  Scalar loop: per-key
+    micro-batch frames here are small."""
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    q1 = decimal.Decimal(1)
+    a = np.asarray(pd.Series(arr).to_numpy(), dtype=np.float64)
+    out = np.empty(a.size, dtype=np.int64)
+    for i in range(a.size):
+        out[i] = int(decimal.Decimal(repr(float(a[i]))).quantize(
+            q1, rounding=decimal.ROUND_HALF_UP))
+    return out
+
+
+def _div_trunc(a, b: int):
+    """Spark ``div`` (truncate toward zero) for int64 arrays — Python
+    ``//`` floors, which lands negative (pre-epoch) ticks one bucket
+    lower than the batch operator's ``div``."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.int64)
+    q = a // b
+    return q + ((a % b != 0) & ((a < 0) != (b < 0)))
+
+
 def stream_cell_counts(stream: DataFrame, level: int = 7,
                        ts_col: str = "ts", ra_col: str = "ra",
                        dec_col: str = "dec",
@@ -140,11 +174,11 @@ def stream_sessionize(stream: DataFrame, user_col: str = "user_id",
 
     def update(key, pdfs, state: GroupState):
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values([ts_col, event_col], kind="stable")
+        pdf = pdf.sort_values(["_sec", event_col], kind="stable")
         last_ts, seq = state.get if state.exists else (float("-inf"), -1)
         out_seq = []
-        for ts in pdf[ts_col]:
-            sec = ts.timestamp()
+        for sec in pdf["_sec"]:
+            sec = float(sec)
             if sec - last_ts > gap_s:
                 seq += 1
             last_ts = sec
@@ -156,7 +190,16 @@ def stream_sessionize(stream: DataFrame, user_col: str = "user_id",
             "session_seq": out_seq,
         })
 
-    return (stream.groupBy(user_col)
+    # epoch seconds computed JVM-side with the batch operator's exact
+    # cast chain (timestamp -> double). Arrow hands TimestampType to
+    # pandas as session-tz-localized NAIVE wall-clock, and naive
+    # .timestamp() re-interprets that as UTC — a mapping that shifts
+    # across a DST transition (spurious split/merge) and diverges from
+    # batch sessionize's documented tz-independence.
+    src = stream.select(
+        F.col(user_col), F.col(event_col),
+        F.col(ts_col).cast("timestamp").cast("double").alias("_sec"))
+    return (src.groupBy(user_col)
             .applyInPandasWithState(
                 update,
                 f"{user_col} long, {event_col} long, session_seq long",
@@ -184,9 +227,8 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
     import math
 
     from ..functions.geometry import RAD_PER_DEG
-    from ..functions.healpix import safe_ring1_rad
-    from ..operators.joins import (JVM_RING_MAX_LEVEL, _ring1_map_df,
-                                   hpx_cell_key, pick_match_level)
+    from ..operators.joins import (_ring1_map_df, hpx_cell_key,
+                                   ring_cover_level)
 
     # Cap at JVM_RING_MAX_LEVEL like batch crossmatch: _ring1_map_df builds
     # 12*4^lvl rows on the driver (level 12 ~ 200M rows would OOM), and the
@@ -197,12 +239,7 @@ def stream_crossmatch(stream: DataFrame, catalog: DataFrame,
     # multi-ring disc map (12 pixels, trivially broadcastable) — the same
     # chain-coverage argument as batch crossmatch's rings>1 path, so no
     # radius silently under-matches (r3 advice fix).
-    lvl = min(pick_match_level(radius_deg), cell_level, JVM_RING_MAX_LEVEL)
-    rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
-    if rings > 1:
-        lvl = 0
-        rings = max(1, math.ceil(radius_deg * RAD_PER_DEG
-                                 / safe_ring1_rad(0)))
+    lvl, rings = ring_cover_level(radius_deg, cell_level)
     ring_map = _ring1_map_df(catalog.sparkSession, lvl, rings)
     cat = (catalog.withColumn("_mc", hpx_cell_key(cell_col, cell_level, lvl))
            .withColumnRenamed(ra_col, "cat_ra")
@@ -245,16 +282,10 @@ def stream_transients(stream: DataFrame, catalog: DataFrame,
     import math
 
     from ..functions.geometry import RAD_PER_DEG
-    from ..functions.healpix import safe_ring1_rad
-    from ..operators.joins import (JVM_RING_MAX_LEVEL, _ring1_map_df,
-                                   hpx_cell_key, pick_match_level)
+    from ..operators.joins import (_ring1_map_df, hpx_cell_key,
+                                   ring_cover_level)
 
-    lvl = min(pick_match_level(radius_deg), cell_level, JVM_RING_MAX_LEVEL)
-    rings = max(1, math.ceil(radius_deg * RAD_PER_DEG / safe_ring1_rad(lvl)))
-    if rings > 1:
-        lvl = 0
-        rings = max(1, math.ceil(radius_deg * RAD_PER_DEG
-                                 / safe_ring1_rad(0)))
+    lvl, rings = ring_cover_level(radius_deg, cell_level)
     ring_map = _ring1_map_df(catalog.sparkSession, lvl, rings)
     cat = (catalog
            .withColumn("_pix", hpx_cell_key(cell_col, cell_level, lvl))
@@ -294,20 +325,12 @@ def stream_cutout(stream_images: DataFrame, targets: DataFrame,
     be aggregated at plan time); rows exceeding it raise at runtime via
     an in-plan guard rather than silently under-matching.
     """
-    import math
+    from ..operators.cutouts import _tan_px_cols, pairing_radius_deg
+    from ..operators.joins import (_ring1_map_df, hpx_cell_key,
+                                   ring_cover_level)
 
-    from ..functions.geometry import RAD_PER_DEG
-    from ..functions.healpix import safe_ring1_rad
-    from ..operators.cutouts import _tan_px_cols
-    from ..operators.joins import (JVM_RING_MAX_LEVEL, _ring1_map_df,
-                                   hpx_cell_key, pick_match_level)
-
-    radius = scale_deg_px * (math.hypot(max_dim_px, max_dim_px) / 2.0 + 1.0)
-    lvl = min(pick_match_level(radius), cell_level, JVM_RING_MAX_LEVEL)
-    rings = max(1, math.ceil(radius * RAD_PER_DEG / safe_ring1_rad(lvl)))
-    if rings > 1:
-        lvl = 0
-        rings = max(1, math.ceil(radius * RAD_PER_DEG / safe_ring1_rad(0)))
+    radius = pairing_radius_deg(scale_deg_px, max_dim_px)
+    lvl, rings = ring_cover_level(radius, cell_level)
     ring_map = _ring1_map_df(stream_images.sparkSession, lvl, rings)
 
     tgt = (targets.select(target_id, F.col("ra").alias("t_ra"),
@@ -402,11 +425,18 @@ def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col])
             for rid, rts, rhash in zip(pdf[id_col], pdf[ts_col], pdf["_sh"]):
-                dup = any(bin(int(rhash) ^ int(h)).count("1") <= max_hamming
-                          for h in hashes)
+                # owner exclusion (span_dedup's idiom): an at-least-once
+                # replay of the SAME doc must not match its own earlier
+                # hash — that flagged the only copy as a near-dup and
+                # got it deleted downstream
+                dup = any(oid != int(rid)
+                          and bin(int(rhash) ^ int(h)).count("1")
+                          <= max_hamming
+                          for oid, h in zip(ids, hashes))
                 out.append((rid, rts, dup))
-                ids.append(int(rid))
-                hashes.append(int(rhash))
+                if (int(rid), int(rhash)) not in zip(ids, hashes):
+                    ids.append(int(rid))
+                    hashes.append(int(rhash))
         if len(ids) > max_per_band:
             ids = ids[-max_per_band:]
             hashes = hashes[-max_per_band:]
@@ -467,7 +497,7 @@ def stream_variability(stream: DataFrame, key_col: str = "user_id",
 
     def update(key, pdfs, state: GroupState):
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf["_yq"] = (pdf[y_col] * y_quant).round().astype("int64")
+        pdf["_yq"] = _round_half_up(pdf[y_col] * y_quant)
         pdf = pdf.sort_values([t_col, "_yq"], kind="stable")
         if state.exists:
             n, sy, syy, mn, mx, sd2, last = state.get
@@ -539,9 +569,9 @@ def stream_periodogram(stream: DataFrame, freqs, key_col: str = "user_id",
 
     def update(key, pdfs, state: GroupState):
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        yq = np.round(pdf[y_col].to_numpy() * y_quant).astype(np.int64)
-        c = np.round(np.cos(pdf["_wt"].to_numpy()) * tq).astype(np.int64)
-        s = np.round(np.sin(pdf["_wt"].to_numpy()) * tq).astype(np.int64)
+        yq = _round_half_up(pdf[y_col].to_numpy() * y_quant)
+        c = _round_half_up(np.cos(pdf["_wt"].to_numpy()) * tq)
+        s = _round_half_up(np.sin(pdf["_wt"].to_numpy()) * tq)
         z = (state.get if state.exists else (0,) * 10)
         n = z[0] + len(pdf)
         sy = z[1] + int(yq.sum())
@@ -611,7 +641,7 @@ def stream_phase_fold(stream: DataFrame, period_us: int, n_bins: int = 8,
             mxs = [None] * B
         tq = pdf[t_col].astype("int64")
         bins = ((tq % P + P) % P) * B // P
-        yqs = (pdf[y_col] * y_quant).round().astype("int64")
+        yqs = _round_half_up(pdf[y_col] * y_quant)
         for b, v in zip(bins, yqs):
             b, v = int(b), int(v)
             ns[b] += 1
@@ -664,9 +694,9 @@ def stream_proper_motions(stream: DataFrame, key_col: str = "obj_id",
 
     def update(key, pdfs, state: GroupState):
         pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf["_t"] = (pdf[t_col].astype("int64") // t_quant_us)
-        pdf["_ra"] = (pdf[ra_col] * pos_quant).round().astype("int64")
-        pdf["_dec"] = (pdf[dec_col] * pos_quant).round().astype("int64")
+        pdf["_t"] = _div_trunc(pdf[t_col].astype("int64"), t_quant_us)
+        pdf["_ra"] = _round_half_up(pdf[ra_col] * pos_quant)
+        pdf["_dec"] = _round_half_up(pdf[dec_col] * pos_quant)
         if state.exists:
             n, st, stt, sra, stra, sdec, stdec = state.get
         else:

@@ -2144,3 +2144,32 @@ def test_minhash_dedup_hot_bucket_path_identical(spark, monkeypatch):
     hot = sorted(r.doc_id for r in
                  minhash_lsh_dedup(df, threshold=0.7).collect())
     assert hot == base and len(base) < len(docs)
+
+
+def test_iceberg_guards_overflow_and_crash_debris(spark, tmp_path):
+    """Two storage-layer guards: (a) a bucket configuration whose
+    (cell - lo) * num_buckets product overflows int64 must fail at
+    CONSTRUCTION (mid-write it raises per-row under ANSI and silently
+    drops rows to negative buckets without); (b) compact() must refuse a
+    data/ directory holding renamed-but-unmarked crash debris — freezing
+    uncommitted rows into a generation would serve them forever."""
+    import os
+
+    import pytest
+
+    from spatialindex_spark.sources.iceberg_lite import IcebergLiteTable
+
+    # (a) hpx level 27 x 64 buckets: span*nb ~ 1.4e19 > 2^63
+    with pytest.raises(ValueError, match="overflow"):
+        IcebergLiteTable(str(tmp_path / "deep"), system="hpx", level=27)
+    # the engine's own practical ceiling still constructs
+    IcebergLiteTable(str(tmp_path / "ok20"), system="hpx", level=20)
+
+    # (b) crash debris: bucket dir present, commit log empty
+    t = IcebergLiteTable(str(tmp_path / "debris"), num_buckets=4)
+    os.makedirs(os.path.join(t.data_dir, "bucket=0"))
+    with open(os.path.join(t.data_dir, "bucket=0", "part-0.parquet"),
+              "wb") as f:
+        f.write(b"not really parquet")
+    with pytest.raises(RuntimeError, match="commit log is empty"):
+        t.compact(spark)

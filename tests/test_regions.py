@@ -423,10 +423,18 @@ def test_stream_simhash_dedup(spark, tmp_path):
     spark.createDataFrame(rows2, schema).coalesce(1) \
         .write.mode("append").parquet(src)
     q.processAllAvailable()
+
+    # at-least-once REDELIVERY: the same doc_id 12 with the same text
+    # arrives again — owner exclusion must keep it from matching its own
+    # earlier hash (flagging the only copy would delete the document)
+    spark.createDataFrame([rows2[2]], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+    q.processAllAvailable()
     q.stop()
     losers = {r.doc_id for r in
               spark.sql("SELECT DISTINCT doc_id FROM sh_stream "
                         "WHERE near_dup").collect()}
+    assert 12 not in losers
 
     all_rows = spark.createDataFrame(rows + rows2, schema)
     kept = {r.doc_id for r in
@@ -503,3 +511,50 @@ def test_stream_span_dedup(spark, tmp_path):
     # the misaligned batch-2 copy flagged; the internal repeater did not
     assert got.get((10, True), 0) > 0
     assert got.get((2, True), 0) == 0
+
+
+def test_stream_sessionize_tz_independent_across_dst(spark, tmp_path):
+    """The stream's gap must be measured on epoch instants (batch
+    sessionize's documented tz-independence), not session-tz wall-clock:
+    with session tz America/New_York, two events 10 REAL minutes apart
+    straddling the 2024-03-10 spring-forward read 70 wall-clock minutes
+    apart — the old naive .timestamp() path split the session there
+    (regression for the _sec epoch-cast fix)."""
+    import datetime
+
+    from spatialindex_spark.operators.asof import sessionize
+    from spatialindex_spark.streaming.ingest import stream_sessionize
+
+    utc = datetime.timezone.utc
+    # 06:55 UTC = 01:55 EST; 07:05 UTC = 03:05 EDT (wall +70 min)
+    rows = [
+        (1, 1, datetime.datetime(2024, 3, 10, 6, 40, tzinfo=utc)),
+        (2, 1, datetime.datetime(2024, 3, 10, 6, 55, tzinfo=utc)),
+        (3, 1, datetime.datetime(2024, 3, 10, 7, 5, tzinfo=utc)),
+        (4, 1, datetime.datetime(2024, 3, 10, 8, 30, tzinfo=utc)),  # new
+    ]
+    schema = "event_id long, user_id long, ts timestamp"
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        src = str(tmp_path / "dst_in")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+        stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+                  .parquet(src))
+        out = stream_sessionize(stream, gap_minutes=30.0)
+        q = (out.writeStream.outputMode("update").format("memory")
+             .queryName("t_dst").start())
+        try:
+            q.processAllAvailable()
+            got = {r.event_id: r.session_seq
+                   for r in spark.sql("SELECT * FROM t_dst").collect()}
+        finally:
+            q.stop()
+        want = {r.event_id: r.session_seq for r in sessionize(
+            spark.createDataFrame(rows, schema)).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+    assert got == want
+    # events 2->3 are 10 real minutes apart: SAME session despite the
+    # 70-minute wall-clock jump; event 4 starts a new one
+    assert got[2] == got[3] == 0 and got[4] == 1

@@ -826,3 +826,93 @@ def test_stream_proper_motions_across_batches(spark, tmp_path):
             assert got[k][f] == want[k][f], (k, f, got[k][f], want[k][f])
         # planted slope recovered within the dither bound
         assert abs(got[k]["pm_ra"] - ((k % 5) - 2) * 1e-6) < 1e-6
+
+
+def test_stream_variability_halfway_quantization_parity(spark, tmp_path):
+    """Quantization parity on exact .5 values: batch variability uses
+    Spark F.round (HALF_UP on the shortest-decimal form) while pandas
+    round is HALF_EVEN — y = 0.125 at y_quant=100 lands on 12.5 and the
+    two disagree (13 vs 12). The stream must match the batch bit-for-bit
+    on a .5-rich series (regression for the _round_half_up fix)."""
+    from spatialindex_spark.operators.timedomain import variability_stats
+    from spatialindex_spark.streaming.ingest import stream_variability
+
+    rows = []
+    for k in (1, 2):
+        # every value quantizes to an exact .5: 0.125->12.5, 0.135->13.5,
+        # -0.125->-12.5 (HALF_UP rounds away from zero)
+        for i, y in enumerate([0.125, 0.135, -0.125, 0.145, 0.125,
+                               -0.135, 0.155, 0.125]):
+            rows.append((k, float(i), y if k == 1 else y * 3))
+    schema = "user_id long, t double, y double"
+    src = str(tmp_path / "half_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    out = stream_variability(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_half").start())
+    try:
+        q.processAllAvailable()
+        rows_out = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY n_obs DESC) AS rk FROM t_half) "
+            "WHERE rk = 1").collect()
+        got = {r["user_id"]: r for r in rows_out}
+    finally:
+        q.stop()
+    want = {r["key"]: r for r in variability_stats(
+        spark.createDataFrame(rows, schema), "user_id", "t", "y").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("n_obs", "mean_y", "var_y", "amp_y", "eta"):
+            assert got[k][f] == want[k][f], (k, f, got[k][f], want[k][f])
+
+
+def test_stream_proper_motions_pre_epoch_parity(spark, tmp_path):
+    """Pre-1970 epochs: batch proper_motions buckets ticks with Spark
+    `div` (truncate toward zero) while Python // floors — negative
+    timestamps landed one tick lower in the stream (regression for the
+    _div_trunc fix). Positions also sit on exact .5 quanta."""
+    from spatialindex_spark.operators.timedomain import proper_motions
+    from spatialindex_spark.streaming.ingest import stream_proper_motions
+
+    rows = []
+    for k in range(2):
+        for e in range(8):
+            # ticks straddle zero and are NOT on tick boundaries
+            t_us = (e - 4) * 3_600_000_000 + 1_800_000_001
+            rows.append((k, 1000 * k + e,
+                         float(40.0 + k + e * 1e-6 + 5e-7),   # .5 quanta
+                         float(10.0 + k + e * 1e-6 + 5e-7),
+                         t_us))
+    schema = ("obj_id long, det_id long, ra double, dec double, "
+              "t_us long")
+    src = str(tmp_path / "pm_neg_in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .parquet(src))
+    out = stream_proper_motions(stream)
+    q = (out.writeStream.outputMode("update").format("memory")
+         .queryName("t_pm_neg").start())
+    try:
+        q.processAllAvailable()
+        rows_out = spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY obj_id ORDER BY n_obs DESC) AS rk FROM "
+            "t_pm_neg) WHERE rk = 1").collect()
+        got = {r["obj_id"]: r for r in rows_out}
+    finally:
+        q.stop()
+    det = spark.createDataFrame(rows, schema) \
+        .select("det_id", "ra", "dec", "t_us")
+    cat = spark.createDataFrame(
+        [(k, 40.0 + k, 10.0 + k) for k in range(2)],
+        "obj_id long, ra double, dec double")
+    want = {r["obj"]: r for r in proper_motions(
+        det, cat, 0.01, det_id="det_id", obj_id="obj_id",
+        time_col="t_us").collect()}
+    assert set(got) == set(want)
+    for k in want:
+        for f in ("n_obs", "pm_ra", "pm_dec", "ra0", "dec0"):
+            assert got[k][f] == want[k][f], (k, f, got[k][f], want[k][f])
