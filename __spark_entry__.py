@@ -1744,8 +1744,8 @@ def _temperature_mix_sql() -> str:
         "  FROM w, t) "
         "SELECT d.doc_id, d.source FROM documents d "
         "JOIN thr USING (source) "
-        "WHERE ((d.doc_id % 1000003) * 2654435761) % 999999937 "
-        "  % 10000 < thr.thr"
+        "WHERE ((((d.doc_id % 1000003) * 2654435761) % 999999937 "
+        "  % 10000) + 10000) % 10000 < thr.thr"
     )
 
 
@@ -4558,7 +4558,8 @@ WHERE sin(radians(s.dec)) * sin(radians(c.dec))
         ),
         "stratified_sample": (
             "SELECT doc_id, source FROM documents "
-            "WHERE ((doc_id % 1000003) * 2654435761) % 999999937 % 10000 < "
+            "WHERE ((((doc_id % 1000003) * 2654435761) % 999999937 "
+            "  % 10000) + 10000) % 10000 < "
             "  CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 9000 "
             "  WHEN 'src2' THEN 2500 ELSE 1000 END"
         ),

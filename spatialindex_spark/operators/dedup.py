@@ -8,8 +8,8 @@ All variants are DataFrame-native and shuffle-aware:
   pairs only ever join on (band, band_hash) keys, so the shuffle volume is
   O(rows x bands), not O(rows^2).
 - ``simhash_dedup``: 64-bit simhash; near-dup candidates via b-bit band keys.
-- ``ngram_jaccard``: exact n-gram Jaccard on candidate pairs (verifier stage
-  after LSH, or standalone for small sets).
+- ``jaccard_udf`` / ``minhash_verified_pairs``: exact n-gram Jaccard on
+  candidate pairs (the verifier stage after LSH banding).
 - ``embedding_cosine_dedup``: see similarity.py (cosine top-1 over LSH
   buckets).
 
@@ -315,15 +315,17 @@ def pick_bands(num_perm: int, threshold: float) -> int:
     pairs (a 16-band split at t=0.9 produced 1.8M candidates from 5k docs;
     the matched 4-band split produces thousands)."""
     best, best_d = 1, 10.0
-    b = 1
-    while b <= num_perm:
+    # every divisor, not just powers of two: pick_bands(48, 0.5) must be
+    # able to reach b=12 (the old b *= 2 walk skipped 3/6/12/24/48 and
+    # silently landed the S-curve midpoint far from the request for any
+    # non-power-of-two num_perm)
+    for b in range(1, num_perm + 1):
         if num_perm % b == 0:
             r = num_perm // b
             t_star = (1.0 / b) ** (1.0 / r)
             d = abs(t_star - threshold)
             if d < best_d:
                 best, best_d = b, d
-        b *= 2
     return best
 
 

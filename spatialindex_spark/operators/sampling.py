@@ -47,7 +47,10 @@ def stratified_sample(df: DataFrame, fractions: dict[str, float],
     for s, frac in sorted(fractions.items()):
         thr = F.when(F.col(source_col) == s,
                      F.lit(int(round(frac * 10000)))).otherwise(thr)
-    return df.filter((det_hash_col(id_col) % F.lit(10000)) < thr)
+    # pmod, not %: Spark % follows the dividend's sign, so a negative id
+    # (xxhash64-derived ids are negative ~half the time) made the
+    # remainder negative and the `< thr` keep-rule pass at ANY fraction
+    return df.filter(F.pmod(det_hash_col(id_col), F.lit(10000)) < thr)
 
 
 def temperature_mix(df: DataFrame, temperature: float, target_rows: int,
@@ -99,6 +102,10 @@ def temperature_mix(df: DataFrame, temperature: float, target_rows: int,
                             / (tot * counts[s]))))
            for s in counts}
     cond = F.lit(0)
-    for s, t in sorted(thr.items()):
-        cond = F.when(F.col(source_col) == s, F.lit(t)).otherwise(cond)
-    return df.filter((det_hash_col(id_col) % F.lit(10000)) < cond)
+    # None sorts via the (is-None, value) key and matches via eqNullSafe:
+    # a corpus with one NULL source used to crash the driver sort and
+    # would otherwise silently fall to threshold 0
+    for s, t in sorted(thr.items(), key=lambda kv: (kv[0] is None, kv[0] or "")):
+        cond = F.when(F.col(source_col).eqNullSafe(s), F.lit(t)) \
+                .otherwise(cond)
+    return df.filter(F.pmod(det_hash_col(id_col), F.lit(10000)) < cond)

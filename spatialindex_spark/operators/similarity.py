@@ -46,12 +46,21 @@ PLANE_SEED = 987
 
 
 def _cosine_col(a: str, b: str):
-    """JVM-side cosine between two array<float/double> columns."""
+    """JVM-side cosine between two array<float/double> columns.
+
+    The norm product is floored at 1e-24 (norms below 1e-12 — far under
+    any real embedding): an all-zeros vector used to produce 0.0/0.0 =
+    NaN, and Spark orders NaN ABOVE every double, so the zero vector
+    ranked first in every top-k it touched and NaN >= threshold held in
+    the dedup filters. With the floor it scores 0.0 — below any positive
+    similarity, never past a positive threshold. (The DuckDB oracle's
+    ``list_cosine_similarity`` has its own zero-vector convention; the
+    gate tables contain none, so the oracles pin the nonzero path.)"""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                       F.lit(0.0), lambda acc, v: acc + v)
     na = F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
     nb = F.sqrt(F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+    return dot / F.greatest(na * nb, F.lit(1e-24))
 
 
 def brute_force_topk(queries: DataFrame, data: DataFrame, k: int,
@@ -234,15 +243,22 @@ def embedding_cosine_dedup(df: DataFrame, dim: int, threshold: float = 0.98,
                  F.shiftright("_sig", b * band_bits).bitwiseAND(F.lit(mask)).alias("h"))
         for b in range(nbands)])
     s = s.withColumn("_band", F.explode(bands)).drop("_sig")
-    a = s.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), "_band")
-    b = s.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), "_band")
-    # no pair-level distinct: a pair matching in m <= nbands bands gets its
-    # (cheap, JVM) cosine evaluated m times, which beats shuffling the
-    # vectors again for dedup; losers are distinct'd on the bare id.
-    pairs = (a.join(b, "_band").filter(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", _cosine_col("_va", "_vb"))
+    stacked = s.select(F.col(id_col), F.col("_v"),
+                       F.col("_band.b").alias("band"),
+                       F.col("_band.h").alias("bh"))
+    # candidate pairs via dedup's shared one-pass bucket enumerator: the
+    # old band self-join referenced the signature-UDF subtree once per
+    # side AND funneled a degenerate bucket's N^2 pairs into one task —
+    # _bucket_pairs computes signatures once and block-splits hot
+    # buckets (HOT_BUCKET_CAP). A pair matching in m <= nbands bands
+    # still gets its (cheap, JVM) cosine evaluated m times; losers are
+    # distinct'd on the bare id, so that costs no extra shuffle.
+    from .dedup import _bucket_pairs
+
+    pairs = (_bucket_pairs(stacked, ["band", "bh"], id_col, payload=["_v"])
+             .withColumn("cosine", _cosine_col("_a._v", "_b._v"))
              .filter(F.col("cosine") >= threshold))
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    losers = pairs.select(F.col("_b._id").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 

@@ -185,7 +185,7 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
         raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
 
     def grams(frame):
-        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        words = _tokens(F.col(text_col))  # MUST match with_repetition
         nw = F.size(words)
         g = F.when(
             nw >= n,

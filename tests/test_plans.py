@@ -422,3 +422,66 @@ def test_zorder_cell_time_rowgroup_pruning(spark, tmp_path):
     a = spark.read.parquet(p_z).filter(pred).count()
     b = spark.read.parquet(p_cell).filter(pred).count()
     assert a == b and a > 0
+
+
+def test_cosine_zero_vector_never_ranks_first(spark):
+    """A zero embedding used to score NaN cosine (0/0), and Spark orders
+    NaN above every double — so the zero vector ranked first in every
+    top-k and NaN >= threshold held in the dedup filter. With the
+    norm-product floor it scores 0.0: below real positive matches,
+    never past a positive threshold (regression for _cosine_col)."""
+    import numpy as np
+
+    from spatialindex_spark.operators.similarity import (
+        brute_force_topk, embedding_cosine_dedup)
+
+    dim = 8
+    rng = np.random.default_rng(5)
+    vecs = [(i, [float(x) for x in rng.normal(size=dim)])
+            for i in range(20)]
+    vecs.append((99, [0.0] * dim))               # the zero vector
+    vecs.append((100, list(vecs[0][1])))         # exact dup of vec 0
+    data = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, vecs[0][1])],
+                              "query_id long, embedding array<double>")
+    top = brute_force_topk(q, data, k=3).collect()
+    ranked = [r.vec_id for r in sorted(top, key=lambda r: r.rank)]
+    assert 99 not in ranked            # NaN used to put it at rank 1
+    assert set(ranked[:2]) == {0, 100}
+    # dedup: the zero vector must neither be dropped nor drop bandmates
+    kept = {r.vec_id for r in embedding_cosine_dedup(
+        data, dim=dim, threshold=0.9).select("vec_id").collect()}
+    assert 99 in kept and 0 in kept and 100 not in kept
+
+
+def test_sampling_negative_ids_and_null_source(spark):
+    """Two sampling edge cases from the review pass: (a) Spark % follows
+    the dividend's sign, so negative ids (xxhash64-derived) used to pass
+    the `hash % 10000 < thr` keep-rule at ANY fraction — pmod fixes the
+    realized fraction; (b) a NULL source value crashed temperature_mix's
+    driver sort."""
+    from spatialindex_spark.operators.sampling import (
+        stratified_sample, temperature_mix)
+
+    rows = [(i if i % 2 == 0 else -i, "s0") for i in range(1, 4001)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_sample(df, {"s0": 0.0}).count()
+    assert kept == 0                   # was ~half (every negative id)
+    frac = stratified_sample(df, {"s0": 0.25}).count() / 4000
+    assert 0.2 < frac < 0.3            # negative ids hash uniformly now
+
+    nulls = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        "doc_id long, source string")
+    out = temperature_mix(nulls, temperature=0.5, target_rows=5)
+    assert out.count() >= 0            # used to TypeError on the driver
+
+
+def test_pick_bands_non_power_of_two():
+    """pick_bands must search every divisor: at num_perm=48, t=0.5 the
+    best S-curve midpoint is b=12 (t*~0.537) — the old power-of-two walk
+    could only reach b=8 (t*~0.707)."""
+    from spatialindex_spark.operators.dedup import pick_bands
+
+    assert pick_bands(48, 0.5) == 12
+    assert pick_bands(64, 0.5) == 16   # power-of-two behavior unchanged
