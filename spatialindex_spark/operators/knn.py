@@ -64,11 +64,31 @@ def _disc_cells(lvl: int, pix: int, r: int) -> np.ndarray:
 def _shell_cells_udf(lvl: int, r_lo: int, r_hi: int):
     """Cells in disc(r_hi) \\ disc(r_lo) per query row (r_lo=0 => the whole
     disc including the center cell). Shells are disjoint across widening
-    rounds, so accumulated candidate pairs never duplicate."""
+    rounds, so accumulated candidate pairs never duplicate.
+
+    The (0, 1) case — the only shape knn_join's fine rungs and knn()'s
+    first probe use — is fully vectorized (guide §4.2): the old per-row
+    ``_disc_cells`` loop ran np.unique once per row, and on a
+    cell-clustered table a dense spot concentrates in ONE task, which
+    then gates every broadcast/job that evaluates the UDF (profiled at
+    sf1: 4.7-5.7 s straggler tasks, several per sweep). The batch path
+    computes all rows' 9-cell discs in one ``neighbors`` call and
+    dedups with a sort + shift-compare, identical output set per row
+    (order differs; the consumer explodes, so order is irrelevant)."""
 
     @pandas_udf("array<long>")
     def _udf(ra: pd.Series, dec: pd.Series) -> pd.Series:
         pix = hpx_id(lvl, ra.values, dec.values)
+        if r_lo == 0 and r_hi == 1:
+            nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
+            keep = nb >= 0
+            keep[:, 1:] &= nb[:, 1:] != nb[:, :-1]
+            counts = keep.sum(axis=1)
+            flat = nb[keep]
+            if len(pix) == 0:
+                return pd.Series([], dtype=object)
+            rows = np.split(flat, np.cumsum(counts)[:-1])
+            return pd.Series([r.tolist() for r in rows])
         out = []
         for p in pix:
             hi = _disc_cells(lvl, p, r_hi)
@@ -425,16 +445,35 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                            *([F.col(cell_col).alias("_rcell")]
                              if use_cell else []))
 
+    # ORDERING KEY: ``_dist`` holds the NEGATED pair cosine (-dot), not the
+    # angular distance. acos is strictly decreasing, so ordering/thresholds
+    # on -dot are EXACTLY the orderings/thresholds on the acos distance —
+    # same ranks, same tiebreaks, same survivor sets — while the per-pair
+    # cost drops from 5 trig + acos to 3 multiplies + 2 adds when both
+    # sides carry precomputed unit vectors (guide §2.3/§1.2 "per-task
+    # work": profiled at sf1 the candidate-pair distance evaluation was
+    # ~200 CPU-s of the sweep's ~210 CPU-s main job). Output never exposes
+    # a distance column, so the substitution is invisible outside.
     rad = F.radians
-    dot = (F.cos(rad(F.col("_ldec"))) * F.cos(rad(F.col("_rdec")))
-           * F.cos(rad(F.col("_lra")) - rad(F.col("_rra")))
-           + F.sin(rad(F.col("_ldec"))) * F.sin(rad(F.col("_rdec"))))
-    dist = F.degrees(F.acos(F.least(F.greatest(dot, F.lit(-1.0)),
-                                    F.lit(1.0))))
+    trig_dot = (F.cos(rad(F.col("_ldec"))) * F.cos(rad(F.col("_rdec")))
+                * F.cos(rad(F.col("_lra")) - rad(F.col("_rra")))
+                + F.sin(rad(F.col("_ldec"))) * F.sin(rad(F.col("_rdec"))))
+    xyz_dot = (F.col("_lx") * F.col("_rx") + F.col("_ly") * F.col("_ry")
+               + F.col("_lz") * F.col("_rz"))
+
+    def _with_xyz(df: DataFrame, pre: str, ra_c: str, dec_c: str) -> DataFrame:
+        cr, cd = rad(F.col(ra_c)), rad(F.col(dec_c))
+        return df.withColumns({f"{pre}x": F.cos(cr) * F.cos(cd),
+                               f"{pre}y": F.sin(cr) * F.cos(cd),
+                               f"{pre}z": F.sin(cd)})
+
+    def _negcos(vr_deg: float) -> float:
+        return -math.cos(vr_deg * RAD_PER_DEG)
 
     def rank_topk(cand: DataFrame, max_dist: float | None = None) -> DataFrame:
         """Rank candidates per left row; ``max_dist`` (the pass's verified
-        radius) prunes candidates BEFORE the rank window. Safe by the same
+        radius as a NEGATED cosine — see the _dist note above) prunes
+        candidates BEFORE the rank window. Safe by the same
         argument as the satisfaction criterion: a pass's output is kept
         only for rows whose k-th candidate lies within vr, and for those
         rows every true top-k member is within vr, so dropping farther
@@ -448,11 +487,23 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         2 levels instead of jumping) — starved rows are the sparse tail."""
         if exclude_self:
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
-        cand = cand.withColumn("_dist", dist)
+        # unit vectors when the caller precomputed them (the candidate-join
+        # paths); the small fallback paths (starved crossJoin, vacuous
+        # empty-left) evaluate the trig form per pair — each left row's
+        # candidates all rank through exactly ONE of the two forms, so
+        # per-row ordering is internally consistent
+        pair = xyz_dot if "_lx" in cand.columns else trig_dot
+        cand = cand.withColumn("_dist", -pair)
         if max_dist is not None:
             _md = (max_dist if isinstance(max_dist, Column)
                    else F.lit(max_dist))
             cand = cand.filter(F.col("_dist") <= _md)
+        # project before the rank exchange (guide §2.3): _dist is already
+        # computed and the radius filter applied, so the window needs only
+        # (_lid, _rid, _dist) — every caller consumes exactly those plus
+        # _rk. Coordinates (and the sweep's _vr literal) would otherwise
+        # ride the rank shuffle as dead weight on every candidate row.
+        cand = cand.select("_lid", "_rid", "_dist")
         w = Window.partitionBy("_lid").orderBy(F.col("_dist").asc(),
                                                F.col("_rid").asc())
         return (cand.withColumn("_rk", F.row_number().over(w))
@@ -519,14 +570,29 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         fine_grids: list = []  # [(level, counts_df)] finest LAST
         srv = rk_base      # running survivor frame (rows in hot cells)
         srv_has_rf = False
+        # materialize survivors once they are provably small: the lazy
+        # chain otherwise re-evaluates from rk_base — a FULL table scan
+        # plus the survivor Arrow keying — on every refinement step
+        # (profiled at sf1: 1.5-2.6 s per step, ~pure rescan). The bound
+        # is exact and driver-cheap: hot carries the per-cell counts, so
+        # sum(_dn) IS the survivor row count. Above the cap (env
+        # SPT_KNN_DRILL_CKPT_MAX) the old lazy behavior is kept — never
+        # materialize an unbounded frame on a 100 TB table.
+        import os as _os
+        _ckpt_max = int(_os.environ.get("SPT_KNN_DRILL_CKPT_MAX",
+                                        "8000000"))
         cur, lvlp = counts_top, ref_top
         while lvlp + 2 <= even_top:
             nxt = lvlp + 2
             hot = (cur.filter(F.col("_dn") >= REFINE_CNT)
                    .orderBy(F.col("_dn").desc()).limit(TOP_REFINE)
-                   .select(F.col("_dc").alias("_hc"))
+                   .select(F.col("_dc").alias("_hc"), "_dn")
                    .localCheckpoint(eager=True))
-            if hot.limit(1).count() == 0:
+            # <= TOP_REFINE rows off a checkpointed frame: this collect
+            # replaces the old limit(1).count() emptiness probe AND
+            # yields the exact survivor count for the checkpoint gate
+            hot_rows = hot.select("_dn").collect()
+            if not hot_rows:
                 break
             # prune FIRST (JVM key: the ingest cell column, or _rf
             # materialized on a previous step's survivors), THEN key the
@@ -538,7 +604,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                     "_rf", hpx_udf(even_top)(F.col("_rra"),
                                              F.col("_rdec")))
                 srv_has_rf = True
-            srv = srv.join(F.broadcast(hot), _rkey_at(lvlp)
+            srv = srv.join(F.broadcast(hot.select("_hc")), _rkey_at(lvlp)
                            == F.col("_hc"), "left_semi")
             if not srv_has_rf and not (use_cell and nxt <= cell_level):
                 # survivors keyed once at even_top; every refinement
@@ -548,6 +614,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                     "_rf", hpx_udf(even_top)(F.col("_rra"),
                                              F.col("_rdec")))
                 srv_has_rf = True
+            if sum(r["_dn"] for r in hot_rows) <= _ckpt_max:
+                srv = srv.localCheckpoint(eager=True)
             fine = (srv.groupBy(_rkey_at(nxt).alias("_dc"))
                     .agg(F.count(F.lit(1)).alias("_dn"))
                     .filter(F.col("_dn") >= MIN_CNT)
@@ -733,16 +801,24 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         else:
             lpix = hpx_udf(lvl)(F.col("_lra"), F.col("_ldec"))
             rkey = hpx_udf(lvl)(F.col("_rra"), F.col("_rdec"))
+        # project before the join exchange (guide §2.3): the candidate
+        # join and the rank only need id + coordinates; _lcell/_albl (and
+        # _rcell on the right) would otherwise ride the exploded-left
+        # shuffle — the widest exchange of the whole operator — as dead
+        # weight.
+        act_xyz = _with_xyz(active, "_l", "_lra", "_ldec")
         if lvl <= JVM_RING_MAX_LEVEL:
             ring_map = _ring1_map_df(spark, lvl)
-            lk = (active.withColumn("_pix", lpix)
+            lk = (act_xyz.withColumn("_pix", lpix)
+                  .select("_lid", "_lx", "_ly", "_lz", "_pix")
                   .join(F.broadcast(ring_map), "_pix", "inner")
                   .withColumn("_mc", F.explode("_ring"))
                   .drop("_ring", "_pix"))
         else:
             disc = _shell_cells_udf(lvl, 0, 1)(F.col("_lra"),
                                                F.col("_ldec"))
-            lk = active.withColumn("_mc", F.explode(disc))
+            lk = (act_xyz.select("_lid", "_lx", "_ly", "_lz",
+                                 F.explode(disc).alias("_mc")))
         rk = rk_base
         if n_active is not None and 0 < n_active <= prune_max_active:
             # small rungs (cascade tails, spot edges): semi-joining the
@@ -751,7 +827,11 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # re-keying for a handful of rows — only matching rows reach
             # the exchange. Big rungs skip this (their cell set covers
             # most of the sky, so the prune would reject nothing).
-            cells = lk.select("_mc").distinct()
+            # Materialize the (tiny) cell set once: it feeds BOTH the
+            # ancestor prune and the semi-join, and un-checkpointed each
+            # consumer re-evaluates the full todo scan + disc expansion.
+            cells = (lk.select("_mc").distinct()
+                     .localCheckpoint(eager=True))
             if use_cell and lvl > cell_level:
                 # fine rung: the per-rung cell UDF would otherwise key
                 # the FULL right table before the cell prune can apply
@@ -768,6 +848,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                   .join(F.broadcast(cells), "_mc", "semi"))
         else:
             rk = rk.withColumn("_mc", rkey)
+        rk = (_with_xyz(rk, "_r", "_rra", "_rdec")
+              .select("_rid", "_rx", "_ry", "_rz", "_mc"))
         smap = _salt_map_at(lvl) if auto_levels else {}
         if smap:
             # residual hot-cell salting (see docstring + detection
@@ -806,7 +888,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             cand = cand.filter(F.col("_lid") != F.col("_rid"))
         return cand
 
-    def _reduce_partial(cand: DataFrame, vr_deg: float) -> DataFrame:
+    def _reduce_partial(cand: DataFrame, neg_cos_vr: float) -> DataFrame:
         """OPT-IN per-cell partial top-k before the global rank: the
         candidate join's output is already hash-partitioned on _mc,
         which satisfies the (_mc, _lid) clustering, so this groupBy
@@ -827,8 +909,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         exactly one _mc (right side has one key; left ring cells are
         deduped), so no pair double-counts, and struct ordering
         (_dist, _rid) matches the window tiebreak."""
-        per = (cand.withColumn("_dist", dist)
-               .filter(F.col("_dist") <= F.lit(vr_deg))
+        per = (cand.withColumn("_dist", -xyz_dot)
+               .filter(F.col("_dist") <= F.lit(neg_cos_vr))
                .groupBy("_mc", "_lid")
                .agg(F.slice(F.array_sort(F.collect_list(
                    F.struct("_dist", "_rid"))), 1, k).alias("_top")))
@@ -846,15 +928,15 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         # input depends on pass N's satisfaction anti-join.
         for lvl in levels:
             _t0 = _time.perf_counter()
-            vr_deg = vr_table[lvl]
+            ncv = _negcos(vr_table[lvl])  # vr threshold in -cos space
             cand = _build_cand(todo, lvl, None)
             if partial_topk:
-                red = _reduce_partial(cand, vr_deg)
+                red = _reduce_partial(cand, ncv)
                 ranked = (red.withColumn("_rk",
                                          F.row_number().over(w_rank))
                           .filter(F.col("_rk") <= k))
             else:
-                ranked = rank_topk(cand.drop("_mc"), max_dist=vr_deg)
+                ranked = rank_topk(cand.drop("_mc"), max_dist=ncv)
             # materialize the pass's top-k ONCE (<= k rows/left row,
             # narrow cols): sat, the output branch, and todo's eager
             # checkpoint all re-derive from it — without this the
@@ -866,7 +948,7 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # pass's verified radius — then ring-1 coverage proves the
             # top-k exact
             sat = (topk.filter((F.col("_rk") == k)
-                               & (F.col("_dist") <= vr_deg))
+                               & (F.col("_dist") <= ncv))
                    .select("_lid"))
             outputs.append(
                 topk.join(sat, "_lid", "semi")
@@ -912,19 +994,44 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             if not _hist:  # left side exhausted (or empty from start)
                 todo = None
                 break
-            while len(_hist) > 1:  # fold tail rungs (see _bounds above)
+            # per-rung pair-density MASS ledger for the fold budget:
+            # rows x density-bound summed per rung. A single max-bound
+            # per rung (the r5 scheme) let one 8-row tail folded down
+            # from a finer rung poison the whole rung's bound 16x and
+            # veto an affordable fold (measured at sf1: the 166-row
+            # rung-8 tail read 33M pairs under the max bound vs 3.6M
+            # true mass, forcing an extra full sweep); summing masses
+            # prices each row at its own bound instead.
+            _mass = {r: _hist[r] * _bound_of(r) for r in _hist}
+            while _hist:  # fold tail rungs (see _bounds above)
                 _t = max(_hist)
-                _nx = max(r for r in _hist if r < _t)
-                _b = _bound_of(_t)
-                if _hist[_t] * _b * 9.0 * area(_nx) > _mbudget:
+                _lower = [r for r in _hist if r < _t]
+                if _lower:
+                    _nx = max(_lower)
+                elif _t > 0:
+                    # LONE tail rung: pre-cascade it one even rung coarser
+                    # under the same pair budget. A small starved tail
+                    # otherwise converges two levels per sweep, paying a
+                    # full sweep's fixed cost (histogram job, branch
+                    # build, rank barrier, anti-join, checkpoint —
+                    # measured 1.6-4 s per sweep at sf1 for 133-166 rows)
+                    # per step; probing coarser up front costs only the
+                    # budget-bounded extra pairs and is correctness-free
+                    # (coarser probe = superset candidates + larger vr;
+                    # the satisfaction criterion re-verifies).
+                    _nx = _t - 2
+                else:
+                    break
+                if _mass[_t] * 9.0 * area(_nx) > _mbudget:
                     break
                 todo = todo.withColumn(
                     "_albl", F.when(F.col("_albl") == _t, F.lit(_nx))
                     .otherwise(F.col("_albl")))
-                _bounds[_nx] = max(_bound_of(_nx), _b)
+                _bounds[_nx] = max(_bound_of(_nx), _bound_of(_t))
                 if _dbg:
                     print(f"[knn_join] folded sparse rung {_t} "
                           f"({_hist[_t]} rows) into rung {_nx}")
+                _mass[_nx] = _mass.get(_nx, 0.0) + _mass.pop(_t)
                 _hist[_nx] = _hist.get(_nx, 0) + _hist.pop(_t)
             rungs = sorted(_hist, reverse=True)
             branches = []
@@ -937,10 +1044,10 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
                     # prefilter; reduced branches union directly into
                     # the global rank
                     branches.append(
-                        _reduce_partial(cand, vr_table[lvl]))
+                        _reduce_partial(cand, _negcos(vr_table[lvl])))
                 else:
                     branches.append(cand.drop("_mc").withColumn(
-                        "_vr", F.lit(vr_table[lvl])))
+                        "_vr", F.lit(_negcos(vr_table[lvl]))))
             swept = branches[0]
             for b in branches[1:]:
                 swept = swept.unionByName(b)
@@ -964,47 +1071,68 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             outputs.append(
                 topk.join(sat, "_lid", "semi")
                 .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
-            todo = todo.join(sat, "_lid", "left_anti")
-            # rows starved at lvl found < k neighbors inside vr(lvl):
-            # their local density is provably < need/(pi*vr(lvl)^2) —
-            # record it so the next sweep's folding can bound them.
-            # (Bounds read the pre-sweep state; each rung's rows land on
-            # a distinct target rung, so update order cannot matter.)
-            _nb: dict = {}
-            for lvl in rungs:
-                if lvl == 0:
-                    continue
-                _cb = min(_bound_of(lvl),
-                          need / (math.pi * vr_table[lvl] ** 2))
-                _nb[lvl - 2] = max(
-                    _nb.get(lvl - 2, _bound_of(lvl - 2)), _cb)
-            if 0 in _hist:
-                # rung-0 rows just had their final (coarsest) chance:
-                # still-unsatisfied ones are genuinely starved (k-th
-                # neighbor beyond the level-0 verified radius) and fall
-                # through to on_starved below instead of re-sweeping
-                starved_acc.append(
-                    todo.filter(F.col("_albl") == 0)
-                    .localCheckpoint(eager=True))
-                todo = todo.filter(F.col("_albl") > 0)
-            _bounds.update(_nb)
-            # starved rows drop two levels (one even rung) per sweep.
-            # (An observed-k-th-distance jump is impossible by
-            # construction: the vr prefilter removes every candidate
-            # beyond the rung's radius before ranking, so a starved row
-            # never carries a k-th distance to jump on.) localCheckpoint
-            # truncates the per-sweep lineage (Spark 4.1 iterative-loop
-            # pathology — see knn()/graph.py) before the next sweep.
-            todo = (todo.withColumn("_albl",
-                                    F.col("_albl") - F.lit(2))
-                    .localCheckpoint(eager=True))
+            # satisfied-count accounting: sat holds exactly one row per
+            # satisfied left id and topk is checkpointed, so counting it
+            # is a cheap local job — when EVERY row of the sweep is
+            # satisfied (the terminal sweep, by construction of the
+            # cascade) the anti-join + cascade + eager checkpoint +
+            # emptiness probe below are pure fixed cost and are skipped
+            # outright. (Duplicate left ids would make n_sat undercount
+            # vs the row histogram; that only forfeits the shortcut,
+            # never correctness.) Only usable when no rung-0 rows are in
+            # flight — those must be split out into starved_acc below.
+            n_sat = sat.count() if 0 not in _hist else None
+            if n_sat is not None and n_sat >= sum(_hist.values()):
+                todo = None
+            else:
+                todo = todo.join(sat, "_lid", "left_anti")
+                # rows starved at lvl found < k neighbors inside vr(lvl):
+                # their local density is provably < need/(pi*vr(lvl)^2) —
+                # record it so the next sweep's folding can bound them.
+                # (Bounds read the pre-sweep state; each rung's rows land
+                # on a distinct target rung, so update order cannot
+                # matter.)
+                _nb: dict = {}
+                for lvl in rungs:
+                    if lvl == 0:
+                        continue
+                    _cb = min(_bound_of(lvl),
+                              need / (math.pi * vr_table[lvl] ** 2))
+                    _nb[lvl - 2] = max(
+                        _nb.get(lvl - 2, _bound_of(lvl - 2)), _cb)
+                if 0 in _hist:
+                    # rung-0 rows just had their final (coarsest) chance:
+                    # still-unsatisfied ones are genuinely starved (k-th
+                    # neighbor beyond the level-0 verified radius) and
+                    # fall through to on_starved below instead of
+                    # re-sweeping
+                    starved_acc.append(
+                        todo.filter(F.col("_albl") == 0)
+                        .localCheckpoint(eager=True))
+                    todo = todo.filter(F.col("_albl") > 0)
+                _bounds.update(_nb)
+                # starved rows drop two levels (one even rung) per sweep.
+                # (An observed-k-th-distance jump is impossible by
+                # construction: the vr prefilter removes every candidate
+                # beyond the rung's radius before ranking, so a starved
+                # row never carries a k-th distance to jump on.)
+                # localCheckpoint truncates the per-sweep lineage
+                # (Spark 4.1 iterative-loop pathology — see
+                # knn()/graph.py) before the next sweep.
+                todo = (todo.withColumn("_albl",
+                                        F.col("_albl") - F.lit(2))
+                        .localCheckpoint(eager=True))
+                # when n_sat is known the remaining count is too — the
+                # per-sweep emptiness probe job is only needed after a
+                # rung-0 split (n_sat unknown there)
+                if n_sat is None and todo.limit(1).count() == 0:
+                    todo = None
             _sweep += 1
             if _dbg:
                 print(f"[knn_join] sweep {_sweep} rungs={rungs} done "
                       f"in {_time.perf_counter() - _t0:.1f}s, "
-                      f"todo left: {todo.count()}")
-            if todo.limit(1).count() == 0:
-                todo = None
+                      f"todo left: "
+                      f"{0 if todo is None else todo.count()}")
 
     starved = todo
     for s in starved_acc:
