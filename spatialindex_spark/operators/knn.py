@@ -628,6 +628,10 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         todo = lf.withColumn("_p", lref)
         if fine_grids and not (use_cell
                                and fine_grids[-1][0] <= cell_level):
+            # (A semi/anti split-union that keyed only rows under hot-
+            # cell ancestors through the Arrow UDF was measured SLOWER
+            # at sf1 — +2 s: the double scan + union outweighed the
+            # saved Arrow pass, which pipelines well at this width.)
             todo = todo.withColumn(
                 "_pf", hpx_udf(even_top)(F.col("_lra"), F.col("_ldec")))
 
@@ -827,11 +831,13 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # re-keying for a handful of rows — only matching rows reach
             # the exchange. Big rungs skip this (their cell set covers
             # most of the sky, so the prune would reject nothing).
-            # Materialize the (tiny) cell set once: it feeds BOTH the
-            # ancestor prune and the semi-join, and un-checkpointed each
-            # consumer re-evaluates the full todo scan + disc expansion.
-            cells = (lk.select("_mc").distinct()
-                     .localCheckpoint(eager=True))
+            # NOT checkpointed deliberately: an eager checkpoint here
+            # was measured SLOWER (A/B at sf1: +2 s/fine rung) — it
+            # serializes on the driver what the broadcast thread pool
+            # otherwise evaluates concurrently across rungs, and with
+            # the vectorized disc UDF the duplicate evaluation by the
+            # ancestor prune below is cheap.
+            cells = lk.select("_mc").distinct()
             if use_cell and lvl > cell_level:
                 # fine rung: the per-rung cell UDF would otherwise key
                 # the FULL right table before the cell prune can apply
@@ -1068,9 +1074,6 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # already guarantees it lies within the row's own verified
             # radius, so ring-1 coverage proves the top-k exact
             sat = topk.filter(F.col("_rk") == k).select("_lid")
-            outputs.append(
-                topk.join(sat, "_lid", "semi")
-                .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
             # satisfied-count accounting: sat holds exactly one row per
             # satisfied left id and topk is checkpointed, so counting it
             # is a cheap local job — when EVERY row of the sweep is
@@ -1082,10 +1085,22 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
             # never correctness.) Only usable when no rung-0 rows are in
             # flight — those must be split out into starved_acc below.
             n_sat = sat.count() if 0 not in _hist else None
+            # with n_sat known the sat-side joins can be planned
+            # deliberately (guide §3.1): below the cap a broadcast hash
+            # semi/anti replaces a two-sided sort-merge of the ~|rows|
+            # frames (profiled ~2 s/pass at 1M rows); above it — at
+            # cluster scale n_sat is billions — the planner's shuffle
+            # join stands.
+            _sat_bc = int(_os.environ.get("SPT_KNN_SAT_BC_MAX", "4000000"))
+            sat_j = (F.broadcast(sat)
+                     if n_sat is not None and n_sat <= _sat_bc else sat)
+            outputs.append(
+                topk.join(sat_j, "_lid", "semi")
+                .select("_lid", "_rid", F.col("_rk").alias("knn_rank")))
             if n_sat is not None and n_sat >= sum(_hist.values()):
                 todo = None
             else:
-                todo = todo.join(sat, "_lid", "left_anti")
+                todo = todo.join(sat_j, "_lid", "left_anti")
                 # rows starved at lvl found < k neighbors inside vr(lvl):
                 # their local density is provably < need/(pi*vr(lvl)^2) —
                 # record it so the next sweep's folding can bound them.
