@@ -386,26 +386,35 @@ def cutout_pixels(images: DataFrame, windows: DataFrame,
     from ..sources import imaging
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # window-only decode (see forced_photometry.run): bit-identical
+        # pixels, but raw/z skip the full-image copy and dct runs the
+        # IDCT only on blocks under the window
         for b in batches:
-            rows = {k: [] for k in (image_id, "target_id", "x0", "x1",
-                                    "y0", "y1", "cut_w", "cut_h",
-                                    "data", "mean_val")}
-            for r in b.itertuples(index=False):
-                d = r._asdict()
-                img = imaging.decode(d[bytes_col], int(d["w"]),
-                                     int(d["h"]), str(d["fmt"]))
-                cut = img[int(d["y0"]):int(d["y1"]),
-                          int(d["x0"]):int(d["x1"])]
-                rows[image_id].append(d[image_id])
-                rows["target_id"].append(d["target_id"])
-                for k in ("x0", "x1", "y0", "y1"):
-                    rows[k].append(int(d[k]))
-                rows["cut_w"].append(cut.shape[1])
-                rows["cut_h"].append(cut.shape[0])
-                rows["data"].append(cut.astype(np.uint8).tobytes())
-                rows["mean_val"].append(float(cut.mean())
-                                        if cut.size else float("nan"))
-            yield pd.DataFrame(rows)
+            n = len(b)
+            x0a, x1a = b["x0"].to_numpy(), b["x1"].to_numpy()
+            y0a, y1a = b["y0"].to_numpy(), b["y1"].to_numpy()
+            wa, ha = b["w"].to_numpy(), b["h"].to_numpy()
+            fmta, bytesa = b["fmt"].to_numpy(), b[bytes_col].to_numpy()
+            cut_w = np.empty(n, dtype=np.int32)
+            cut_h = np.empty(n, dtype=np.int32)
+            data = []
+            mean_val = np.empty(n, dtype=np.float64)
+            for i in range(n):
+                cut = imaging.decode_window(
+                    bytesa[i], int(wa[i]), int(ha[i]), str(fmta[i]),
+                    int(x0a[i]), int(x1a[i]), int(y0a[i]), int(y1a[i]),
+                    channel=None)
+                cut_w[i] = cut.shape[1]
+                cut_h[i] = cut.shape[0]
+                data.append(cut.astype(np.uint8).tobytes())
+                mean_val[i] = (float(cut.mean()) if cut.size
+                               else float("nan"))
+            yield pd.DataFrame({
+                image_id: b[image_id].to_numpy(),
+                "target_id": b["target_id"].to_numpy(),
+                "x0": x0a, "x1": x1a, "y0": y0a, "y1": y1a,
+                "cut_w": cut_w, "cut_h": cut_h,
+                "data": data, "mean_val": mean_val})
 
     return matched.mapInPandas(run, schema)
 
