@@ -62,6 +62,15 @@ def get_session(app: str = "spatialindex-spark", cores: int | str = "*",
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
+        # throttle pyspark's per-task importlib.invalidate_caches() in the
+        # Python workers (repo-root sitecustomize.py, gated on this env
+        # var): the stock call re-reads the SPARK_HOME zip directories on
+        # EVERY task — measured ~0.2 s/task here, the dominant fixed cost
+        # of every Python-touching stage (guide §4: the boundary tax you
+        # can actually remove). Value = minimum seconds between real
+        # invalidations; override via the same env var, "0" ~ stock.
+        .config("spark.executorEnv.SPT_WORKER_IMPORTLIB_THROTTLE",
+                os.environ.get("SPT_WORKER_IMPORTLIB_THROTTLE", "30"))
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():
