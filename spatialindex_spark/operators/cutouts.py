@@ -367,10 +367,18 @@ def cutout_pixels(images: DataFrame, windows: DataFrame,
     # pattern): the matched-id driver read and the broadcast join below
     # would otherwise each re-run a lazy cutout_windows plan
     windows = windows.localCheckpoint(eager=True)
+    # group windows PER IMAGE before they meet the payload (see
+    # forced_photometry): bytes cross the Arrow boundary once per image,
+    # not once per window, and decode_windows shares the decompress /
+    # dequant across the image's windows (bit-identical pixels)
+    wgrp = (windows.groupBy(image_id)
+            .agg(F.collect_list(F.struct(
+                F.col("target_id").alias("_t"),
+                "x0", "x1", "y0", "y1")).alias("_wins")))
     matched = (matched_image_filter(
                    images.select(image_id, bytes_col, "w", "h", "fmt"),
                    windows, image_id, max_images, "cutout_pixels")
-               .join(F.broadcast(windows), image_id))
+               .join(F.broadcast(wgrp), image_id))
 
     schema = (f"{image_id} string, target_id long, x0 int, x1 int, "
               "y0 int, y1 int, cut_w int, cut_h int, data binary, "
@@ -387,34 +395,38 @@ def cutout_pixels(images: DataFrame, windows: DataFrame,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # window-only decode (see forced_photometry.run): bit-identical
-        # pixels, but raw/z skip the full-image copy and dct runs the
-        # IDCT only on blocks under the window
+        # pixels, but raw/z skip the full-image copy, dct runs the IDCT
+        # only on blocks under each window, and each payload is
+        # decompressed once for ALL its windows
         for b in batches:
-            n = len(b)
-            x0a, x1a = b["x0"].to_numpy(), b["x1"].to_numpy()
-            y0a, y1a = b["y0"].to_numpy(), b["y1"].to_numpy()
             wa, ha = b["w"].to_numpy(), b["h"].to_numpy()
             fmta, bytesa = b["fmt"].to_numpy(), b[bytes_col].to_numpy()
-            cut_w = np.empty(n, dtype=np.int32)
-            cut_h = np.empty(n, dtype=np.int32)
-            data = []
-            mean_val = np.empty(n, dtype=np.float64)
-            for i in range(n):
-                cut = imaging.decode_window(
+            winsa = b["_wins"].to_numpy()
+            ids = b[image_id].to_numpy()
+            out = {image_id: [], "target_id": [], "x0": [], "x1": [],
+                   "y0": [], "y1": [], "cut_w": [], "cut_h": [],
+                   "data": [], "mean_val": []}
+            for i in range(len(b)):
+                wins = winsa[i]
+                coords = [(int(d["x0"]), int(d["x1"]),
+                           int(d["y0"]), int(d["y1"])) for d in wins]
+                cuts = imaging.decode_windows(
                     bytesa[i], int(wa[i]), int(ha[i]), str(fmta[i]),
-                    int(x0a[i]), int(x1a[i]), int(y0a[i]), int(y1a[i]),
-                    channel=None)
-                cut_w[i] = cut.shape[1]
-                cut_h[i] = cut.shape[0]
-                data.append(cut.astype(np.uint8).tobytes())
-                mean_val[i] = (float(cut.mean()) if cut.size
-                               else float("nan"))
-            yield pd.DataFrame({
-                image_id: b[image_id].to_numpy(),
-                "target_id": b["target_id"].to_numpy(),
-                "x0": x0a, "x1": x1a, "y0": y0a, "y1": y1a,
-                "cut_w": cut_w, "cut_h": cut_h,
-                "data": data, "mean_val": mean_val})
+                    coords, channel=None)
+                for d, (x0, x1, y0, y1), cut in zip(wins, coords, cuts):
+                    out[image_id].append(ids[i])
+                    out["target_id"].append(d["_t"])
+                    out["x0"].append(x0)
+                    out["x1"].append(x1)
+                    out["y0"].append(y0)
+                    out["y1"].append(y1)
+                    out["cut_w"].append(np.int32(cut.shape[1]))
+                    out["cut_h"].append(np.int32(cut.shape[0]))
+                    out["data"].append(cut.astype(np.uint8).tobytes())
+                    out["mean_val"].append(float(cut.mean()) if cut.size
+                                           else float("nan"))
+            if out[image_id]:  # empty object-dtype frames break the
+                yield pd.DataFrame(out)  # Arrow cast to the int schema
 
     return matched.mapInPandas(run, schema)
 

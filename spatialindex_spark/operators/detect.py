@@ -144,13 +144,25 @@ def forced_photometry(targets: DataFrame, images: DataFrame,
     wsel = win.select(target_id, image_id, "x0", "x1", "y0", "y1",
                       "complete").localCheckpoint(eager=True)
     from .cutouts import readback_images
+    # group the windows PER IMAGE before they meet the payload (guide
+    # §4.2 / §2.3): a target list averages several windows per matched
+    # image, and the old per-(target, image) broadcast join duplicated
+    # every image's bytes once per window into the Arrow boundary and
+    # re-decompressed the payload per window. One row per image ships
+    # the bytes once and decode_windows shares the decompress/dequant
+    # across its windows; flux/npix are bit-identical (same per-window
+    # block math).
+    wgrp = (wsel.groupBy(image_id)
+            .agg(F.collect_list(F.struct(
+                F.col(target_id).alias("_t"), "x0", "x1", "y0", "y1",
+                "complete")).alias("_wins")))
     matched = (readback_images(images, targets, scale_deg_px,
                                window_kwargs, image_id, bytes_col,
                                wsel, max_images, "forced_photometry")
-               .join(F.broadcast(wsel), image_id))
+               .join(F.broadcast(wgrp), image_id))
 
     id_dtype = dict(matched.dtypes)[image_id]
-    tid_dtype = dict(matched.dtypes)[target_id]
+    tid_dtype = dict(wsel.dtypes)[target_id]
     schema = (f"{target_id} {tid_dtype}, {image_id} {id_dtype}, "
               "x0 int, x1 int, y0 int, y1 int, complete boolean, "
               "npix long, flux long")
@@ -158,34 +170,37 @@ def forced_photometry(targets: DataFrame, images: DataFrame,
     def run(batches):
         # window-only decode (guide §4.2 / §1.2 per-task work): the flux
         # needs a (2a+1)^2 slice, so full-image decode — per-row python
-        # dict packing included — was pure overhead. decode_window skips
+        # dict packing included — was pure overhead. decode_windows skips
         # the copy/reshape for raw/z and runs the IDCT only on the 8x8
-        # blocks under the window for dct (bit-identical pixels, parity-
-        # tested); the row loop iterates plain numpy columns. Profiled at
-        # sf1: the readback stage's per-task python time dropped ~3x and
-        # the hot-spot partitions (dense footprints, cell-clustered into
-        # one task each) stopped gating the stage.
+        # blocks under each window for dct (bit-identical pixels, parity-
+        # tested), decompressing each payload once for ALL its windows.
         for b in batches:
-            n = len(b)
-            x0a, x1a = b["x0"].to_numpy(), b["x1"].to_numpy()
-            y0a, y1a = b["y0"].to_numpy(), b["y1"].to_numpy()
             wa, ha = b["w"].to_numpy(), b["h"].to_numpy()
             fmta, bytesa = b["fmt"].to_numpy(), b[bytes_col].to_numpy()
-            npix = np.empty(n, dtype=np.int64)
-            flux = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                cut = imaging.decode_window(
+            winsa = b["_wins"].to_numpy()
+            ids = b[image_id].to_numpy()
+            out = {target_id: [], image_id: [], "x0": [], "x1": [],
+                   "y0": [], "y1": [], "complete": [], "npix": [],
+                   "flux": []}
+            for i in range(len(b)):
+                wins = winsa[i]
+                coords = [(int(d["x0"]), int(d["x1"]),
+                           int(d["y0"]), int(d["y1"])) for d in wins]
+                cuts = imaging.decode_windows(
                     bytesa[i], int(wa[i]), int(ha[i]), str(fmta[i]),
-                    int(x0a[i]), int(x1a[i]), int(y0a[i]), int(y1a[i]),
-                    channel)
-                npix[i] = cut.size
-                flux[i] = int(cut.astype(np.int64).sum())
-            yield pd.DataFrame({
-                target_id: b[target_id].to_numpy(),
-                image_id: b[image_id].to_numpy(),
-                "x0": x0a, "x1": x1a, "y0": y0a, "y1": y1a,
-                "complete": b["complete"].to_numpy(),
-                "npix": npix, "flux": flux})
+                    coords, channel)
+                for d, (x0, x1, y0, y1), cut in zip(wins, coords, cuts):
+                    out[target_id].append(d["_t"])
+                    out[image_id].append(ids[i])
+                    out["x0"].append(x0)
+                    out["x1"].append(x1)
+                    out["y0"].append(y0)
+                    out["y1"].append(y1)
+                    out["complete"].append(bool(d["complete"]))
+                    out["npix"].append(cut.size)
+                    out["flux"].append(int(cut.astype(np.int64).sum()))
+            if out[image_id]:  # empty object-dtype frames break the
+                yield pd.DataFrame(out)  # Arrow cast to the int schema
 
     return matched.mapInPandas(run, schema)
 

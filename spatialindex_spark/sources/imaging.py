@@ -143,6 +143,71 @@ def decode_window(data: bytes, w: int, h: int, fmt: str,
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def decode_windows(data: bytes, w: int, h: int, fmt: str,
+                   windows, channel: int | None = 0) -> list:
+    """Decode SEVERAL windows of one payload with the per-payload work
+    (zlib decompress, dct dequantization) done ONCE. Each returned array
+    is bit-identical to ``decode_window(data, w, h, fmt, *win, channel)``
+    — same element-wise math per 8x8 block — the only change is sharing
+    the decoded/dequantized buffer across windows. This is the batch
+    entry the pixel operators use after grouping their (target, image)
+    windows per image: a survey target list averages several windows per
+    matched image, and per-window full decompression was the readback
+    stage's dominant Python cost (guide §4.2 / §1.2 per-task work).
+
+    ``windows``: iterable of (x0, x1, y0, y1), pre-clipped to the image
+    like cutout_windows guarantees. Empty windows yield empty arrays.
+    """
+    ch = slice(None) if channel is None else channel
+    out: list = []
+    if fmt in ("raw", "z"):
+        buf = data if fmt == "raw" else zlib.decompress(data)
+        img = np.frombuffer(buf, dtype=np.uint8).reshape(h, w, 3)
+        for x0, x1, y0, y1 in windows:
+            if x0 >= x1 or y0 >= y1:
+                shape = (max(y1 - y0, 0), max(x1 - x0, 0))
+                out.append(np.empty(
+                    shape + (3,) if channel is None else shape,
+                    dtype=np.uint8))
+            else:
+                out.append(img[y0:y1, x0:x1, ch])
+        return out
+    if fmt == "dct":
+        H, W = h + ((-h) % 8), w + ((-w) % 8)
+        nb = (H // 8) * (W // 8)
+        wb = W // 8
+        q = np.frombuffer(zlib.decompress(data), dtype="<i2")
+        q = q.astype(np.float64).reshape(3, nb, 8, 8)
+        chans = range(3) if channel is None else (channel,)
+        for x0, x1, y0, y1 in windows:
+            if x0 >= x1 or y0 >= y1:
+                shape = (max(y1 - y0, 0), max(x1 - x0, 0))
+                out.append(np.empty(
+                    shape + (3,) if channel is None else shape,
+                    dtype=np.uint8))
+                continue
+            by0, by1 = y0 // 8, (y1 - 1) // 8
+            bx0, bx1 = x0 // 8, (x1 - 1) // 8
+            sel = [by * wb + bx
+                   for by in range(by0, by1 + 1)
+                   for bx in range(bx0, bx1 + 1)]
+            nby, nbx = by1 - by0 + 1, bx1 - bx0 + 1
+            ys, xs = y0 - 8 * by0, x0 - 8 * bx0
+            planes = []
+            for c in chans:
+                f = q[c, sel] * _Q
+                blocks = _D8.T @ f @ _D8
+                rect = (blocks.reshape(nby, nbx, 8, 8)
+                        .transpose(0, 2, 1, 3)
+                        .reshape(nby * 8, nbx * 8)) + 128.0
+                o = np.clip(np.rint(rect), 0, 255).astype(np.uint8)
+                planes.append(o[ys:y1 - 8 * by0, xs:x1 - 8 * bx0])
+            out.append(planes[0] if channel is not None
+                       else np.stack(planes, axis=-1))
+        return out
+    raise ValueError(f"unknown fmt {fmt!r}")
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
     if mse == 0:

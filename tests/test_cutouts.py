@@ -582,3 +582,32 @@ def test_pixel_readback_semijoin_above_inset_cap(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="matched >"):
         cutout_pixels(payload, wins, max_images=3)
+
+
+def test_decode_windows_parity_with_decode_window():
+    """decode_windows must be bit-identical to per-window decode_window
+    for every codec, single- and all-channel, including empty windows."""
+    import numpy as np
+
+    from spatialindex_spark.sources import imaging
+
+    rng = np.random.default_rng(77)
+    for fmt in ("raw", "z", "dct"):
+        for w, h in ((16, 16), (32, 24), (64, 64)):
+            img = imaging.synth_image(int(rng.integers(0, 1000)), w, h)
+            data = imaging.encode(img, fmt)
+            wins = []
+            for _ in range(6):
+                x0 = int(rng.integers(0, w - 1))
+                y0 = int(rng.integers(0, h - 1))
+                x1 = int(rng.integers(x0 + 1, w + 1))
+                y1 = int(rng.integers(y0 + 1, h + 1))
+                wins.append((x0, x1, y0, y1))
+            wins.append((3, 3, 0, 5))  # empty window
+            for ch in (0, 2, None):
+                batch = imaging.decode_windows(data, w, h, fmt, wins, ch)
+                for win, got in zip(wins, batch):
+                    ref = imaging.decode_window(data, w, h, fmt,
+                                                *win, ch)
+                    assert got.shape == ref.shape
+                    assert np.array_equal(got, ref), (fmt, win, ch)
