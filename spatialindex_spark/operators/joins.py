@@ -466,8 +466,7 @@ def _ring1_map_df(spark, lvl: int, rings: int = 1) -> DataFrame:
             "_ring": [_disc_cells(lvl, p, rings).tolist()
                       for p in range(npix)]})
         df = spark.createDataFrame(pdf, "_pix long, _ring array<long>")
-        _RING1_MAP_CACHE[key] = df
-        return df
+        return _persist_ring_map(key, df)
     pix = np.arange(npix, dtype=np.int64)
     nb = np.sort(_hpx_neighbors(lvl, pix), axis=1)
     keep = np.ones(nb.shape, dtype=bool)
@@ -478,6 +477,22 @@ def _ring1_map_df(spark, lvl: int, rings: int = 1) -> DataFrame:
     pdf = pd.DataFrame({"_pix": pix,
                         "_ring": [r.tolist() for r in rings]})
     df = spark.createDataFrame(pdf, "_pix long, _ring array<long>")
+    return _persist_ring_map(key, df)
+
+
+def _persist_ring_map(key, df: DataFrame) -> DataFrame:
+    """Session-lifetime persist of a ring map (pure geometry, data-
+    independent — a function of (level, rings) only, the engine's dr[o]
+    table analogue). Without it every query execution re-materializes
+    the 12*4^lvl-row LocalRelation inside its broadcast build — profiled
+    at level 7: 1.1 s 'time to collect' + 0.2 s build PER QUERY (guide
+    §5 caching: reused AND expensive to recompute). Persisted it reads
+    from the block store; interleaved A/B on the bench crossmatch:
+    1.99 s -> 1.47 s. Bounded: levels are capped at JVM_RING_MAX_LEVEL
+    (786k rows, ~60 MB) and the cache is per (session, lvl, rings)."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     _RING1_MAP_CACHE[key] = df
     return df
 
