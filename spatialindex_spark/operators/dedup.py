@@ -343,6 +343,54 @@ def _minhash_frame(df: DataFrame, text_col: str, id_col: str,
         F.col(id_col), minhash_udf(num_perm, k)(F.col(text_col)).alias("_sig"))
 
 
+def minhash_fold_udf(num_perm: int, bands: int, k: int = 5):
+    """FUSED text -> per-band Horner folds (the composition of
+    minhash_udf and band_fold_udf in ONE Arrow crossing); NULL for docs
+    with no shingles. Fold values are bit-identical to the two-UDF
+    chain (same signature kernel, same wrapping-uint64 fold), so the
+    SQL oracles and bucket keys are unchanged.
+
+    Marked NON-DETERMINISTIC on return (guide §4.4): the caller filters
+    on the folded column's nullness, and a deterministic UDF gets
+    duplicated around that filter by the optimizer — the second copy
+    was pushed below the parallelizing round-robin exchange, running
+    the whole signature pass a second time INSIDE THE SINGLE pre-
+    repartition scan task (observed in the sf0.1 bench plan:
+    ArrowEvalPython below RoundRobinPartitioning). The function is
+    genuinely deterministic; the marker only forbids the optimizer from
+    cloning/reordering it."""
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    @pandas_udf("array<long>")
+    def _udf(text: pd.Series) -> pd.Series:
+        from ..functions import native
+
+        texts = text.fillna("")
+        res = native.minhash_sig_native(list(texts), k, a, b)
+        if res is not None:
+            sigs, valid = res
+        else:
+            _, sig_lists = _batch_signatures(texts, num_perm, k, a, b)
+            valid = np.array([s is not None for s in sig_lists])
+            sigs = np.zeros((len(texts), num_perm), dtype=np.int64)
+            for i, s in enumerate(sig_lists):
+                if s is not None:
+                    sigs[i] = s
+        mat = np.asarray(sigs, dtype=np.int64).astype(np.uint64) \
+            .reshape(len(texts), bands, rows_per_band)
+        acc = np.zeros((len(texts), bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                acc = acc * np.uint64(257) + mat[:, :, r]
+        folded = acc.view(np.int64)
+        return pd.Series(
+            [folded[i].tolist() if valid[i] else None
+             for i in range(len(texts))], dtype=object)
+
+    return _udf.asNondeterministic()
+
+
 def band_fold_udf(num_perm: int, bands: int):
     """Per-band Horner fold of the signature (acc*257 + s in wrapping
     uint64 == mod 2^64): one int64 band key instead of a 16-long slice.
@@ -402,6 +450,36 @@ def _band_pairs(sigs: DataFrame, id_col: str, num_perm: int,
     return out.distinct() if distinct else out
 
 
+def _folded_pairs(df: DataFrame, text_col: str, id_col: str,
+                  num_perm: int, bands: int, k: int,
+                  distinct: bool) -> DataFrame:
+    """Candidate pairs via the FUSED text -> band-folds UDF: one Arrow
+    crossing for the whole signature+fold computation (the two-UDF chain
+    shipped every 64-long signature out of Python and back in), with the
+    null filter on the materialized fold column (the non-deterministic
+    marker keeps the optimizer from cloning the UDF around it — see
+    minhash_fold_udf). Folds, buckets and pairs are identical to the
+    two-UDF path."""
+    proj = _ensure_parallelism(df.select(id_col, text_col))
+    proj = proj.filter(F.octet_length(F.col(text_col)) >= k)
+    folded = (proj.select(
+        F.col(id_col),
+        minhash_fold_udf(num_perm, bands, k)(F.col(text_col)).alias("_bf"))
+        .filter(F.col("_bf").isNotNull()))
+    stacked = folded.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.element_at("_bf", b + 1).alias("bh"))
+            for b in range(bands)
+        ])).alias("_k"),
+    ).select(id_col, "_k.band", "_k.bh")
+    out = (_bucket_pairs(stacked, ["band", "bh"], id_col)
+           .select(F.col("_a._id").alias("id_a"),
+                   F.col("_b._id").alias("id_b")))
+    return out.distinct() if distinct else out
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                       num_perm: int = 64, bands: int | None = None, k: int = 5,
                       threshold: float = 0.8) -> DataFrame:
@@ -412,8 +490,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     pairs deduped across bands."""
     if bands is None:
         bands = pick_bands(num_perm, threshold)
-    sigs = _minhash_frame(df, text_col, id_col, num_perm, k)
-    return _band_pairs(sigs, id_col, num_perm, bands)
+    return _folded_pairs(df, text_col, id_col, num_perm, bands, k,
+                         distinct=True)
 
 
 def jaccard_udf(k: int = 5):
@@ -483,13 +561,13 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     dedup where chains A~B~C collapse to one row."""
     if bands is None:
         bands = pick_bands(num_perm, threshold)
-    # candidate pairs (ids only, small): one corpus signature pass, no
-    # cross-band distinct (the verify tolerates duplicate pairs and losers
-    # are distinct'd at the end); localCheckpoint truncates so the verify
-    # stage doesn't re-run the signature pass
-    pairs = _band_pairs(_minhash_frame(df, text_col, id_col, num_perm, k),
-                        id_col, num_perm, bands,
-                        distinct=False).localCheckpoint(eager=True)
+    # candidate pairs (ids only, small): one corpus signature pass (fused
+    # sig+fold UDF), no cross-band distinct (the verify tolerates
+    # duplicate pairs and losers are distinct'd at the end);
+    # localCheckpoint truncates so the verify stage doesn't re-run the
+    # signature pass
+    pairs = _folded_pairs(df, text_col, id_col, num_perm, bands, k,
+                          distinct=False).localCheckpoint(eager=True)
     verified = (
         minhash_verified_pairs(df, pairs, text_col, id_col, k, threshold)
         .localCheckpoint(eager=True)
@@ -516,8 +594,13 @@ def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     # docs shorter than k bytes have no shingles and are never candidates
     # (matches the SQL oracle's length >= k exclusion)
     proj = proj.filter(F.octet_length(F.col(text_col)) >= k)
+    # non-deterministic marker (guide §4.4): the nullness filter below
+    # otherwise clones the simhash UDF and pushes the clone under the
+    # parallelizing repartition — a second full simhash pass in the
+    # single pre-repartition task (same trap as minhash_fold_udf)
     sh = (proj.select(F.col(id_col),
-                      simhash_udf(k)(F.col(text_col)).alias("_sh"))
+                      simhash_udf(k).asNondeterministic()(
+                          F.col(text_col)).alias("_sh"))
           .filter(F.col("_sh").isNotNull()))
     losers = hamming_dedup_losers(sh, "_sh", id_col, band_bits, max_hamming)
     return df.join(losers, id_col, "left_anti")

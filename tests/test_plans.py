@@ -485,3 +485,44 @@ def test_pick_bands_non_power_of_two():
 
     assert pick_bands(48, 0.5) == 12
     assert pick_bands(64, 0.5) == 16   # power-of-two behavior unchanged
+
+
+def test_minhash_signature_runs_once_above_repartition(spark):
+    """The fused sig+fold UDF must evaluate ONCE, parallelized ABOVE the
+    round-robin repartition: the old two-UDF chain's nullness filter got
+    cloned by the optimizer and pushed a second full signature pass
+    below the exchange — into the single pre-repartition scan task."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    import pandas as pd
+
+    from spatialindex_spark.operators.dedup import _folded_pairs, pick_bands
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": range(40),
+        "text": [f"document number {i} with some shared text" for i in range(40)],
+    })).repartition(1)
+    pairs = _folded_pairs(docs, "text", "doc_id", 64,
+                          pick_bands(64, 0.9), 5, False)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    tree = plan[:plan.find("(1) ")]
+    arrows = [int(m) for m in re.findall(r"ArrowEvalPython \((\d+)\)", tree)]
+    exchanges = {}
+    for m in re.finditer(r"\((\d+)\) Exchange\nInput.*?\nArguments: (\w+)",
+                         plan):
+        exchanges[int(m.group(1))] = m.group(2)
+    rr = [nid for nid, kind in exchanges.items()
+          if kind == "RoundRobinPartitioning"]
+    assert rr, f"expected a parallelizing repartition; got {exchanges}"
+    # formatted-plan ids number bottom-up: every Arrow eval must sit
+    # ABOVE (= higher id than) some round-robin exchange in its branch,
+    # and there must be exactly one Arrow eval per union branch (3
+    # branches: cold + hot-left + hot-right, deduped at runtime by
+    # exchange reuse)
+    assert len(arrows) <= 3, tree
+    assert all(a > min(rr) for a in arrows), (arrows, rr)
