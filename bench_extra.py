@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 import bench  # frozen driver harness: reuse its constants + generators
 
 SF_DIR = bench.SF_DIR
-PLANS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "plans", "r06")
+PLANS_DIR = os.environ.get(
+    "SPT_PLANS_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "plans", "r06"))
 
 
 def capture_plan(df, name: str, tag: str) -> None:
@@ -51,6 +53,8 @@ def main():
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--explain", default="",
                     help="tag: capture explain('formatted') to plans/r06/")
+    ap.add_argument("--plan-only", action="store_true",
+                    help="capture plans without timing passes")
     args = ap.parse_args()
     only = set(filter(None, args.only.split(",")))
 
@@ -195,6 +199,8 @@ def main():
         spark.sparkContext.setJobDescription(f"r06:{name}")
         if args.explain and dfn is not None:
             capture_plan(dfn(images), name, args.explain)
+        if args.plan_only:
+            continue
         spark._jvm.System.gc()
         fn(images)  # warm
         samples = []

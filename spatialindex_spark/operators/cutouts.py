@@ -54,6 +54,7 @@ Scale shape (100 TB)
 
 from __future__ import annotations
 
+import logging
 import math
 from collections.abc import Iterator
 
@@ -64,6 +65,8 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions.geometry import RAD_PER_DEG
 from ..functions.healpix import max_pix_rad, pix2vec
 from .joins import _ring1_map_df, crossmatch, hpx_cell_key
+
+_log = logging.getLogger(__name__)
 
 __all__ = ["cutout_windows", "cutout_pixels", "coadd_mosaic",
            "mosaic_pyramid", "tan_pix_np", "tile_grid_radec"]
@@ -155,7 +158,14 @@ def cutout_windows(targets: DataFrame, images: DataFrame,
         # here costs one Arrow batch over the tiny side only
         if cell_col not in tsel.columns:
             from ..functions.udfs import hpx_udf
-            tsel = tsel.withColumn(cell_col, hpx_udf(cell_level)("ra", "dec"))
+            # non-deterministic marker (guide §4.4): crossmatch keys this
+            # column through hpx_cell_key, whose inferred isnotnull filter
+            # otherwise clones the Arrow UDF into a second eval (observed
+            # as a duplicate 512-row ArrowEvalPython in the bench pairing
+            # plan); the function itself is deterministic
+            tsel = tsel.withColumn(
+                cell_col,
+                hpx_udf(cell_level).asNondeterministic()("ra", "dec"))
     pairs = crossmatch(tsel, isel, radius, level=level,
                        suffixes=("_t", "_i"),
                        cell_col=cell_col, cell_level=cell_level)
@@ -230,6 +240,8 @@ def target_cell_ranges(targets: DataFrame, radius_deg: float,
 
     lvl = min(pick_match_level(radius_deg), cell_level)
     if radius_deg * RAD_PER_DEG > safe_ring1_rad(lvl):
+        _log.info("target_cell_ranges: radius %.4f deg needs ring-2+ at "
+                  "level %d; scan pushdown disabled", radius_deg, lvl)
         return None  # would need ring-2+: not worth a driver loop here
     if cell_col in targets.columns:
         # targets already carry the ingest cell at cell_level (the same
@@ -243,8 +255,8 @@ def target_cell_ranges(targets: DataFrame, radius_deg: float,
     # NULL cells can't pair (the join drops them), so excluding them
     # keeps the predicate a sound superset of pairable images
     rows = (targets.select(tc.alias("_tc")).where(F.col("_tc").isNotNull())
-            .distinct().limit(20_001).collect())
-    if len(rows) > 20_000:  # same driver-read budget as IN_SET_MAX
+            .distinct().limit(IN_SET_MAX + 1).collect())
+    if len(rows) > IN_SET_MAX:  # same driver-read budget by definition
         return None
     pix = np.array([r["_tc"] for r in rows], dtype=np.int64)
     if pix.size == 0:
@@ -266,6 +278,11 @@ def target_cell_ranges(targets: DataFrame, radius_deg: float,
             cur_lo, cur_hi = int(lo), int(hi)
     merged.append((cur_lo, cur_hi))
     if len(merged) > CELL_RANGE_MAX:
+        # observability (r5 verdict item 6): a scattered target set
+        # silently loses the bytes-scan pruning — say so once per call
+        _log.info("target_cell_ranges: %d merged ranges exceed "
+                  "CELL_RANGE_MAX=%d (scattered targets); scan pushdown "
+                  "disabled", len(merged), CELL_RANGE_MAX)
         return None
     c = F.col(cell_col)
     preds = [(c >= F.lit(lo)) & (c < F.lit(hi)) for lo, hi in merged]
