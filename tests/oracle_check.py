@@ -42,12 +42,16 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    import time
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        t0 = time.perf_counter()
         sdf = fn(spark, sf_dir).toPandas()
+        spark_secs = time.perf_counter() - t0
         if name not in oracles:
-            print(f"{name:18s} rows={len(sdf):6d}  (rows-only check, no oracle)")
+            print(f"{name:18s} rows={len(sdf):6d}  (rows-only check, "
+                  f"no oracle)  [{spark_secs:6.2f}s]")
             continue
         odf = con.execute(oracles[name]).df()
         a, b = normalize(sdf), normalize(odf.rename(columns=str))
@@ -65,7 +69,7 @@ def main():
                 elif not (a[c].astype(str) == b[c].astype(str)).all():
                     ok_vals = False
         status = "OK " if ok_vals else "FAIL"
-        print(f"{name:18s} rows={len(sdf):6d} oracle={len(odf):6d} schema={'ok' if ok_schema else 'MISMATCH'} values={status}")
+        print(f"{name:18s} rows={len(sdf):6d} oracle={len(odf):6d} schema={'ok' if ok_schema else 'MISMATCH'} values={status} [{spark_secs:6.2f}s]")
         if not ok_vals:
             failures.append(name)
             print("  spark cols:", list(sdf.columns), " oracle cols:", list(odf.columns))
