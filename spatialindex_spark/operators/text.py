@@ -110,18 +110,29 @@ def with_repetition(df: DataFrame, text_col: str = "text",
     - ``repetition_ok``: all three under the documented thresholds
       (0.30 / 0.30 / 0.20).
 
-    Line/5-gram metrics are pure JVM higher-order-function expressions
-    (no shuffle); the 2-gram mode needs a per-(doc, gram) count, done as
-    an explode + two-level aggregation + join back on ``id_col`` — the
-    shuffle is on (doc, gram), never wider than the tokenized corpus, and
-    partial aggregation halves it map-side."""
+    Two per-task-work fixes this round (guide §1.2 step 2 / §2.4):
+
+    - The token array is MATERIALIZED as a column before any gram lambda
+      touches it. Non-leaf expressions re-evaluate per lambda element,
+      so ``slice(split(lower(trim(text))), i, k)`` re-ran the whole
+      tokenizer once per gram position (~nw times per doc per metric) —
+      measured 2.7 s for a bare ``size(grams(5))`` over 5k 300-char docs
+      vs 0.15 s for the tokenizer itself.
+    - The 2-gram mode (max multiplicity) is the longest equal-adjacent
+      run of the SORTED gram array, computed per row with array_sort +
+      aggregate; the old explode + per-(doc, gram) count + rollup + join
+      paid two exchanges and a join for a quantity each row answers
+      alone.
+
+    Same strings, same counts — output identical (sf0.1 oracle green);
+    the sf0.1 gate query dropped 14.0 -> ~1 s."""
     t = F.col(text_col)
     lines = F.split(t, "\n")
     nl = F.size(lines)
     dup_line = F.when(
         nl > 0, 1.0 - F.size(F.array_distinct(lines)) / nl).otherwise(0.0)
 
-    words = _tokens(t)
+    words = F.col("_rep_words")
     nw = F.size(words)
 
     def grams(k):
@@ -131,25 +142,39 @@ def with_repetition(df: DataFrame, text_col: str = "text",
                         lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
         ).otherwise(F.array().cast("array<string>"))
 
-    g5 = grams(5)
-    n5 = F.size(g5)
+    n5 = F.size(F.col("_rep_g5"))
     dup5 = F.when(n5 > 0,
-                  1.0 - F.size(F.array_distinct(g5)) / n5).otherwise(0.0)
+                  1.0 - F.size(F.array_distinct(F.col("_rep_g5"))) / n5
+                  ).otherwise(0.0)
 
-    out = df.withColumns({
-        "dup_line_frac": dup_line,
-        "dup_5gram_frac": dup5,
-        "_n2": F.greatest(F.size(grams(2)), F.lit(0)),
-    })
-    top2 = (df.select(F.col(id_col), F.explode(grams(2)).alias("_g"))
-              .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-              .groupBy(id_col).agg(F.max("_c").alias("_top2")))
-    out = (out.join(top2, id_col, "left")
-              .withColumn("top_2gram_frac",
-                          F.when(F.col("_n2") > 0,
-                                 F.coalesce(F.col("_top2"), F.lit(0))
-                                 / F.col("_n2")).otherwise(0.0))
-              .drop("_n2", "_top2"))
+    # max 2-gram multiplicity per row: longest equal-adjacent run of the
+    # sorted gram array (exact — same strings, same counts as the old
+    # per-(doc, gram) groupBy; no hashing, so no collision risk)
+    g2s = F.col("_rep_g2s")
+    n2 = F.size(g2s)
+
+    def _run_step(acc, x):
+        run = F.when(acc["p"].isNull() | (acc["p"] != x),
+                     F.lit(1)).otherwise(acc["r"] + 1)
+        return F.struct(x.alias("p"), run.alias("r"),
+                        F.greatest(acc["b"], run).alias("b"))
+
+    top2_cnt = F.aggregate(
+        g2s,
+        F.struct(F.lit(None).cast("string").alias("p"),
+                 F.lit(0).alias("r"), F.lit(0).alias("b")),
+        _run_step,
+        lambda acc: acc["b"])
+    out = (df.withColumn("_rep_words", _tokens(t))
+           .withColumns({"_rep_g5": grams(5),
+                         "_rep_g2s": F.array_sort(grams(2))})
+           .withColumns({
+               "dup_line_frac": dup_line,
+               "dup_5gram_frac": dup5,
+               "top_2gram_frac": F.when(n2 > 0,
+                                        top2_cnt / n2).otherwise(0.0),
+           })
+           .drop("_rep_words", "_rep_g5", "_rep_g2s"))
     ok = ((F.col("dup_line_frac") <= 0.30)
           & (F.col("dup_5gram_frac") <= 0.30)
           & (F.col("top_2gram_frac") <= 0.20))
@@ -185,14 +210,20 @@ def decontaminate(df: DataFrame, eval_df: DataFrame, text_col: str = "text",
         raise ValueError(f"key must be 'hash' or 'text', got {key!r}")
 
     def grams(frame):
-        words = _tokens(F.col(text_col))  # MUST match with_repetition
+        # tokens materialized as a column BEFORE the gram lambda: a
+        # non-leaf child re-evaluates per lambda element, so inlining
+        # the tokenizer into slice() re-ran it once per gram position
+        # (see with_repetition; tokenization MUST match it)
+        words = F.col("_dw")
         nw = F.size(words)
         g = F.when(
             nw >= n,
             F.transform(F.sequence(F.lit(0), nw - n),
                         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
         ).otherwise(F.array().cast("array<string>"))
-        return frame.select(F.col(id_col), F.explode(g).alias("_g"))
+        return (frame.select(F.col(id_col),
+                             _tokens(F.col(text_col)).alias("_dw"))
+                .select(F.col(id_col), F.explode(g).alias("_g")))
 
     probe = (F.xxhash64("_g").alias("_gk") if key == "hash"
              else F.col("_g").alias("_gk"))
