@@ -24,6 +24,23 @@ tooling — is untouched: without the env var this module does nothing.
 
 import os
 
+_preload = os.environ.get("SPT_WORKER_PRELOAD")
+if _preload:
+    # Pre-import heavy modules in the DAEMON (this module loads at its
+    # interpreter start; the gate env var only exists executor-side), so
+    # every forked worker inherits them via copy-on-write instead of
+    # importing them cold — measured: the first 32-task pandas-UDF stage
+    # of a session pays ~5 s of concurrent cold imports without this,
+    # ~1 s with it; mid-job worker respawns (pool growth, workers killed
+    # by limit()-style partial reads) stop paying the import tax at all.
+    # Import alone spawns no threads (BLAS pools start lazily on first
+    # op), so the fork stays safe.
+    for _m in _preload.split(","):
+        try:
+            __import__(_m.strip())
+        except Exception:  # missing optional module: worker still works
+            pass
+
 _interval = os.environ.get("SPT_WORKER_IMPORTLIB_THROTTLE")
 if _interval:
     try:
