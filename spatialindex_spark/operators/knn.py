@@ -515,6 +515,8 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
     todo = lf
     vr_table = {L: safe_ring1_rad(L) / RAD_PER_DEG
                 for L in range(0, max(max_fine_level, level) + 1)}
+    import time as _time0
+    _t_prof0 = _time0.perf_counter()
     if auto_levels:
         # right-side density at a reference level capped at 8: the counts
         # frame is bounded by 12*4^8 = 786k rows whatever the table size,
@@ -582,7 +584,86 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         _ckpt_max = int(_os.environ.get("SPT_KNN_DRILL_CKPT_MAX",
                                         "8000000"))
         cur, lvlp = counts_top, ref_top
-        while lvlp + 2 <= even_top:
+        # DRIVER-SIDE DRILL COMPLETION (guide §1.2 step 1 — fewer
+        # passes): the iterative loop below pays ~4 Spark jobs per
+        # refinement step (hot checkpoint+collect, survivor semi-join +
+        # checkpoint, fine groupBy + checkpoint, emptiness probe) on a
+        # survivor set whose EXACT size is known up front from the
+        # hot-cell counts. When that mass is driver-safe (env
+        # SPT_KNN_DRILL_COLLECT_MAX, default 4M keys = ~32 MB Arrow
+        # collect) the survivors' even_top keys are collected ONCE and
+        # every remaining refinement level is the same unique/ancestor
+        # arithmetic in numpy — identical cells, identical counts,
+        # identical TOP_REFINE/MIN_CNT gating, zero further jobs
+        # (profiled at sf1: the loop's per-step jobs were ~2-4 s of the
+        # ~5-10 s profile phase). Probe levels only shape performance,
+        # and this path reproduces them exactly anyway; above the cap
+        # (a 100 TB table's hot set can be anything) the distributed
+        # loop below is unchanged.
+        _collect_max = int(_os.environ.get("SPT_KNN_DRILL_COLLECT_MAX",
+                                           "4000000"))
+        _drill_done = False
+        if lvlp + 2 <= even_top:
+            hot0 = (counts_top.filter(F.col("_dn") >= REFINE_CNT)
+                    .orderBy(F.col("_dn").desc()).limit(TOP_REFINE)
+                    .collect())
+            if not hot0:
+                _drill_done = True  # no refinable cell anywhere
+            elif sum(r["_dn"] for r in hot0) <= _collect_max:
+                hdf = spark.createDataFrame(
+                    [(int(r["_dc"]),) for r in hot0], "_hc long")
+                if use_cell:
+                    # prune on the ingest cell column (JVM; ref_top <=
+                    # cell_level by construction), then key survivors
+                    # only — the Arrow pass never sees the full table
+                    srv0 = rk_base.join(
+                        F.broadcast(hdf),
+                        hpx_cell_key("_rcell", cell_level, ref_top)
+                        == F.col("_hc"), "left_semi")
+                    kcol = (hpx_cell_key("_rcell", cell_level, even_top)
+                            if even_top <= cell_level
+                            else hpx_udf(even_top)(F.col("_rra"),
+                                                   F.col("_rdec")))
+                    keyed = srv0.select(kcol.alias("_k"))
+                else:
+                    # no JVM key available: key the table once (the
+                    # distributed loop pays the same full Arrow pass)
+                    keyed = (rk_base.withColumn(
+                        "_k", hpx_udf(even_top)(F.col("_rra"),
+                                                F.col("_rdec")))
+                        .join(F.broadcast(hdf),
+                              F.shiftright("_k", 2 * (even_top - ref_top))
+                              == F.col("_hc"), "left_semi")
+                        .select("_k"))
+                _keys = keyed.toPandas()["_k"].to_numpy().astype(np.int64)
+                _hot = np.array([int(r["_dc"]) for r in hot0],
+                                dtype=np.int64)
+                while lvlp + 2 <= even_top:
+                    nxt = lvlp + 2
+                    if _hot.size == 0:
+                        break
+                    anc = _keys >> np.int64(2 * (even_top - lvlp))
+                    _keys = _keys[np.isin(anc, _hot)]
+                    fine_anc = _keys >> np.int64(2 * (even_top - nxt))
+                    cells, cnts = np.unique(fine_anc, return_counts=True)
+                    m = cnts >= MIN_CNT
+                    cells, cnts = cells[m], cnts[m]
+                    if cells.size == 0:
+                        break
+                    fdf = spark.createDataFrame(
+                        pd.DataFrame({"_dc": cells.astype(np.int64),
+                                      "_dn": cnts.astype(np.int64)}),
+                        "_dc long, _dn long")
+                    fine_grids.append((nxt, fdf))
+                    cur, lvlp = fdf, nxt
+                    hm = cnts >= REFINE_CNT
+                    hc, hn = cells[hm], cnts[hm]
+                    if hc.size > TOP_REFINE:
+                        sel = np.argsort(-hn, kind="stable")[:TOP_REFINE]
+                        hc = hc[sel]
+                    _hot = hc
+                _drill_done = True
+        while not _drill_done and lvlp + 2 <= even_top:
             nxt = lvlp + 2
             hot = (cur.filter(F.col("_dn") >= REFINE_CNT)
                    .orderBy(F.col("_dn").desc()).limit(TOP_REFINE)
@@ -686,6 +767,9 @@ def knn_join(left: DataFrame, right: DataFrame, k: int,
         todo = (todo.withColumn("_albl", albl)
                 .drop(*drop_cols)
                 .localCheckpoint(eager=True))
+        if _os.environ.get("SPT_KNN_DEBUG"):
+            print(f"[knn_join] density profile + todo assembly: "
+                  f"{_time0.perf_counter() - _t_prof0:.1f}s")
 
     import os as _os
     import time as _time
