@@ -2819,26 +2819,46 @@ def _span_dedup_sql() -> str:
 
 
 def _scratch_dir(tag: str) -> str:
-    """Per-process reusable scratch dir for the storage-roundtrip
-    queries. NOT mkdtemp: the driver gate and the bench re-invoke these
-    queries many times per run, and a fresh dir per call accumulates a
-    full table copy each time until /tmp fills. One fixed path per
-    (tag, pid), wiped at entry (so repeat calls in a process reuse the
-    slot) and removed at interpreter exit."""
+    """Per-process scratch dir for the storage-roundtrip queries. NOT
+    mkdtemp-per-call: the driver gate and the bench re-invoke these
+    queries many times per run, and keeping every generation would
+    accumulate a full table copy each time until /tmp fills. Each call
+    gets a VERSIONED path spx_<tag>_<pid>_g<N> and only generation N-2
+    and older are removed at entry — so a still-live lazy DataFrame from
+    the PREVIOUS invocation keeps its files through the next call
+    (verified: invoke, re-invoke, then re-count the first result),
+    unlike the r5 fixed-path scheme that wiped the exact directory a
+    prior invocation's plan still referenced (r5 advice). At most two
+    table copies exist at any time; everything is removed at interpreter
+    exit. Holding a result across TWO subsequent same-tag invocations,
+    or concurrent same-tag calls from threads, remains unsupported
+    (documented)."""
     import atexit
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), f"spx_{tag}_{os.getpid()}")
+    gen = _SCRATCH_GEN.get(tag, 0)
+    _SCRATCH_GEN[tag] = gen + 1
+    base = os.path.join(tempfile.gettempdir(), f"spx_{tag}_{os.getpid()}")
+    if gen >= 2:  # wipe generation N-2 and older; keep the previous one
+        shutil.rmtree(f"{base}_g{gen - 2}", ignore_errors=True)
+    d = f"{base}_g{gen}"
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d)
     if tag not in _SCRATCH_CLEANED:
         _SCRATCH_CLEANED.add(tag)
-        atexit.register(shutil.rmtree, d, ignore_errors=True)
+
+        def _cleanup(b=base):
+            import glob as _glob
+            for p in _glob.glob(b + "_g*"):
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_cleanup)
     return d
 
 
 _SCRATCH_CLEANED: set = set()
+_SCRATCH_GEN: dict = {}
 
 
 def _q_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -322,12 +322,15 @@ def matched_image_filter(images_sel: DataFrame, ids_src: DataFrame,
                 "raise max_images or partition the target list")
         return images_sel.filter(
             F.col(image_id).isin([r[0] for r in head]))
-    # materialize the distinct-id projection ONCE: without this the
-    # max_images count below and the broadcast build each re-execute
-    # ids_src's full plan (for a lazy windows frame that is the whole
-    # pairing crossmatch, twice over). The footprint is the id
-    # projection only — tiny next to the pairing it derives from.
-    wid = wid.localCheckpoint(eager=True)
+    # materialize the distinct-id projection ONCE — but BOUNDED (r5
+    # advice): limit(max_images + 1) caps what the checkpoint can
+    # materialize before the guard has passed, so a pathological id set
+    # fails after at most max_images + 1 rows instead of after a full
+    # materialization; when the guard passes, the limit is a no-op and
+    # the checkpointed frame IS the complete distinct-id set, feeding
+    # the count (local, cheap) and the broadcast build without
+    # re-executing the pairing plan.
+    wid = wid.limit(max_images + 1).localCheckpoint(eager=True)
     n = wid.count()
     if n > max_images:
         raise ValueError(

@@ -421,6 +421,11 @@ def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
     def update(key, pdfs, state: GroupState):
         ids, hashes = ([], []) if not state.exists else state.get
         ids, hashes = list(ids), list(hashes)
+        # O(1) membership alongside the lists (r5 advice: the linear
+        # `in zip(...)` probe made state maintenance O(n^2) per batch
+        # as a band fills; the set is rebuilt from state per batch and
+        # kept in lockstep with the lists — same membership semantics)
+        seen = set(zip(ids, hashes))
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values([ts_col, id_col])
@@ -434,7 +439,8 @@ def stream_simhash_dedup(stream: DataFrame, text_col: str = "text",
                           <= max_hamming
                           for oid, h in zip(ids, hashes))
                 out.append((rid, rts, dup))
-                if (int(rid), int(rhash)) not in zip(ids, hashes):
+                if (int(rid), int(rhash)) not in seen:
+                    seen.add((int(rid), int(rhash)))
                     ids.append(int(rid))
                     hashes.append(int(rhash))
         if len(ids) > max_per_band:

@@ -62,3 +62,17 @@ def test_oracle_subset(spark, ddb, name):
     assert list(a.columns) == list(b.columns), (list(a.columns), list(b.columns))
     assert len(a) == len(b)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_scratch_dir_generations_survive_reinvocation(spark):
+    """r5 advice: a still-live result of a storage-roundtrip query must
+    survive the NEXT in-process invocation of the same query (the old
+    fixed-path scratch dir wiped the files its plan still referenced)."""
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    df1 = qs["table_roundtrip"](spark, "/root/testdata/sf0.01")
+    n1 = df1.count()
+    df2 = qs["table_roundtrip"](spark, "/root/testdata/sf0.01")
+    n2 = df2.count()
+    assert df1.count() == n1 == n2  # first result still readable
